@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fixture table loaders (see FIXTURES.md).
+  *
+  * All loads are plain `spark.read.parquet` so Catalyst keeps pushdown /
+  * pruning; the only special case is `events`, whose `ts` column is
+  * nanosecond-precision parquet (INT64 TIMESTAMP(NANOS)) which Spark cannot
+  * read natively. We read it as a raw long (`spark.sql.legacy.parquet.
+  * nanosAsLong=true`, set in [[GraftSession]]) and truncate to microseconds
+  * with integer division — matching DuckDB's own ns→µs truncation on read,
+  * so differential results agree exactly.
+  */
+object Tables {
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(path(dir, name))
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** events with `ts` converted ns-long → µs TimestampType (truncating, like
+    * DuckDB). Column order preserved. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(path(dir, "events"))
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+}
+
+/** Session defaults shared by Verify / Bench / tests. */
+object GraftSession {
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+}

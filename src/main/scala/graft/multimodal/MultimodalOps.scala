@@ -1,0 +1,71 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed row for an opaque media payload: the multimodal column model
+  * (north-star extension). Real pipelines put image/audio/video bytes in
+  * `payload` (BinaryType) with typed metadata alongside; all Spark-side
+  * plumbing (schema, partitioning, batch-shaped decode) is real, only the
+  * codec is stubbed (this container has no image/audio libraries). */
+case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
+                    width: Int, height: Int, duration_ms: Long)
+
+/** Decoded feature vector for a media row. */
+case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+                         feature: Array[Float])
+
+object MultimodalOps {
+
+  /** STUB CODEC — deterministic fake "decode": derives a feature vector
+    * from payload bytes. Replace with a real decoder (JavaCPP/FFmpeg,
+    * ImageIO) in production; the signature and batch shape are the real
+    * contract. */
+  private def fakeDecode(payload: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < payload.length) {
+      out(i % dim) += (payload(i) & 0xff) / 255.0f
+      i += 1
+    }
+    out
+  }
+
+  /** Batch-shaped decode: one partition = one iterator pass (the Scala
+    * analog of a pandas `mapInPandas` UDF) — codecs initialize once per
+    * partition, not per row, and rows stream through without
+    * materializing the partition. */
+  def decodeFeatures(ds: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      // per-partition codec init would go here
+      rows.map(r => MediaFeatures(r.media_id, r.kind, r.payload.length,
+        fakeDecode(r.payload, dim)))
+    }
+  }
+
+  /** Frame sampling plan for video payloads: every `everyMs` milliseconds of
+    * duration yields one (media_id, frame_idx, ts_ms) row — the explode is
+    * pure Catalyst (no UDF); actual frame extraction would decode in a
+    * later batch-shaped pass like [[decodeFeatures]]. */
+  def frameSamplePlan(df: DataFrame, everyMs: Long): DataFrame =
+    df.select(col("media_id"), col("duration_ms"),
+        explode(sequence(lit(0L), greatest(col("duration_ms") - 1, lit(0L)),
+          lit(everyMs))).as("ts_ms"))
+      .withColumn("frame_idx", (col("ts_ms") / everyMs).cast("long"))
+
+  /** Build a MediaRow dataset from any table with an id + string column —
+    * fixture adapter used by specs (documents.text bytes stand in for real
+    * media payloads). */
+  def fromStrings(spark: SparkSession, df: DataFrame, idCol: String,
+                  strCol: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"),
+        lit("image").as("kind"),
+        encode(col(strCol), "UTF-8").as("payload"),
+        (length(col(strCol)) % 640).cast("int").as("width"),
+        (length(col(strCol)) % 480).cast("int").as("height"),
+        (length(col(strCol)) * 40L).cast("long").as("duration_ms"))
+      .as[MediaRow]
+  }
+}

@@ -1,0 +1,105 @@
+package graft.ops
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for LLM-pipeline data curation (north-star
+  * extension, BASELINE.json north_star; no reference analog).
+  *
+  * Scale design: exact dedup is a hash-groupBy (one shuffle on the digest).
+  * Near-dup detection is MinHash + LSH banding: candidate pairs come ONLY
+  * from band-bucket joins (each doc appears in `bands` buckets), never from
+  * an all-pairs cross join, so the cost is O(docs · k) + O(candidate
+  * pairs) — the standard web-scale pipeline (Broder; Leskovec et al. MMDS
+  * ch.3). Exact Jaccard verification then runs only on candidates.
+  */
+object DedupOps {
+
+  /** Exact dedup on a digest of `textCol`: one row per distinct content with
+    * the surviving (minimum) id and the duplicate count. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("digest"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** (id, shingle-hash) pairs, distinct per document — the sets Jaccard is
+    * defined over. `n` = character shingle width. */
+  def shingleHashes(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(charShingles(col(textCol), n)).as("sh"))
+      .select(col("id"), md5Hash32(col("sh")).as("h"))
+      .distinct()
+
+  /** MinHash signatures, one row per doc, k = MinhashAB.size columns
+    * mh0..mh{k−1}. */
+  def minhashSignatures(shingles: DataFrame): DataFrame =
+    shingles.groupBy(col("id"))
+      .agg(minhashAgg(col("h"), 0).as("mh0"),
+        (1 until MinhashAB.size).map(i => minhashAgg(col("h"), i).as(s"mh$i")): _*)
+
+  /** LSH candidate pairs (id_a < id_b) sharing at least one band of `rows`
+    * consecutive minhash values. */
+  def lshCandidates(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val banded = (0 until bands).map { b =>
+      val key = concat_ws("_", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
+      sigs.select(col("id"), lit(b).as("band"), key.as("bkey"))
+    }.reduce(_ unionByName _)
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over shingle sets, computed only for `pairs`.
+    * |A∩B| via a co-grouped join on shingle hash; |A|,|B| from per-doc
+    * counts; all integer arithmetic → deterministic double at the end. */
+  def jaccardOnPairs(pairs: DataFrame, shingles: DataFrame): DataFrame = {
+    val sizes = shingles.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(shingles.as("sa"), col("id_a") === col("sa.id"))
+      .join(shingles.as("sb"), col("id_b") === col("sb.id") && col("sa.h") === col("sb.h"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.withColumnRenamed("sz", "sz_a"), col("id_a") === sizes("id"))
+      .drop("id")
+      .join(sizes.withColumnRenamed("sz", "sz_b"), col("id_b") === sizes("id"))
+      .drop("id")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: candidates → exact Jaccard ≥
+    * threshold. */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int, bands: Int, rows: Int,
+                      threshold: Double): DataFrame = {
+    require(bands * rows <= MinhashAB.size, "not enough hash functions")
+    val sh    = shingleHashes(df, idCol, textCol, shingleN)
+    val sigs  = minhashSignatures(sh)
+    val cand  = lshCandidates(sigs, bands, rows)
+    jaccardOnPairs(cand, sh).where(col("jaccard") >= threshold)
+  }
+
+  /** SimHash signature (first `bits` bits, LSB-first) from word-level
+    * 32-bit hashes: bit b set iff Σ_words (±1 for bit b of word hash) > 0.
+    * Hamming-near signatures → near-dup docs (Charikar 2002; used by
+    * web-crawl dedup). Returns (id, simhash). */
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame = {
+    val words = df.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("w"))
+      .withColumn("h", md5Hash32(col("w")))
+    val bitSums = (0 until bits).map { b =>
+      sum((col("h") / lit(1L << b)).cast("long") % 2 * 2 - 1).as(s"b$b")
+    }
+    words.groupBy(col("id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"),
+        (0 until bits).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
+}

@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Grouped-aggregation building blocks reproducing the reference's NA
+  * contract (`/root/reference/src/groupby.rs`, see SURVEY.md §1.3/§2.2):
+  * skipna (SQL default), `min_count`, Kleene any/all, dropped null keys.
+  *
+  * Everything here is a plain `Column` combinator over Spark's built-in
+  * (codegen'd, partial-aggregation-friendly) aggregates — no UDFs, so plans
+  * stay in whole-stage codegen and map-side combine works at 100 TB.
+  *
+  * Determinism note: several helpers compute variance/skewness from *raw
+  * power sums* rather than Spark's streaming central-moment aggregates.
+  * With integer-valued inputs the power sums are exact in double, so the
+  * final float formula is bitwise-reproducible across engines and partition
+  * orders — that is what lets the DuckDB differential oracle hash-match.
+  * For general (non-integer) data at scale, Spark's built-in `var_samp` /
+  * `skewness` remain available; both forms are exposed.
+  */
+object GroupedOps {
+
+  /** `min_count` gate (reference `check_below_mincount`,
+    * `/root/reference/src/groupby.rs:788-843`): result is NULL when the
+    * number of non-NA observations is below `minCount`. `minCount <= 0`
+    * means "unused" (reference passes -1).
+    */
+  def withMinCount(agg: Column, value: Column, minCount: Int): Column =
+    if (minCount <= 0) agg
+    else when(count(value) >= lit(minCount.toLong), agg).otherwise(lit(null))
+
+  /** Sum with min_count — `group_sum` (`src/groupby.rs:846-907`). */
+  def sumMinCount(value: Column, minCount: Int): Column =
+    withMinCount(sum(value), value, minCount)
+
+  /** Product with min_count — `group_prod` (`src/groupby.rs:909-985`). */
+  def prodMinCount(value: Column, minCount: Int): Column =
+    withMinCount(product(value), value, minCount)
+
+  /** Variance with arbitrary ddof — `group_var` (`src/groupby.rs:987-1129`,
+    * correct unmasked formula `M2/(count-ddof)`). Built on Spark's Welford
+    * `var_samp` rescaled, so it stays a single streaming aggregate. */
+  def varDdof(value: Column, ddof: Int): Column = {
+    val n = count(value).cast("double")
+    when(n - lit(ddof) <= 0, lit(null))
+      .otherwise(var_samp(value) * (n - 1) / (n - lit(ddof)))
+  }
+
+  /** Standard deviation with ddof. */
+  def stdDdof(value: Column, ddof: Int): Column = sqrt(varDdof(value, ddof))
+
+  /** Standard error of the mean: std(ddof)/sqrt(n) — `group_var` with
+    * `name="sem"` (`src/groupby.rs:1107-1126`). */
+  def sem(value: Column, ddof: Int): Column =
+    stdDdof(value, ddof) / sqrt(count(value).cast("double"))
+
+  /** Exact-power-sum variance: deterministic for integer-valued inputs.
+    * m2 = (Σx² − (Σx)²/n) / (n − ddof), guarded for n ≤ ddof. */
+  def varExact(value: Column, ddof: Int): Column = {
+    val n  = count(value).cast("double")
+    val s1 = sum(value).cast("double")
+    val s2 = sum(value * value).cast("double")
+    when(n - lit(ddof) <= 0, lit(null))
+      .otherwise((s2 - s1 * s1 / n) / (n - lit(ddof)))
+  }
+
+  def stdExact(value: Column, ddof: Int): Column = sqrt(varExact(value, ddof))
+
+  def semExact(value: Column, ddof: Int): Column =
+    stdExact(value, ddof) / sqrt(count(value).cast("double"))
+
+  /** Adjusted (Fisher–Pearson, bias-corrected) skewness — the reference's
+    * documented intent for `group_skew` (`src/groupby.rs:1131-1268`; its
+    * finalize-loop bugs are catalogued in SURVEY.md §7.4 and NOT replicated).
+    *
+    * Computed from raw power sums (exact for integer-valued input):
+    *   m2 = Σx²/n − mean²,  m3 = Σx³/n − 3·mean·Σx²/n + 2·mean³
+    *   g1 = m3 / m2^1.5,    adj = g1 · √(n(n−1)) / (n−2)
+    * n < 3 → NULL; m2 = 0 → 0 (reference `:1203-1207`).
+    */
+  def skewAdjusted(value: Column): Column = {
+    val n  = count(value).cast("double")
+    val s1 = sum(value).cast("double")
+    val s2 = sum(value * value).cast("double")
+    val s3 = sum(value * value * value).cast("double")
+    val m  = s1 / n
+    val m2 = s2 / n - m * m
+    val m3 = s3 / n - lit(3.0) * m * (s2 / n) + lit(2.0) * m * m * m
+    when(n < 3, lit(null))
+      .when(m2 === 0, lit(0.0))
+      // m2^1.5 as m2·√m2: sqrt is IEEE-correctly-rounded in every engine,
+      // pow is not (libm vs Math.pow differ by 1 ulp) — keeps differential
+      // comparisons bitwise-exact.
+      .otherwise((m3 / (m2 * sqrt(m2))) * sqrt(n * (n - 1)) / (n - 2))
+  }
+
+  /** First non-NA value per group under an explicit deterministic ordering —
+    * `group_last`'s mirror (`src/groupby.rs:1662-1744`). The reference's
+    * "order" is physical row order; Spark requires an order column
+    * (SURVEY.md §7.3), supplied as `ord` (must be unique per group). */
+  def firstByOrd(value: Column, ord: Column): Column =
+    min_by(value, when(value.isNotNull, ord))
+
+  /** Last non-NA value per group by `ord` — `group_last`. */
+  def lastByOrd(value: Column, ord: Column): Column =
+    max_by(value, when(value.isNotNull, ord))
+
+  /** Kleene-logic grouped any/all — `group_any_all`
+    * (`src/groupby.rs:698-784`). Spark's `bool_or`/`bool_and` are already
+    * Kleene (null iff no determining value and ≥1 null). */
+  def anyKleene(pred: Column): Column  = bool_or(pred)
+  def allKleene(pred: Column): Column  = bool_and(pred)
+
+  /** OHLC = (first, max, min, last) of `value` ordered by `ord` —
+    * `group_ohlc`'s documented intent (`src/groupby.rs:1405-1530`; its
+    * flag/low-slot bugs are not replicated). Returns the four columns. */
+  def ohlc(value: Column, ord: Column): Seq[(String, Column)] = Seq(
+    "open"  -> firstByOrd(value, ord),
+    "high"  -> max(value),
+    "low"   -> min(value),
+    "close" -> lastByOrd(value, ord)
+  )
+}

@@ -1,0 +1,101 @@
+package graft.ops
+
+import graft.functions.TextFunctions.md5Hash32
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (north-star extension; fixture:
+  * `embeddings.parquet`, ArrayType(FloatType) dim=64).
+  *
+  * Two paths:
+  *   - Brute-force cosine top-k: broadcast the (small) query set against the
+  *     corpus — a map-side-only plan, no shuffle until the final per-query
+  *     top-k. Correct baseline at any candidate-set size.
+  *   - Random-hyperplane LSH (SimHash for vectors, Charikar 2002): hash
+  *     vectors to sign-pattern buckets; search only within the query's
+  *     bucket. At 100 TB the bucket join replaces the cross join; recall is
+  *     tunable by bucket bits / multi-probe.
+  *
+  * Determinism: embeddings are quantized to integer milli-units before dot
+  * products, so accumulation order can't change results — exact integer
+  * sums, one final float division. This is what makes the DuckDB
+  * differential oracle hash-match; it also bounds quantization error at
+  * 5e-4 per coordinate, irrelevant for neighbor ranking quality.
+  */
+object SimilarityOps {
+
+  /** Quantize a float-array column to bigint milli-units. */
+  def quantize(vec: Column): Column =
+    transform(vec, x => round(x.cast("double") * 1000).cast("long"))
+
+  /** Integer dot product of two quantized vectors (sequential fold —
+    * deterministic). */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Squared L2 norm of a quantized vector. */
+  def norm2Q(a: Column): Column = dotQ(a, a)
+
+  /** Cosine similarity from quantized vectors; NULL for zero-norm inputs. */
+  def cosineQ(a: Column, b: Column): Column = {
+    val d  = dotQ(a, b)
+    val na = norm2Q(a)
+    val nb = norm2Q(b)
+    when(na === 0 || nb === 0, lit(null))
+      .otherwise(d.cast("double") / sqrt(na.cast("double") * nb.cast("double")))
+  }
+
+  /** Brute-force cosine top-k: for each row of `queries`, the k nearest rows
+    * of `corpus` (excluding self-matches by id), ranked by (similarity desc,
+    * candidate id) for determinism.
+    *
+    * `queries` is broadcast: the cross join is map-side (no shuffle of the
+    * corpus); the only shuffle is the per-query window top-k. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      quantize(col(vecCol)).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
+    val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim", cosineQ(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select("query_id", "rk", "neighbor_id", "cos_sim")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim j):
+    * ±1 derived from md5 — identical in any engine. */
+  def planeSign(p: Int, j: Column): Column =
+    (md5Hash32(concat(lit(s"plane${p}_"), j.cast("string"))) % 2) * 2 - 1
+
+  /** Sign-pattern LSH bucket of a quantized vector: bit p = [dot(v, r_p) > 0]. */
+  def lshBucket(qvec: Column, planes: Int): Column =
+    (0 until planes).map { p =>
+      val signed = zip_with(qvec, sequence(lit(0), size(qvec) - 1),
+        (x, j) => x * planeSign(p, j))
+      when(aggregate(signed, lit(0L), (acc, x) => acc + x) > 0, lit(1L << p))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed approximate top-k: exact cosine rerank, but only within
+    * the query's bucket. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, planes: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+        quantize(col(vecCol)).as("qv"))
+      .withColumn("bucket", lshBucket(col("qv"), planes)))
+    val c = corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
+      .withColumn("bucket", lshBucket(col("cv"), planes))
+    val scored = c.join(q, Seq("bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim", cosineQ(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select("query_id", "rk", "neighbor_id", "cos_sim")
+  }
+}

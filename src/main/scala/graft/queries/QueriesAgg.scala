@@ -1,0 +1,345 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{GroupedOps, QuantileOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pack A — grouped aggregations (SURVEY.md §2.2): sum/prod/mean/var/std/
+  * sem/skew/min/max/first/last/nth/ohlc/median/quantile/any/all/count, with
+  * the reference's min_count and Kleene NA semantics.
+  *
+  * Float determinism strategy (shared with the DuckDB oracle): monetary
+  * columns are scaled to integer cents (`round(x*100)` — both engines
+  * compute the identical double product first), all accumulation happens in
+  * exact integer or integer-valued-double space, and any final float math
+  * is a single identical formula on both sides. That makes results
+  * hash-comparable with zero tolerance while keeping plans pure built-in
+  * Catalyst aggregates (partial agg + whole-stage codegen intact).
+  */
+object QueriesAgg {
+
+  private def cents(c: String) = round(col(c) * 100).cast("long")
+
+  /** TPC-H Q1-shaped flagship: scan → filter (parquet pushdown) → hash agg.
+    * Exercises group_sum / group_mean / count (`src/groupby.rs:846,1271`). */
+  def q1(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+        cents("l_extendedprice").as("pc"), cents("l_discount").as("dc"),
+        cents("l_tax").as("tc"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        (sum(col("pc")).cast("double") / 100.0).as("sum_base_price"),
+        (sum(col("pc") * (lit(100L) - col("dc"))).cast("double") / 10000.0).as("sum_disc_price"),
+        (sum(col("pc") * (lit(100L) - col("dc")) * (lit(100L) + col("tc"))).cast("double") / 1000000.0).as("sum_charge"),
+        avg("l_quantity").as("avg_qty"),
+        (sum(col("pc")).cast("double") / 100.0 / count(lit(1)).cast("double")).as("avg_price"),
+        (sum(col("dc")).cast("double") / 100.0 / count(lit(1)).cast("double")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q1Oracle: String = """
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus, l_quantity,
+             CAST(round(l_extendedprice*100) AS BIGINT) pc,
+             CAST(round(l_discount*100) AS BIGINT) dc,
+             CAST(round(l_tax*100) AS BIGINT) tc
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           CAST(sum(pc) AS DOUBLE)/100.0 AS sum_base_price,
+           CAST(sum(pc*(100-dc)) AS DOUBLE)/10000.0 AS sum_disc_price,
+           CAST(sum(pc*(100-dc)*(100+tc)) AS DOUBLE)/1000000.0 AS sum_charge,
+           avg(l_quantity) AS avg_qty,
+           CAST(sum(pc) AS DOUBLE)/100.0/CAST(count(*) AS DOUBLE) AS avg_price,
+           CAST(sum(dc) AS DOUBLE)/100.0/CAST(count(*) AS DOUBLE) AS avg_disc,
+           count(*) AS count_order
+    FROM c GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""
+
+  /** group_sum + min_count (`src/groupby.rs:846-907`, `:788-843`) over
+    * injected nulls (fixtures are null-free — FIXTURES.md §B null-injection). */
+  def qSumMinCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .withColumn("v", when(col("c_custkey") % 3 === 0, cents("c_acctbal")))
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(
+        count(col("v")).as("n_obs"),
+        (GroupedOps.sumMinCount(col("v"), 5).cast("double") / 100.0).as("sum_mc5"),
+        (sum(col("v")).cast("double") / 100.0).as("sum_all"),
+        when(count(col("v")) >= 5,
+          sum(col("v")).cast("double") / 100.0 / count(col("v")).cast("double")).as("avg_mc5"))
+      .orderBy("c_nationkey", "c_mktsegment")
+
+  val qSumMinCountOracle: String = """
+    WITH c AS (
+      SELECT c_nationkey, c_mktsegment,
+             CASE WHEN c_custkey % 3 = 0 THEN CAST(round(c_acctbal*100) AS BIGINT) END v
+      FROM customer)
+    SELECT c_nationkey, c_mktsegment, count(v) AS n_obs,
+           CASE WHEN count(v) >= 5 THEN CAST(sum(v) AS DOUBLE)/100.0 END AS sum_mc5,
+           CAST(sum(v) AS DOUBLE)/100.0 AS sum_all,
+           CASE WHEN count(v) >= 5
+                THEN CAST(sum(v) AS DOUBLE)/100.0/CAST(count(v) AS DOUBLE) END AS avg_mc5
+    FROM c GROUP BY c_nationkey, c_mktsegment ORDER BY c_nationkey, c_mktsegment"""
+
+  /** group_prod + min_count (`src/groupby.rs:909-985`). Multiplicands kept
+    * in small-int space so products are associativity-proof exact. */
+  def qProd(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("m", (col("l_quantity").cast("long") % 5 + 1).cast("double"))
+      .groupBy("l_orderkey")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        product(col("m")).as("prod_m"),
+        GroupedOps.prodMinCount(col("m"), 5).as("prod_mc5"))
+      .orderBy("l_orderkey")
+
+  val qProdOracle: String = """
+    WITH c AS (SELECT l_orderkey, CAST(CAST(l_quantity AS BIGINT) % 5 + 1 AS DOUBLE) m FROM lineitem)
+    SELECT l_orderkey, count(*) AS n_lines, product(m) AS prod_m,
+           CASE WHEN count(m) >= 5 THEN product(m) END AS prod_mc5
+    FROM c GROUP BY l_orderkey ORDER BY l_orderkey"""
+
+  /** group_var/std/sem with ddof (`src/groupby.rs:987-1129`) and adjusted
+    * skewness (`src/groupby.rs:1131-1268`) from exact power sums. */
+  def qMoments(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("l_quantity")
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(v).as("n"),
+        (sum(v).cast("double") / count(v).cast("double")).as("mean_qty"),
+        GroupedOps.varExact(v, 1).as("var1"),
+        GroupedOps.varExact(v, 0).as("var0"),
+        GroupedOps.varExact(v, 2).as("var2"),
+        GroupedOps.stdExact(v, 1).as("std1"),
+        GroupedOps.semExact(v, 1).as("sem1"),
+        GroupedOps.skewAdjusted(v).as("skew_adj"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val qMomentsOracle: String = {
+    val n  = "CAST(count(l_quantity) AS DOUBLE)"
+    val s1 = "CAST(sum(l_quantity) AS DOUBLE)"
+    val s2 = "CAST(sum(l_quantity*l_quantity) AS DOUBLE)"
+    val s3 = "CAST(sum(l_quantity*l_quantity*l_quantity) AS DOUBLE)"
+    def varD(d: Int) =
+      s"CASE WHEN $n - $d <= 0 THEN NULL ELSE ($s2 - $s1*$s1/$n)/($n - $d) END"
+    val m  = s"($s1/$n)"
+    val m2 = s"($s2/$n - $m*$m)"
+    val m3 = s"($s3/$n - 3.0*$m*($s2/$n) + 2.0*$m*$m*$m)"
+    s"""
+    SELECT l_returnflag, l_linestatus, count(l_quantity) AS n,
+           $s1/$n AS mean_qty,
+           ${varD(1)} AS var1, ${varD(0)} AS var0, ${varD(2)} AS var2,
+           sqrt(${varD(1)}) AS std1,
+           sqrt(${varD(1)})/sqrt($n) AS sem1,
+           CASE WHEN $n < 3 THEN NULL WHEN $m2 = 0 THEN 0.0
+                ELSE ($m3/($m2*sqrt($m2)))*sqrt($n*($n-1))/($n-2) END AS skew_adj
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""
+  }
+
+  /** group_min/group_max + min_count (`src/groupby.rs:2039-2154`). */
+  def qMinMax(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .withColumn("v", when(col("c_custkey") % 4 === 0, col("c_acctbal")))
+      .groupBy("c_nationkey")
+      .agg(
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"),
+        GroupedOps.withMinCount(min(col("v")), col("v"), 10).as("min_mc10"),
+        GroupedOps.withMinCount(max(col("v")), col("v"), 10).as("max_mc10"),
+        count(col("v")).as("n_obs"))
+      .orderBy("c_nationkey")
+
+  val qMinMaxOracle: String = """
+    WITH c AS (SELECT c_nationkey, c_acctbal,
+                      CASE WHEN c_custkey % 4 = 0 THEN c_acctbal END v FROM customer)
+    SELECT c_nationkey, min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+           CASE WHEN count(v) >= 10 THEN min(v) END AS min_mc10,
+           CASE WHEN count(v) >= 10 THEN max(v) END AS max_mc10,
+           count(v) AS n_obs
+    FROM c GROUP BY c_nationkey ORDER BY c_nationkey"""
+
+  /** group_last / group_nth over an explicit order (`src/groupby.rs:1662,
+    * 1831`): first/last/3rd non-NA value per group. */
+  def qFirstLastNth(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("v2", when(col("event_id") % 7 =!= 0, col("value")))
+    val fl = ev.groupBy("user_id").agg(
+      expr("min_by(v2, event_id) FILTER (WHERE v2 IS NOT NULL)").as("first_v"),
+      expr("max_by(v2, event_id) FILTER (WHERE v2 IS NOT NULL)").as("last_v"),
+      count(col("v2")).as("n_obs"))
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val nth = ev.where(col("v2").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 3)
+      .select(col("user_id"), col("v2").as("nth3_v"))
+    fl.join(nth, Seq("user_id"), "left").orderBy("user_id")
+  }
+
+  val qFirstLastNthOracle: String = """
+    WITH e AS (SELECT user_id, event_id,
+                      CASE WHEN event_id % 7 <> 0 THEN value END v2 FROM events),
+    fl AS (SELECT user_id,
+                  min_by(v2, event_id) FILTER (WHERE v2 IS NOT NULL) first_v,
+                  max_by(v2, event_id) FILTER (WHERE v2 IS NOT NULL) last_v,
+                  count(v2) n_obs
+           FROM e GROUP BY user_id),
+    nth AS (SELECT user_id, v2 nth3_v FROM (
+              SELECT user_id, v2,
+                     row_number() OVER (PARTITION BY user_id ORDER BY event_id) rn
+              FROM e WHERE v2 IS NOT NULL) WHERE rn = 3)
+    SELECT fl.user_id, first_v, last_v, n_obs, nth3_v
+    FROM fl LEFT JOIN nth ON fl.user_id = nth.user_id ORDER BY fl.user_id"""
+
+  /** group_ohlc — documented intent (first, max, min, last) per group
+    * (`src/groupby.rs:1405-1530`; reference binding bugs not replicated). */
+  def qOhlc(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        expr("min_by(value, event_id)").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        expr("max_by(value, event_id)").as("close"),
+        count(lit(1)).as("n"))
+      .orderBy("user_id")
+
+  val qOhlcOracle: String = """
+    SELECT user_id, min_by(value, event_id) AS open, max(value) AS high,
+           min(value) AS low, max_by(value, event_id) AS close, count(*) AS n
+    FROM events GROUP BY user_id ORDER BY user_id"""
+
+  /** group_quantile, all five interpolation modes (`src/groupby.rs:1532-1660`). */
+  val quantileQs = Seq(0.0, 0.25, 0.5, 0.513, 0.75, 1.0)
+
+  def qQuantile(spark: SparkSession, dir: String): DataFrame =
+    QuantileOps.groupedQuantiles(
+      Tables.lineitem(spark, dir), Seq("l_returnflag", "l_linestatus"),
+      "l_quantity", quantileQs)
+      .orderBy(col("l_returnflag"), col("l_linestatus"), col("q"))
+
+  val qQuantileOracle: String = {
+    val qsVals = quantileQs.map(q => s"($q)").mkString(",")
+    val idx    = "CAST(floor(q*(n-1)) AS BIGINT)"
+    s"""
+    WITH nn AS (
+      SELECT l_returnflag, l_linestatus, l_quantity v,
+             CAST(row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+                                     ORDER BY l_quantity) AS BIGINT) - 1 rn,
+             count(*) OVER (PARTITION BY l_returnflag, l_linestatus) n
+      FROM lineitem WHERE l_quantity IS NOT NULL),
+    e AS (SELECT nn.*, q FROM nn CROSS JOIN (VALUES $qsVals) t(q)),
+    g AS (SELECT l_returnflag, l_linestatus, q,
+                 max(CASE WHEN rn = $idx THEN v END) lov,
+                 max(CASE WHEN rn = $idx + 1 THEN v END) hiv,
+                 max(q*(n-1) - floor(q*(n-1))) f
+          FROM e WHERE rn = $idx OR rn = $idx + 1
+          GROUP BY l_returnflag, l_linestatus, q)
+    SELECT l_returnflag, l_linestatus, q,
+           CASE WHEN f = 0 THEN lov ELSE lov + (hiv - lov)*f END AS linear,
+           lov AS lower,
+           CASE WHEN f = 0 THEN lov ELSE hiv END AS higher,
+           CASE WHEN f = 0 THEN lov
+                WHEN f > 0.5 OR (f = 0.5 AND q > 0.5) THEN hiv
+                ELSE lov END AS nearest,
+           CASE WHEN f = 0 THEN lov ELSE (lov + hiv)/2 END AS midpoint
+    FROM g ORDER BY l_returnflag, l_linestatus, q"""
+  }
+
+  /** group_median_float64 (`src/groupby.rs:114-184`) — linear q=0.5. */
+  def qMedian(spark: SparkSession, dir: String): DataFrame =
+    QuantileOps.groupedMedian(
+      Tables.lineitem(spark, dir), Seq("l_suppkey"), "l_quantity")
+      .orderBy("l_suppkey")
+
+  val qMedianOracle: String = """
+    WITH nn AS (
+      SELECT l_suppkey, l_quantity v,
+             CAST(row_number() OVER (PARTITION BY l_suppkey ORDER BY l_quantity) AS BIGINT) - 1 rn,
+             count(*) OVER (PARTITION BY l_suppkey) n
+      FROM lineitem WHERE l_quantity IS NOT NULL),
+    g AS (SELECT l_suppkey,
+                 max(CASE WHEN rn = CAST(floor(0.5*(n-1)) AS BIGINT) THEN v END) lov,
+                 max(CASE WHEN rn = CAST(floor(0.5*(n-1)) AS BIGINT) + 1 THEN v END) hiv,
+                 max(0.5*(n-1) - floor(0.5*(n-1))) f
+          FROM nn WHERE rn = CAST(floor(0.5*(n-1)) AS BIGINT)
+                     OR rn = CAST(floor(0.5*(n-1)) AS BIGINT) + 1
+          GROUP BY l_suppkey)
+    SELECT l_suppkey, CASE WHEN f = 0 THEN lov ELSE lov + (hiv - lov)*f END AS median
+    FROM g ORDER BY l_suppkey"""
+
+  /** group_any_all with Kleene logic (`src/groupby.rs:698-784`). */
+  def qAnyAll(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("p",
+        when(col("l_quantity") > 45, lit(true))
+          .when(col("l_orderkey") % 11 === 0, lit(null).cast("boolean"))
+          .otherwise(lit(false)))
+      .groupBy("l_suppkey", "l_linenumber")
+      .agg(
+        GroupedOps.anyKleene(col("p")).as("any_p"),
+        GroupedOps.allKleene(col("p")).as("all_p"),
+        expr("count(*) FILTER (WHERE p IS NULL)").as("n_null"),
+        count(lit(1)).as("n"))
+      .orderBy("l_suppkey", "l_linenumber")
+
+  val qAnyAllOracle: String = """
+    WITH c AS (SELECT l_suppkey, l_linenumber,
+                      CASE WHEN l_quantity > 45 THEN TRUE
+                           WHEN l_orderkey % 11 = 0 THEN NULL
+                           ELSE FALSE END p FROM lineitem)
+    SELECT l_suppkey, l_linenumber, bool_or(p) AS any_p, bool_and(p) AS all_p,
+           count(*) FILTER (WHERE p IS NULL) AS n_null, count(*) AS n
+    FROM c GROUP BY l_suppkey, l_linenumber ORDER BY l_suppkey, l_linenumber"""
+
+  /** count / count distinct (the `counts` output every kernel fills,
+    * `src/groupby.rs:875`). */
+  def qCountDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("l_partkey")).as("nd_part"),
+        countDistinct(col("l_suppkey")).as("nd_supp"),
+        countDistinct(col("l_orderkey")).as("nd_order"))
+      .orderBy("l_returnflag")
+
+  val qCountDistinctOracle: String = """
+    SELECT l_returnflag, count(*) AS n, count(DISTINCT l_partkey) AS nd_part,
+           count(DISTINCT l_suppkey) AS nd_supp, count(DISTINCT l_orderkey) AS nd_order
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** JSON payload extraction + aggregation over `events.props`. */
+  def qJson(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"),
+        count(col("k")).as("n_k"))
+      .orderBy("event_type")
+
+  val qJsonOracle: String = """
+    WITH c AS (SELECT event_type, CAST(props->>'$.k' AS BIGINT) k FROM events)
+    SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k, count(k) AS n_k
+    FROM c GROUP BY event_type ORDER BY event_type"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q1_flagship", q1, Some(q1Oracle)),
+    QueryDef("q_sum_mincount", qSumMinCount, Some(qSumMinCountOracle)),
+    QueryDef("q_prod", qProd, Some(qProdOracle)),
+    QueryDef("q_moments", qMoments, Some(qMomentsOracle)),
+    QueryDef("q_minmax", qMinMax, Some(qMinMaxOracle)),
+    QueryDef("q_first_last_nth", qFirstLastNth, Some(qFirstLastNthOracle)),
+    QueryDef("q_ohlc", qOhlc, Some(qOhlcOracle)),
+    QueryDef("q_quantile", qQuantile, Some(qQuantileOracle)),
+    QueryDef("q_median", qMedian, Some(qMedianOracle)),
+    QueryDef("q_anyall", qAnyAll, Some(qAnyAllOracle)),
+    QueryDef("q_count_distinct", qCountDistinct, Some(qCountDistinctOracle)),
+    QueryDef("q_json", qJson, Some(qJsonOracle)))
+}

@@ -1,0 +1,219 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.WindowOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pack B — grouped length-preserving transforms (SURVEY.md §2.3):
+  * cumsum/cumprod/cummin/cummax (skipna both ways), shift, ffill/bfill
+  * (with limit), rank (all pandas tie methods). Running sums use integer
+  * cents so the cumulative state is exact under any accumulation
+  * associativity (window segment trees vs linear scans differ between
+  * engines).
+  */
+object QueriesWindow {
+
+  private val userKey = Seq(col("user_id"))
+  private val byEvent = Seq(col("event_id"))
+
+  /** group_cumsum, skipna true/false (`src/groupby.rs:424-536`). */
+  def qCumsum(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("c", round(col("value") * 100).cast("long"))
+      .withColumn("c2", when(col("event_id") % 7 =!= 0, round(col("value") * 100).cast("long")))
+    ev.select(col("event_id"), col("user_id"),
+        (WindowOps.cumsum(col("c"), userKey, byEvent).cast("double") / 100.0).as("cs_all"),
+        (WindowOps.cumsum(col("c2"), userKey, byEvent, skipna = true).cast("double") / 100.0).as("cs_skipna"),
+        (WindowOps.cumsum(col("c2"), userKey, byEvent, skipna = false).cast("double") / 100.0).as("cs_noskip"))
+      .orderBy("event_id")
+  }
+
+  val qCumsumOracle: String = """
+    WITH e AS (SELECT event_id, user_id,
+                      CAST(round(value*100) AS BIGINT) c,
+                      CASE WHEN event_id % 7 <> 0 THEN CAST(round(value*100) AS BIGINT) END c2
+               FROM events),
+    w AS (SELECT event_id, user_id, c, c2,
+                 sum(c)  OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) rs,
+                 sum(c2) OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) rs2,
+                 max(CASE WHEN c2 IS NULL THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) poisoned
+          FROM e)
+    SELECT event_id, user_id,
+           CAST(rs AS DOUBLE)/100.0 AS cs_all,
+           CASE WHEN c2 IS NULL THEN NULL ELSE CAST(rs2 AS DOUBLE)/100.0 END AS cs_skipna,
+           CASE WHEN poisoned = 1 THEN NULL ELSE CAST(rs2 AS DOUBLE)/100.0 END AS cs_noskip
+    FROM w ORDER BY event_id"""
+
+  /** group_cumprod, skipna true/false (`src/groupby.rs:211-300`);
+    * small-int multiplicands keep running products exact (≤ 5^13). */
+  def qCumprod(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Seq(col("l_orderkey"))
+    val ord  = Seq(col("l_linenumber"), col("l_quantity")) // l_linenumber alone is non-unique in the fixture; ties must share the multiplicand
+    Tables.lineitem(spark, dir)
+      .withColumn("m", (col("l_quantity").cast("long") % 5 + 1).cast("double"))
+      .withColumn("m2", when(col("l_linenumber") =!= 3, (col("l_quantity").cast("long") % 5 + 1).cast("double")))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        WindowOps.cumprod(col("m"), keys, ord).as("cp_all"),
+        WindowOps.cumprod(col("m2"), keys, ord, skipna = true).as("cp_skipna"),
+        WindowOps.cumprod(col("m2"), keys, ord, skipna = false).as("cp_noskip"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val qCumprodOracle: String = """
+    WITH e AS (SELECT l_orderkey, l_linenumber, l_quantity,
+                      CAST(CAST(l_quantity AS BIGINT) % 5 + 1 AS DOUBLE) m,
+                      CASE WHEN l_linenumber <> 3
+                           THEN CAST(CAST(l_quantity AS BIGINT) % 5 + 1 AS DOUBLE) END m2
+               FROM lineitem),
+    w AS (SELECT l_orderkey, l_linenumber, m, m2,
+                 product(m)  OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity ROWS UNBOUNDED PRECEDING) rp,
+                 product(m2) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity ROWS UNBOUNDED PRECEDING) rp2,
+                 max(CASE WHEN m2 IS NULL THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity ROWS UNBOUNDED PRECEDING) poisoned
+          FROM e)
+    SELECT l_orderkey, l_linenumber, rp AS cp_all,
+           CASE WHEN m2 IS NULL THEN NULL ELSE rp2 END AS cp_skipna,
+           CASE WHEN poisoned = 1 THEN NULL ELSE rp2 END AS cp_noskip
+    FROM w ORDER BY l_orderkey, l_linenumber"""
+
+  /** group_cummin / group_cummax — documented intent
+    * (`src/groupby.rs:2185-2294`; the reference cummax binding bug is not
+    * replicated, SURVEY.md §7.4). */
+  def qCumMinMax(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("v2", when(col("event_id") % 7 =!= 0, col("value")))
+    ev.select(col("event_id"), col("user_id"),
+        WindowOps.cummin(col("value"), userKey, byEvent).as("cmin"),
+        WindowOps.cummax(col("value"), userKey, byEvent).as("cmax"),
+        WindowOps.cummin(col("v2"), userKey, byEvent, skipna = false).as("cmin_noskip"),
+        WindowOps.cummax(col("v2"), userKey, byEvent, skipna = true).as("cmax_skipna"))
+      .orderBy("event_id")
+  }
+
+  val qCumMinMaxOracle: String = """
+    WITH e AS (SELECT event_id, user_id, value,
+                      CASE WHEN event_id % 7 <> 0 THEN value END v2 FROM events),
+    w AS (SELECT event_id, user_id, value, v2,
+                 min(value) OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) rmin,
+                 max(value) OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) rmax,
+                 min(v2) OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) rmin2,
+                 max(v2) OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) rmax2,
+                 max(CASE WHEN v2 IS NULL THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) poisoned
+          FROM e)
+    SELECT event_id, user_id,
+           CASE WHEN value IS NULL THEN NULL ELSE rmin END AS cmin,
+           CASE WHEN value IS NULL THEN NULL ELSE rmax END AS cmax,
+           CASE WHEN poisoned = 1 THEN NULL ELSE rmin2 END AS cmin_noskip,
+           CASE WHEN v2 IS NULL THEN NULL ELSE rmax2 END AS cmax_skipna
+    FROM w ORDER BY event_id"""
+
+  /** group_shift_indexer semantics (`src/groupby.rs:538-595`): ±periods. */
+  def qShift(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        WindowOps.shift(col("value"), 2, userKey, byEvent).as("lag2"),
+        WindowOps.shift(col("value"), -1, userKey, byEvent).as("lead1"),
+        WindowOps.shift(col("value"), 0, userKey, byEvent).as("shift0"))
+      .orderBy("event_id")
+
+  val qShiftOracle: String = """
+    SELECT event_id, user_id, value,
+           lag(value, 2)  OVER (PARTITION BY user_id ORDER BY event_id) AS lag2,
+           lead(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS lead1,
+           value AS shift0
+    FROM events ORDER BY event_id"""
+
+  /** group_fillna_indexer: ffill/bfill, with and without `limit`
+    * (`src/groupby.rs:621-669`). */
+  def qFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("v2", when(col("event_id") % 5 =!= 0, col("value")))
+    val withF  = WindowOps.ffill(ev, "ff", col("v2"), userKey, byEvent)
+    val withFl = WindowOps.ffill(withF, "ff_limit1", col("v2"), userKey, byEvent, Some(1))
+    val withB  = WindowOps.bfill(withFl, "bf", col("v2"), userKey, byEvent)
+    withB.select("event_id", "user_id", "v2", "ff", "ff_limit1", "bf")
+      .orderBy("event_id")
+  }
+
+  val qFillOracle: String = """
+    WITH e AS (SELECT event_id, user_id,
+                      CASE WHEN event_id % 5 <> 0 THEN value END v2 FROM events),
+    f AS (SELECT event_id, user_id, v2,
+                 row_number() OVER (PARTITION BY user_id ORDER BY event_id) rn,
+                 count(v2) OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING) run
+          FROM e),
+    f2 AS (SELECT *, max(v2) OVER (PARTITION BY user_id, run) fill,
+                  rn - min(rn) OVER (PARTITION BY user_id, run) dist FROM f),
+    b AS (SELECT event_id, user_id, v2,
+                 count(v2) OVER (PARTITION BY user_id ORDER BY event_id DESC ROWS UNBOUNDED PRECEDING) brun
+          FROM e),
+    b2 AS (SELECT event_id, v2, brun,
+                  max(v2) OVER (PARTITION BY user_id, brun) bfillv
+           FROM b),
+    bf AS (SELECT event_id,
+                  CASE WHEN v2 IS NOT NULL THEN v2 WHEN brun > 0 THEN bfillv END bfv
+           FROM b2)
+    SELECT f2.event_id, f2.user_id, f2.v2,
+           CASE WHEN f2.v2 IS NOT NULL THEN f2.v2 WHEN run > 0 THEN fill END AS ff,
+           CASE WHEN f2.v2 IS NOT NULL THEN f2.v2
+                WHEN run > 0 AND dist <= 1 THEN fill END AS ff_limit1,
+           bfv AS bf
+    FROM f2 JOIN bf ON f2.event_id = bf.event_id ORDER BY f2.event_id"""
+
+  /** group_rank — all pandas tie methods + pct + na_option (completes the
+    * reference stub `src/lib.rs:1259-1274`). */
+  def qRank(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Seq(col("event_type"))
+    val ev = Tables.events(spark, dir)
+      .withColumn("v2", when(col("event_id") % 9 =!= 0, col("value")))
+    ev.select(col("event_id"), col("event_type"), col("value"),
+        WindowOps.rank(col("value"), keys, "average").as("r_avg"),
+        WindowOps.rank(col("value"), keys, "min").as("r_min"),
+        WindowOps.rank(col("value"), keys, "max").as("r_max"),
+        WindowOps.rank(col("value"), keys, "dense").as("r_dense"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("value"), col("event_id")))
+          .cast("double").as("r_first"),
+        WindowOps.rank(col("value"), keys, "average", pct = true).as("r_pct"),
+        WindowOps.rank(col("v2"), keys, "min", naOption = "keep").as("r_na_keep"),
+        WindowOps.rank(col("v2"), keys, "min", naOption = "bottom").as("r_na_bottom"),
+        WindowOps.rank(col("value"), keys, "min", ascending = false).as("r_desc"))
+      .orderBy("event_id")
+  }
+
+  val qRankOracle: String = """
+    WITH e AS (SELECT event_id, event_type, value,
+                      CASE WHEN event_id % 9 <> 0 THEN value END v2 FROM events),
+    w AS (SELECT event_id, event_type, value, v2,
+      CAST(rank() OVER (PARTITION BY event_type ORDER BY value) AS DOUBLE) rk,
+      CAST(count(*) OVER (PARTITION BY event_type, value) AS DOUBLE) tcnt,
+      CAST(dense_rank() OVER (PARTITION BY event_type ORDER BY value) AS DOUBLE) dr,
+      CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS DOUBLE) rfirst,
+      CAST(count(value) OVER (PARTITION BY event_type) AS DOUBLE) nv,
+      CAST(rank() OVER (PARTITION BY event_type ORDER BY v2 ASC NULLS LAST) AS DOUBLE) rk2,
+      CAST(count(*) OVER (PARTITION BY event_type, v2) AS DOUBLE) tcnt2,
+      CAST(rank() OVER (PARTITION BY event_type ORDER BY value DESC NULLS LAST) AS DOUBLE) rkd
+      FROM e)
+    SELECT event_id, event_type, value,
+           rk + (tcnt - 1)/2 AS r_avg,
+           rk AS r_min,
+           rk + tcnt - 1 AS r_max,
+           dr AS r_dense,
+           rfirst AS r_first,
+           (rk + (tcnt - 1)/2) / nv AS r_pct,
+           CASE WHEN v2 IS NULL THEN NULL ELSE rk2 END AS r_na_keep,
+           rk2 AS r_na_bottom,
+           rkd AS r_desc
+    FROM w ORDER BY event_id"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_cumsum", qCumsum, Some(qCumsumOracle)),
+    QueryDef("q_cumprod", qCumprod, Some(qCumprodOracle)),
+    QueryDef("q_cum_minmax", qCumMinMax, Some(qCumMinMaxOracle)),
+    QueryDef("q_shift", qShift, Some(qShiftOracle)),
+    QueryDef("q_fill", qFill, Some(qFillOracle)),
+    QueryDef("q_rank", qRank, Some(qRankOracle)))
+}

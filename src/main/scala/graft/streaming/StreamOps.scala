@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Time-windowed aggregation builders over the `events` fixture — the
+  * Structured-Streaming surface of the engine (SURVEY.md §2.5: the
+  * reference has no streaming; semantics specified from Spark's own
+  * contract).
+  *
+  * Each builder works identically on a batch DataFrame and a streaming one
+  * (`readStream`), which is how the specs verify stream/batch equivalence.
+  * Window starts are emitted as epoch seconds (bigint) for engine-agnostic
+  * comparison.
+  */
+object StreamOps {
+
+  /** Tumbling event-time windows: one row per (window, extra keys). */
+  def tumblingAgg(df: DataFrame, tsCol: String, duration: String,
+                  keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.groupBy(window(col(tsCol), duration) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", unix_timestamp(col("window.start")))
+      .drop("window")
+
+  /** Sliding event-time windows. */
+  def slidingAgg(df: DataFrame, tsCol: String, duration: String, slide: String,
+                 keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.groupBy(window(col(tsCol), duration, slide) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", unix_timestamp(col("window.start")))
+      .drop("window")
+
+  /** Session windows with a fixed gap: events of one key belong to one
+    * session while consecutive gaps stay < gap. */
+  def sessionAgg(df: DataFrame, tsCol: String, gap: String,
+                 keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.groupBy(session_window(col(tsCol), gap) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("session_start", unix_timestamp(col("session_window.start")))
+      .drop("session_window")
+
+  /** Watermarked streaming variant of [[tumblingAgg]] for append-mode
+    * sinks; batch frames pass through `withWatermark` untouched. */
+  def tumblingAggWatermarked(df: DataFrame, tsCol: String, duration: String,
+                             watermark: String, keys: Seq[Column],
+                             aggs: Seq[Column]): DataFrame =
+    tumblingAgg(df.withWatermark(tsCol, watermark), tsCol, duration, keys, aggs)
+
+  /** Streaming exact dedup by key: state-backed drop of reruns within the
+    * watermark horizon. */
+  def streamingDedup(df: DataFrame, tsCol: String, watermark: String,
+                     keyCols: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+}
