@@ -1,0 +1,202 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{RelOps, TakeOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pack C — positional gather / factorize (SURVEY.md §2.1, §2.5) and the
+  * relational capabilities the reference delegates to pandas: joins
+  * (broadcast + shuffle), semi/anti joins, set ops, top-k per group, as-of
+  * join.
+  */
+object QueriesRel {
+
+  /** take_1d (`/root/reference/src/lib.rs:37-55`): gather by a positional
+    * indexer with −1 → NULL. The indexer is derived deterministically from
+    * the documents table itself (fixtures ship no indexer column). */
+  def qTake(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n    = broadcast(docs.agg(count(lit(1)).as("n")))
+    val indexer = docs.select(col("doc_id")).crossJoin(n)
+      .withColumn("idx",
+        when(col("doc_id") % 97 === 0, lit(-1L))
+          .otherwise((col("doc_id") * 7 + 13) % col("n")))
+      .select("doc_id", "idx")
+    val values = docs.select(col("doc_id").as("pos"), col("n_chars"))
+    TakeOps.take1d(indexer, "idx", values, "pos")
+      .select(col("doc_id"), col("idx"), col("n_chars").as("taken_n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val qTakeOracle: String = """
+    WITH n AS (SELECT count(*) n FROM documents),
+    idxr AS (SELECT doc_id,
+                    CASE WHEN doc_id % 97 = 0 THEN -1
+                         ELSE (doc_id * 7 + 13) % n END idx
+             FROM documents CROSS JOIN n)
+    SELECT idxr.doc_id, idx, d2.n_chars AS taken_n_chars
+    FROM idxr LEFT JOIN documents d2 ON idx = d2.doc_id
+    ORDER BY idxr.doc_id"""
+
+  /** Key factorization (labels contract, `src/lib.rs:781-783`): distinct
+    * keys → dense codes in key order. */
+  def qFactorize(spark: SparkSession, dir: String): DataFrame =
+    TakeOps.factorize(Tables.lineitem(spark, dir),
+        Seq("l_returnflag", "l_linestatus"))
+      .orderBy("code")
+
+  val qFactorizeOracle: String = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(dense_rank() OVER (ORDER BY l_returnflag, l_linestatus) AS BIGINT) - 1 AS code
+    FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)
+    ORDER BY code"""
+
+  /** Star join: fact × broadcast dims, revenue per nation (cents-exact).
+    * Catalyst broadcasts nation/region; orders↔lineitem is a shuffled hash
+    * join on the key both sides are large in. */
+  def qJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("pc", round(col("l_extendedprice") * 100).cast("long"))
+      .withColumn("dc", round(col("l_discount") * 100).cast("long"))
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    val reg = Tables.region(spark, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        (sum(col("pc") * (lit(100L) - col("dc"))).cast("double") / 10000.0).as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val qJoinAggOracle: String = """
+    SELECT r_name, n_name,
+           CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue,
+           count(DISTINCT o_orderkey) AS n_orders,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name ORDER BY r_name, n_name"""
+
+  /** Anti join: customers with no orders, counted per market segment. */
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_no_orders"),
+        min(col("c_custkey")).as("min_custkey"))
+      .orderBy("c_mktsegment")
+
+  val qAntiJoinOracle: String = """
+    SELECT c_mktsegment, count(*) AS n_no_orders, min(c_custkey) AS min_custkey
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  /** Semi join: suppliers with at least one max-quantity lineitem. */
+  def qSemiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.supplier(spark, dir)
+      .join(Tables.lineitem(spark, dir).where(col("l_quantity") === 50),
+        col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name", "s_acctbal")
+      .orderBy("s_suppkey")
+
+  val qSemiJoinOracle: String = """
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_suppkey = s_suppkey AND l_quantity = 50)
+    ORDER BY s_suppkey"""
+
+  /** Set operations: INTERSECT / EXCEPT / UNION over customer-key sets. */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val rich   = Tables.customer(spark, dir).where(col("c_acctbal") > 7500)
+      .select(col("c_custkey").as("k"))
+    val urgent = Tables.orders(spark, dir).where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("k")).distinct()
+    val inter  = rich.intersect(urgent)
+    val exc    = rich.except(urgent)
+    val uni    = rich.union(urgent).distinct()
+    inter.agg(count(lit(1)).as("n")).withColumn("op", lit("intersect"))
+      .unionByName(exc.agg(count(lit(1)).as("n")).withColumn("op", lit("except")))
+      .unionByName(uni.agg(count(lit(1)).as("n")).withColumn("op", lit("union")))
+      .select("op", "n")
+      .orderBy("op")
+  }
+
+  val qSetOpsOracle: String = """
+    WITH rich AS (SELECT c_custkey k FROM customer WHERE c_acctbal > 7500),
+    urgent AS (SELECT DISTINCT o_custkey k FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT 'intersect' op, count(*) n FROM (SELECT * FROM rich INTERSECT SELECT * FROM urgent)
+    UNION ALL
+    SELECT 'except' op, count(*) n FROM (SELECT * FROM rich EXCEPT SELECT * FROM urgent)
+    UNION ALL
+    SELECT 'union' op, count(*) n FROM (SELECT k FROM rich UNION SELECT k FROM urgent)
+    ORDER BY op"""
+
+  /** Top-k per group (pandas nlargest): top 3 parts per brand by
+    * (retailprice desc, partkey) — window row_number, no global sort. */
+  def qTopK(spark: SparkSession, dir: String): DataFrame =
+    RelOps.topKPerGroup(Tables.part(spark, dir), Seq("p_brand"),
+        Seq(col("p_retailprice").desc, col("p_partkey").asc), 3)
+      .select(col("p_brand"), col("rk").cast("long").as("rk"),
+        col("p_partkey"), col("p_retailprice"))
+      .orderBy("p_brand", "rk")
+
+  val qTopKOracle: String = """
+    SELECT p_brand, rk, p_partkey, p_retailprice FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             CAST(row_number() OVER (PARTITION BY p_brand
+                                     ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) rk
+      FROM part) WHERE rk <= 3 ORDER BY p_brand, rk"""
+
+  /** As-of join (pandas merge_asof): each purchase event picks up the value
+    * of the user's latest click at-or-before it. Union-and-scan plan: one
+    * shuffle + one sort (see RelOps.asofJoin). */
+  def qAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev        = Tables.events(spark, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value").as("click_value"))
+    RelOps.asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts",
+        "click_value", "last_click_value")
+      .select("event_id", "user_id", "value", "last_click_value")
+      .orderBy("event_id")
+  }
+
+  val qAsofOracle: String = """
+    WITH u AS (
+      SELECT user_id, ts, 0 AS isr, event_id, value, NULL::DOUBLE AS pay
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, 1 AS isr, NULL AS event_id, NULL::DOUBLE AS value, value AS pay
+      FROM events WHERE event_type = 'click'),
+    s AS (SELECT *, last_value(pay IGNORE NULLS)
+                      OVER (PARTITION BY user_id ORDER BY ts, isr DESC
+                            ROWS UNBOUNDED PRECEDING) last_click_value
+          FROM u)
+    SELECT event_id, user_id, value, last_click_value
+    FROM s WHERE isr = 0 ORDER BY event_id"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_take", qTake, Some(qTakeOracle)),
+    QueryDef("q_factorize", qFactorize, Some(qFactorizeOracle)),
+    QueryDef("q_join_agg", qJoinAgg, Some(qJoinAggOracle)),
+    QueryDef("q_anti_join", qAntiJoin, Some(qAntiJoinOracle)),
+    QueryDef("q_semi_join", qSemiJoin, Some(qSemiJoinOracle)),
+    QueryDef("q_set_ops", qSetOps, Some(qSetOpsOracle)),
+    QueryDef("q_topk", qTopK, Some(qTopKOracle)),
+    QueryDef("q_asof", qAsof, Some(qAsofOracle)))
+}

@@ -1,0 +1,86 @@
+package graft.queries
+
+import graft.Tables
+import graft.streaming.StreamOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pack E — event-time windowing over `events` (SURVEY.md §2.5 streaming
+  * extension). The same builders run under Structured Streaming (see
+  * StreamingSpec); here they execute as batch queries with DuckDB oracles.
+  * Window starts are emitted as epoch seconds for engine-agnostic compare;
+  * monetary sums use integer cents.
+  */
+object QueriesTime {
+
+  /** Tumbling 1-hour windows per event_type. */
+  def qTumbling(spark: SparkSession, dir: String): DataFrame =
+    StreamOps.tumblingAgg(
+        Tables.events(spark, dir)
+          .withColumn("c", round(col("value") * 100).cast("long")),
+        "ts", "1 hour", Seq(col("event_type")),
+        Seq(count(lit(1)).as("n"),
+          (sum(col("c")).cast("double") / 100.0).as("sum_value")))
+      .select("window_start", "event_type", "n", "sum_value")
+      .orderBy("window_start", "event_type")
+
+  val qTumblingOracle: String = """
+    SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) window_start,
+           event_type, count(*) n,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 sum_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Sliding 1-hour windows every 30 minutes (each event in 2 windows). */
+  def qSliding(spark: SparkSession, dir: String): DataFrame =
+    StreamOps.slidingAgg(
+        Tables.events(spark, dir)
+          .withColumn("c", round(col("value") * 100).cast("long")),
+        "ts", "1 hour", "30 minutes", Seq(col("event_type")),
+        Seq(count(lit(1)).as("n"),
+          (sum(col("c")).cast("double") / 100.0).as("sum_value")))
+      .select("window_start", "event_type", "n", "sum_value")
+      .orderBy("window_start", "event_type")
+
+  val qSlidingOracle: String = """
+    WITH e AS (
+      SELECT event_type, CAST(round(value*100) AS BIGINT) c,
+             time_bucket(INTERVAL '30 minutes', ts)
+               - k * INTERVAL '30 minutes' ws
+      FROM events CROSS JOIN (VALUES (0), (1)) t(k))
+    SELECT CAST(epoch(ws) AS BIGINT) window_start, event_type,
+           count(*) n, CAST(sum(c) AS DOUBLE)/100.0 sum_value
+    FROM e GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Session windows per user, 30-minute gap: session = maximal run of
+    * events with consecutive gaps < 30 min (gap ≥ 30 min starts a new
+    * session — Spark `session_window` contract). */
+  def qSession(spark: SparkSession, dir: String): DataFrame =
+    StreamOps.sessionAgg(
+        Tables.events(spark, dir)
+          .withColumn("c", round(col("value") * 100).cast("long")),
+        "ts", "30 minutes", Seq(col("user_id")),
+        Seq(count(lit(1)).as("n"),
+          (sum(col("c")).cast("double") / 100.0).as("sum_value")))
+      .select("user_id", "session_start", "n", "sum_value")
+      .orderBy("user_id", "session_start")
+
+  val qSessionOracle: String = """
+    WITH o AS (
+      SELECT user_id, ts, CAST(round(value*100) AS BIGINT) c,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END newsess
+      FROM events),
+    s AS (SELECT *, sum(newsess) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) sid
+          FROM o)
+    SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) session_start,
+           count(*) n, CAST(sum(c) AS DOUBLE)/100.0 sum_value
+    FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_window_tumbling", qTumbling, Some(qTumblingOracle)),
+    QueryDef("q_window_sliding", qSliding, Some(qSlidingOracle)),
+    QueryDef("q_session_window", qSession, Some(qSessionOracle)))
+}
