@@ -13,7 +13,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def packs: Seq[QueryDef] =
-    QueriesAgg.defs ++ QueriesWindow.defs ++ QueriesRel.defs ++ QueriesTime.defs
+    QueriesAgg.defs ++ QueriesWindow.defs ++ QueriesRel.defs ++
+      QueriesTime.defs ++ QueriesText.defs ++ QueriesSim.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

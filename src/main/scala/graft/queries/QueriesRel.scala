@@ -88,10 +88,12 @@ object QueriesRel {
     JOIN region   ON n_regionkey = r_regionkey
     GROUP BY r_name, n_name ORDER BY r_name, n_name"""
 
-  /** Anti join: customers with no orders, counted per market segment. */
+  /** Anti join: customers with no urgent orders, counted per market
+    * segment (plain "no orders" is empty at sf0.01 — every customer has
+    * orders there). */
   def qAntiJoin(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
-      .join(Tables.orders(spark, dir),
+      .join(Tables.orders(spark, dir).where(col("o_orderpriority") === "1-URGENT"),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_no_orders"),
@@ -101,7 +103,8 @@ object QueriesRel {
   val qAntiJoinOracle: String = """
     SELECT c_mktsegment, count(*) AS n_no_orders, min(c_custkey) AS min_custkey
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
     GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
   /** Semi join: suppliers with at least one max-quantity lineitem. */

@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.SimilarityOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pack D2 — embedding similarity search over `embeddings`
+  * (ArrayType(FloatType), dim 64). Brute-force cosine top-k as the exact
+  * baseline, random-hyperplane LSH as the scale path. Vectors are
+  * quantized to integer milli-units so dot products are exact integers →
+  * the DuckDB oracles compare bitwise (see SimilarityOps).
+  */
+object QueriesSim {
+
+  val QueryMod  = 20  // vec_id % QueryMod == 0 → query vector
+  val K         = 3
+  val LshPlanes = 4
+
+  private val quantSql =
+    "CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)"
+
+  /** Brute-force cosine top-k: broadcast query set, map-side scoring, one
+    * per-query window top-k. */
+  def qEmbedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    SimilarityOps.bruteForceTopK(
+        emb.where(col("vec_id") % QueryMod === 0), emb, "vec_id", "embedding", K)
+      .orderBy("query_id", "rk")
+  }
+
+  val qEmbedTopKOracle: String = s"""
+    WITH u AS (SELECT vec_id, generate_subscripts(embedding,1) i, unnest(embedding) x
+               FROM embeddings),
+    q AS (SELECT vec_id qid, i, $quantSql xi FROM u WHERE vec_id % $QueryMod = 0),
+    c AS (SELECT vec_id nid, i, $quantSql xi FROM u),
+    nrm AS (SELECT nid id, sum(xi*xi) n2 FROM c GROUP BY nid),
+    d AS (SELECT qid, nid, sum(q.xi*c.xi) dot
+          FROM q JOIN c USING (i) WHERE qid <> nid GROUP BY qid, nid),
+    s AS (SELECT qid, nid,
+                 CAST(dot AS DOUBLE)/sqrt(CAST(nq.n2 AS DOUBLE)*CAST(nc.n2 AS DOUBLE)) cos_sim
+          FROM d JOIN nrm nq ON qid = nq.id JOIN nrm nc ON nid = nc.id),
+    r AS (SELECT qid query_id, nid neighbor_id, cos_sim,
+                 CAST(row_number() OVER (PARTITION BY qid
+                        ORDER BY cos_sim DESC, nid) AS BIGINT) rk
+          FROM s)
+    SELECT query_id, rk, neighbor_id, cos_sim
+    FROM r WHERE rk <= $K ORDER BY query_id, rk"""
+
+  /** LSH-bucketed approximate top-k (sign-pattern buckets from
+    * deterministic pseudo-random hyperplanes, exact rerank in-bucket). */
+  def qEmbedLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    SimilarityOps.lshTopK(
+        emb.where(col("vec_id") % QueryMod === 0), emb, "vec_id", "embedding",
+        K, LshPlanes)
+      .orderBy("query_id", "rk")
+  }
+
+  val qEmbedLshOracle: String = {
+    // plane sign for plane p, 0-based dim j = i-1:
+    def signSql(p: Int) =
+      s"((('0x'||substr(md5('plane${p}_' || CAST(i-1 AS VARCHAR)),1,8))::BIGINT % 2) * 2 - 1)"
+    val planeSums = (0 until LshPlanes)
+      .map(p => s"sum(xi * ${signSql(p)}) sp$p").mkString(",\n                 ")
+    val bucket = (0 until LshPlanes)
+      .map(p => s"CASE WHEN sp$p > 0 THEN ${1L << p} ELSE 0 END")
+      .mkString(" + ")
+    s"""
+    WITH u AS (SELECT vec_id, generate_subscripts(embedding,1) i, unnest(embedding) x
+               FROM embeddings),
+    c AS (SELECT vec_id, i, $quantSql xi FROM u),
+    pl AS (SELECT vec_id,
+                 $planeSums
+           FROM c GROUP BY vec_id),
+    bk AS (SELECT vec_id, CAST($bucket AS BIGINT) bucket FROM pl),
+    nrm AS (SELECT vec_id, sum(xi*xi) n2 FROM c GROUP BY vec_id),
+    cand AS (SELECT qb.vec_id qid, cb.vec_id nid
+             FROM bk qb JOIN bk cb ON qb.bucket = cb.bucket AND qb.vec_id <> cb.vec_id
+             WHERE qb.vec_id % $QueryMod = 0),
+    d AS (SELECT qid, nid, sum(q.xi*c2.xi) dot
+          FROM cand JOIN c q ON qid = q.vec_id
+                    JOIN c c2 ON nid = c2.vec_id AND q.i = c2.i
+          GROUP BY qid, nid),
+    s AS (SELECT qid, nid,
+                 CAST(dot AS DOUBLE)/sqrt(CAST(nq.n2 AS DOUBLE)*CAST(nc.n2 AS DOUBLE)) cos_sim
+          FROM d JOIN nrm nq ON qid = nq.vec_id JOIN nrm nc ON nid = nc.vec_id),
+    r AS (SELECT qid query_id, nid neighbor_id, cos_sim,
+                 CAST(row_number() OVER (PARTITION BY qid
+                        ORDER BY cos_sim DESC, nid) AS BIGINT) rk
+          FROM s)
+    SELECT query_id, rk, neighbor_id, cos_sim
+    FROM r WHERE rk <= $K ORDER BY query_id, rk"""
+  }
+
+  /** Embedding-cosine near-duplicate pairs (all-pairs at fixture scale;
+    * the LSH bucket variant is the 100 TB path). */
+  def qEmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.select(col("vec_id").as("id_a"),
+      SimilarityOps.quantize(col("embedding")).as("va"))
+    val c = emb.select(col("vec_id").as("id_b"),
+      SimilarityOps.quantize(col("embedding")).as("vb"))
+    q.join(c, col("id_a") < col("id_b"))
+      .withColumn("cos_sim", SimilarityOps.cosineQ(col("va"), col("vb")))
+      .where(col("cos_sim") >= 0.4)
+      .select("id_a", "id_b", "cos_sim")
+      .orderBy("id_a", "id_b")
+  }
+
+  val qEmbedNearDupOracle: String = s"""
+    WITH u AS (SELECT vec_id, generate_subscripts(embedding,1) i, unnest(embedding) x
+               FROM embeddings),
+    c AS (SELECT vec_id, i, $quantSql xi FROM u),
+    nrm AS (SELECT vec_id, sum(xi*xi) n2 FROM c GROUP BY vec_id),
+    d AS (SELECT a.vec_id id_a, b.vec_id id_b, sum(a.xi*b.xi) dot
+          FROM c a JOIN c b ON a.i = b.i AND a.vec_id < b.vec_id
+          GROUP BY 1, 2),
+    s AS (SELECT id_a, id_b,
+                 CAST(dot AS DOUBLE)/sqrt(CAST(na.n2 AS DOUBLE)*CAST(nb.n2 AS DOUBLE)) cos_sim
+          FROM d JOIN nrm na ON id_a = na.vec_id JOIN nrm nb ON id_b = nb.vec_id)
+    SELECT id_a, id_b, cos_sim FROM s WHERE cos_sim >= 0.4 ORDER BY id_a, id_b"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_embed_topk", qEmbedTopK, Some(qEmbedTopKOracle)),
+    QueryDef("q_embed_lsh", qEmbedLsh, Some(qEmbedLshOracle)),
+    QueryDef("q_embed_neardup", qEmbedNearDup, Some(qEmbedNearDupOracle)))
+}
