@@ -25,7 +25,13 @@ object DedupOps {
   /** (id, shingle-hash) pairs, distinct per document — the sets Jaccard is
     * defined over. `n` = character shingle width. */
   def shingleHashes(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"),
+    // Repartition BEFORE the ~300× explode: input splits are sized by file
+    // bytes, which under-parallelizes the row-multiplying, md5-heavy stage
+    // (the fixture's documents file is a single split). Same reason the
+    // reference fans out its gather over a thread pool
+    // (`/root/reference/src/lib.rs:186-198`).
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
         explode(charShingles(col(textCol), n)).as("sh"))
       .select(col("id"), md5Hash32(col("sh")).as("h"))
       .distinct()
@@ -79,9 +85,17 @@ object DedupOps {
                       shingleN: Int, bands: Int, rows: Int,
                       threshold: Double): DataFrame = {
     require(bands * rows <= MinhashAB.size, "not enough hash functions")
-    val sh    = shingleHashes(df, idCol, textCol, shingleN)
-    val sigs  = minhashSignatures(sh)
-    val cand  = lshCandidates(sigs, bands, rows)
+    // Every intermediate feeds ≥2 downstream plan branches (shingles →
+    // signatures + intersection counts + set sizes; signatures → both
+    // sides of the band self-join; candidates → intersection + final
+    // join), so persist each one: without this the explode+md5+distinct
+    // runs 4× and the 16-way minhash agg 4× inside one action. At cluster
+    // scale this is checkpoint / exchange-reuse; in one JVM,
+    // MEMORY_AND_DISK is the analog.
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sh   = shingleHashes(df, idCol, textCol, shingleN).persist(MEMORY_AND_DISK)
+    val sigs = minhashSignatures(sh).persist(MEMORY_AND_DISK)
+    val cand = lshCandidates(sigs, bands, rows).persist(MEMORY_AND_DISK)
     jaccardOnPairs(cand, sh).where(col("jaccard") >= threshold)
   }
 
@@ -90,7 +104,8 @@ object DedupOps {
     * Hamming-near signatures → near-dup docs (Charikar 2002; used by
     * web-crawl dedup). Returns (id, simhash). */
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame = {
-    val words = df.select(col(idCol).as("id"),
+    val words = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
         explode(split(col(textCol), " ")).as("w"))
       .withColumn("h", md5Hash32(col("w")))
     val bitSums = (0 until bits).map { b =>

@@ -54,11 +54,23 @@ object SimilarityOps {
     * corpus); the only shuffle is the per-query window top-k. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
+    // Norms are per-vector, not per-pair: compute them once on each side of
+    // the join instead of inside the pair-scoring expression (100× less
+    // fold work on the query side at fixture shape, far more at scale).
     val q = broadcast(queries.select(col(idCol).as("query_id"),
-      quantize(col(vecCol)).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
+      quantize(col(vecCol)).as("qv"))
+      .withColumn("qn", norm2Q(col("qv"))))
+    // Repartition the corpus: the broadcast join multiplies each corpus row
+    // by |queries| and the per-pair dot-product fold is the CPU hot loop —
+    // file-split parallelism (often 1 for a small corpus file) serializes it.
+    val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
+      .withColumn("cn", norm2Q(col("cv")))
     val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos_sim", cosineQ(col("qv"), col("cv")))
+      .withColumn("cos_sim",
+        when(col("qn") === 0 || col("cn") === 0, lit(null))
+          .otherwise(dotQ(col("qv"), col("cv")).cast("double") /
+            sqrt(col("qn").cast("double") * col("cn").cast("double"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rk", row_number().over(w).cast("long"))
@@ -86,12 +98,18 @@ object SimilarityOps {
               vecCol: String, k: Int, planes: Int): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"),
         quantize(col(vecCol)).as("qv"))
-      .withColumn("bucket", lshBucket(col("qv"), planes)))
-    val c = corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
+      .withColumn("bucket", lshBucket(col("qv"), planes))
+      .withColumn("qn", norm2Q(col("qv"))))
+    val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
       .withColumn("bucket", lshBucket(col("cv"), planes))
+      .withColumn("cn", norm2Q(col("cv")))
     val scored = c.join(q, Seq("bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos_sim", cosineQ(col("qv"), col("cv")))
+      .withColumn("cos_sim",
+        when(col("qn") === 0 || col("cn") === 0, lit(null))
+          .otherwise(dotQ(col("qv"), col("cv")).cast("double") /
+            sqrt(col("qn").cast("double") * col("cn").cast("double"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rk", row_number().over(w).cast("long"))

@@ -97,6 +97,7 @@ object QueriesSim {
     * the LSH bucket variant is the 100 TB path). */
   def qEmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
     val q = emb.select(col("vec_id").as("id_a"),
       SimilarityOps.quantize(col("embedding")).as("va"))
     val c = emb.select(col("vec_id").as("id_b"),
