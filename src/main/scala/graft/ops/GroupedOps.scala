@@ -106,11 +106,25 @@ object GroupedOps {
   def lastByOrd(value: Column, ord: Column): Column =
     max_by(value, when(value.isNotNull, ord))
 
-  /** Kleene-logic grouped any/all — `group_any_all`
-    * (`src/groupby.rs:698-784`). Spark's `bool_or`/`bool_and` are already
-    * Kleene (null iff no determining value and ≥1 null). */
-  def anyKleene(pred: Column): Column  = bool_or(pred)
-  def allKleene(pred: Column): Column  = bool_and(pred)
+  /** Grouped any/all — `group_any_all` (`src/groupby.rs:698-784`).
+    *
+    * skipna=true (pandas default): NAs ignored — exactly SQL
+    * `bool_or`/`bool_and` (any([F, NA]) = F).
+    * skipna=false: Kleene three-valued logic (`:737-745`) — result is NA
+    * iff no determining value (T for any, F for all) was seen and ≥1 NA
+    * was; SQL aggregates skip nulls, so the NA case is reinstated
+    * explicitly. */
+  def any(pred: Column, skipna: Boolean = true): Column =
+    if (skipna) bool_or(pred)
+    else when(bool_or(pred) === true, lit(true))
+      .when(count(lit(1)) > count(pred), lit(null))
+      .otherwise(lit(false))
+
+  def all(pred: Column, skipna: Boolean = true): Column =
+    if (skipna) bool_and(pred)
+    else when(bool_and(pred) === false, lit(false))
+      .when(count(lit(1)) > count(pred), lit(null))
+      .otherwise(lit(true))
 
   /** OHLC = (first, max, min, last) of `value` ordered by `ord` —
     * `group_ohlc`'s documented intent (`src/groupby.rs:1405-1530`; its

@@ -284,8 +284,10 @@ object QueriesAgg {
           .otherwise(lit(false)))
       .groupBy("l_suppkey", "l_linenumber")
       .agg(
-        GroupedOps.anyKleene(col("p")).as("any_p"),
-        GroupedOps.allKleene(col("p")).as("all_p"),
+        GroupedOps.any(col("p")).as("any_p"),
+        GroupedOps.all(col("p")).as("all_p"),
+        GroupedOps.any(col("p"), skipna = false).as("any_kleene"),
+        GroupedOps.all(col("p"), skipna = false).as("all_kleene"),
         expr("count(*) FILTER (WHERE p IS NULL)").as("n_null"),
         count(lit(1)).as("n"))
       .orderBy("l_suppkey", "l_linenumber")
@@ -296,6 +298,12 @@ object QueriesAgg {
                            WHEN l_orderkey % 11 = 0 THEN NULL
                            ELSE FALSE END p FROM lineitem)
     SELECT l_suppkey, l_linenumber, bool_or(p) AS any_p, bool_and(p) AS all_p,
+           CASE WHEN bool_or(p) = TRUE THEN TRUE
+                WHEN count(*) > count(p) THEN NULL
+                ELSE FALSE END AS any_kleene,
+           CASE WHEN bool_and(p) = FALSE THEN FALSE
+                WHEN count(*) > count(p) THEN NULL
+                ELSE TRUE END AS all_kleene,
            count(*) FILTER (WHERE p IS NULL) AS n_null, count(*) AS n
     FROM c GROUP BY l_suppkey, l_linenumber ORDER BY l_suppkey, l_linenumber"""
 

@@ -1,0 +1,78 @@
+package graft
+
+import graft.ops.{DedupOps, SimilarityOps}
+import org.apache.spark.sql.functions._
+
+/** Dedup + similarity invariants: identical docs collapse, signatures of
+  * identical content are identical, Jaccard/cosine hit exact values on
+  * crafted inputs. */
+class DedupSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat"), // near dup
+    (3L, "completely different content here entirely")
+  ).toDF("doc_id", "text")
+
+  test("exactDedup collapses identical texts to the min id") {
+    val got = DedupOps.exactDedup(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got(0L) == 2L) // keep_id 0 with 2 dups
+    assert(got(2L) == 1L && got(3L) == 1L)
+  }
+
+  test("minhash signatures: identical docs identical, near dups mostly equal") {
+    val sigs = DedupOps.minhashSignatures(
+        DedupOps.shingleHashes(docs, "doc_id", "text", 5))
+      .collect().map(r => r.getLong(0) ->
+        (1 to 16).map(r.getLong)).toMap
+    assert(sigs(0L) == sigs(1L))
+    val sharedNear = sigs(0L).zip(sigs(2L)).count { case (a, b) => a == b }
+    val sharedFar  = sigs(0L).zip(sigs(3L)).count { case (a, b) => a == b }
+    assert(sharedNear > sharedFar)
+  }
+
+  test("minhashNearDups finds the dup pairs with exact jaccard") {
+    val got = DedupOps.minhashNearDups(docs, "doc_id", "text", 5, 4, 4, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    assert(got((0L, 1L)) == 1.0) // identical -> jaccard exactly 1
+    assert(got.contains((0L, 2L)) && got((0L, 2L)) > 0.6 && got((0L, 2L)) < 1.0)
+    assert(!got.keySet.exists { case (a, b) => b == 3L || a == 3L })
+  }
+
+  test("simhash: identical docs equal; near dups within small hamming distance") {
+    val sh = DedupOps.simhash(docs, "doc_id", "text", 48).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(1L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(0L), sh(2L)) < hamming(sh(0L), sh(3L)))
+  }
+
+  test("cosine: parallel vectors -> 1, orthogonal -> 0, antiparallel -> -1") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(2.0f, 0.0f)),
+      (2L, Array(0.0f, 3.0f)), (3L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps.bruteForceTopK(
+        vecs.where($"vec_id" === 0), vecs, "vec_id", "embedding", 3)
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    assert(got(1L) == 1.0 && got(2L) == 0.0 && got(3L) == -1.0)
+  }
+
+  test("lshTopK: bucket-mates of the query are exact-cosine ranked") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 50L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val brute = SimilarityOps.bruteForceTopK(
+        vecs.where($"vec_id" === 0), vecs, "vec_id", "embedding", 50)
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    val lsh = SimilarityOps.lshTopK(
+        vecs.where($"vec_id" === 0), vecs, "vec_id", "embedding", 5, 2)
+      .collect()
+    assert(lsh.nonEmpty)
+    // every LSH result's similarity must equal the brute-force value
+    lsh.foreach(r => assert(approx(r.getDouble(3), brute(r.getLong(2)))))
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import graft.multimodal.MultimodalOps
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: binary payload + typed metadata, batch-shaped
+  * decode (stub codec), frame-sample explode. The codec is a deterministic
+  * fake; the schema/partitioning/batch contract is the real thing under test. */
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val media = MultimodalOps.fromStrings(spark,
+    Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text")
+
+  test("media dataset has binary payload and typed metadata") {
+    val schema = media.schema
+    assert(schema("payload").dataType.typeName == "binary")
+    assert(schema("duration_ms").dataType.typeName == "long")
+    val row = media.head()
+    assert(row.payload.nonEmpty && row.media_id >= 0)
+  }
+
+  test("decodeFeatures is batch-shaped, deterministic, and length-stable") {
+    val feats = MultimodalOps.decodeFeatures(media, dim = 16)
+    assert(feats.count() == media.count())
+    val f = feats.filter(_.media_id == 0L).head()
+    assert(f.feature.length == 16 && f.n_bytes > 0)
+    // deterministic: decoding twice yields the same vector
+    val f2 = MultimodalOps.decodeFeatures(media, dim = 16)
+      .filter(_.media_id == 0L).head()
+    assert(f.feature.sameElements(f2.feature))
+  }
+
+  test("decode preserves partitioning (no shuffle introduced)") {
+    val repart = media.repartition(7)
+    val decoded = MultimodalOps.decodeFeatures(repart)
+    assert(decoded.rdd.getNumPartitions == 7)
+  }
+
+  test("frameSamplePlan explodes one row per sampled timestamp") {
+    val df = media.toDF().select("media_id", "duration_ms")
+    val frames = MultimodalOps.frameSamplePlan(df, everyMs = 1000L)
+    val one = frames.where(col("media_id") === 0).count()
+    val dur = df.where(col("media_id") === 0).head().getLong(1)
+    assert(one == (dur + 999) / 1000) // ceil(duration / step)
+    assert(frames.where(col("frame_idx") < 0).count() == 0)
+  }
+}

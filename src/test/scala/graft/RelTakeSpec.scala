@@ -1,0 +1,46 @@
+package graft
+
+import graft.ops.{RelOps, TakeOps}
+import org.apache.spark.sql.functions._
+
+/** Positional take, factorize, as-of join, top-k per group. */
+class RelTakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("take1d gathers by position; -1 and out-of-range yield null") {
+    val values  = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("pos", "payload")
+    val indexer = Seq((10L, 2L), (11L, -1L), (12L, 0L), (13L, 99L)).toDF("row_id", "idx")
+    val got = TakeOps.take1d(indexer, "idx", values, "pos")
+      .orderBy("row_id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(2))))
+    assert(got.toSeq == Seq((10L, Some("c")), (11L, None), (12L, Some("a")), (13L, None)))
+  }
+
+  test("factorize: dense codes in key order, null keys -> -1") {
+    val df = Seq(Some("b"), Some("a"), Some("b"), None, Some("c"))
+      .toDF("k")
+    val got = TakeOps.factorize(df, Seq("k")).collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(got == Map(Some("a") -> 0L, Some("b") -> 1L, Some("c") -> 2L, None -> -1L))
+  }
+
+  test("asof join picks the latest right row at-or-before, inclusive") {
+    val left = Seq((1L, 100L, 10L), (2L, 100L, 25L), (3L, 100L, 5L))
+      .toDF("id", "k", "t")
+    val right = Seq((100L, 10L, 1.0), (100L, 20L, 2.0), (100L, 30L, 3.0))
+      .toDF("k", "t", "p")
+    val got = RelOps.asofJoin(left, right, Seq("k"), "t", "t", "p", "asof_p")
+      .orderBy("id").collect()
+      .map(r => if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    // t=10 matches p=1.0 (inclusive); t=25 -> 2.0; t=5 -> none
+    assert(got.toSeq == Seq(Some(1.0), Some(2.0), None))
+  }
+
+  test("topKPerGroup keeps k rows per group in order") {
+    val df = Seq(("x", 1.0), ("x", 3.0), ("x", 2.0), ("y", 9.0)).toDF("g", "v")
+    val got = RelOps.topKPerGroup(df, Seq("g"), Seq(col("v").desc), 2)
+      .select("g", "rk", "v").orderBy("g", "rk").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(("x", 1, 3.0), ("x", 2, 2.0), ("y", 1, 9.0)))
+  }
+}

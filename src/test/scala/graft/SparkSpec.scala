@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for all suites (one JVM-wide session; suites run
+  * sequentially under sbt's default). */
+object SharedSpark {
+  lazy val spark: SparkSession =
+    GraftSession.builder("local[4]", 4).appName("graft-test").getOrCreate()
+}
+
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SharedSpark.spark
+  spark.sparkContext.setLogLevel("ERROR")
+
+  /** Seeded generator for kernel-shaped inputs (N rows, G groups, null
+    * probability p) mirroring the reference's differential-test recipes
+    * (`/root/reference/README.md:38-140`). */
+  def kernelData(n: Int, groups: Int, nullP: Double, seed: Long = 42L)
+      : Seq[(Int, Long, Option[Double])] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val g = rnd.nextInt(groups)
+      val v = if (rnd.nextDouble() < nullP) None else Some(rnd.nextInt(1000) / 10.0)
+      (i, g.toLong, v)
+    }
+  }
+
+  def approx(a: Double, b: Double, tol: Double = 1e-9): Boolean =
+    math.abs(a - b) <= tol * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+}

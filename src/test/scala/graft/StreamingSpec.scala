@@ -1,0 +1,68 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface: the same StreamOps builders must produce
+  * identical results under readStream (micro-batch) and batch execution,
+  * plus state-backed streaming dedup. Fixture parquet drives the stream
+  * synchronously via the memory sink (spark_guide.md pattern). */
+class StreamingSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("tumbling window agg: streaming == batch") {
+    val batchEv = Tables.events(spark, dir)
+    val batch = StreamOps.tumblingAgg(batchEv, "ts", "1 hour",
+        Seq(col("event_type")),
+        Seq(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("long")).as("sv")))
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(1), r.getLong(2)))
+      .toSet
+
+    // stage the (ns->us converted) events as parquet the stream can read
+    batchEv.write.mode("overwrite").parquet("/tmp/graft_stream_in")
+    val streamEv = spark.readStream.schema(batchEv.schema)
+      .parquet(s"/tmp/graft_stream_in")
+    val q = StreamOps.tumblingAgg(streamEv, "ts", "1 hour",
+        Seq(col("event_type")),
+        Seq(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("long")).as("sv")))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tumble_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("tumble_out").collect()
+        .map(r => (r.getString(0), r.getLong(3), r.getLong(1), r.getLong(2))).toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
+  test("session windows merge events with gaps under the timeout") {
+    val got = StreamOps.sessionAgg(Tables.events(spark, dir), "ts", "30 minutes",
+        Seq(col("user_id")), Seq(count(lit(1)).as("n")))
+      .collect()
+    assert(got.nonEmpty)
+    // sanity: per-user session event counts sum to the user's event count
+    val perUser = got.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).sum)
+    val evCount = Tables.events(spark, dir).groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    perUser.foreach { case (u, n) => assert(n == evCount(u)) }
+  }
+
+  test("streamingDedup drops duplicate keys within the watermark") {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select(col("ts"), (col("event_id") % 100).as("k"))
+    ev.write.mode("overwrite").parquet("/tmp/graft_stream_dedup_in")
+    val stream = spark.readStream.schema(ev.schema)
+      .parquet("/tmp/graft_stream_dedup_in")
+    val q = StreamOps.streamingDedup(stream, "ts", "1 hour", Seq("k"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("dedup_out").select("k").distinct().count()
+      val total = spark.table("dedup_out").count()
+      assert(n == 100 && total == 100)
+    } finally q.stop()
+  }
+}
