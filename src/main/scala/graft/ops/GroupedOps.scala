@@ -30,6 +30,12 @@ object GroupedOps {
     if (minCount <= 0) agg
     else when(count(value) >= lit(minCount.toLong), agg).otherwise(lit(null))
 
+  /** skipna=false for plain aggregations: any NA in the group poisons the
+    * result (`src/groupby.rs:257-261` analog for one-shot aggs): NULL
+    * unless every row is non-NA. */
+  def noSkipna(agg: Column, value: Column): Column =
+    when(count(lit(1)) === count(value), agg)
+
   /** Sum with min_count — `group_sum` (`src/groupby.rs:846-907`). */
   def sumMinCount(value: Column, minCount: Int): Column =
     withMinCount(sum(value), value, minCount)

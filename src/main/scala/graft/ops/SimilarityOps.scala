@@ -92,6 +92,50 @@ object SimilarityOps {
         .otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF (inverted-file) approximate top-k: corpus vectors are assigned to
+    * their nearest centroid (coarse quantizer); a query searches only its
+    * own centroid's posting list (nprobe=1), with exact cosine rerank.
+    *
+    * Centroids here are a deterministic corpus subsample (`idCol % mod ==
+    * rem`) standing in for a k-means codebook — the assignment/posting-
+    * list/probe machinery is the real IVF structure; at 100 TB the
+    * centroid set is broadcast and the corpus partitions by cluster id, so
+    * a query touches 1/nlist of the data. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, centroidMod: Int, centroidRem: Int): DataFrame = {
+    val cent = broadcast(
+      corpus.where(col(idCol) % centroidMod === centroidRem)
+        .select(col(idCol).as("cid"), quantize(col(vecCol)).as("centv"))
+        .withColumn("centn", norm2Q(col("centv"))))
+
+    // nearest centroid per vector, deterministic tie-break by centroid id
+    def assign(df: DataFrame, outId: String): DataFrame = {
+      val v = df.select(col(idCol).as(outId), quantize(col(vecCol)).as("v"))
+        .withColumn("vn", norm2Q(col("v")))
+      val scored = v.join(cent)
+        .withColumn("ccos", dotQ(col("v"), col("centv")).cast("double") /
+          sqrt(col("vn").cast("double") * col("centn").cast("double")))
+      val w = Window.partitionBy(col(outId))
+        .orderBy(col("ccos").desc, col("cid").asc)
+      scored.withColumn("crn", row_number().over(w)).where(col("crn") === 1)
+        .select(col(outId), col("cid").as("cluster_id"), col("v"), col("vn"))
+    }
+    val cAssigned = assign(corpus, "neighbor_id")
+      .withColumnRenamed("v", "cv").withColumnRenamed("vn", "cn")
+    val qAssigned = broadcast(assign(queries, "query_id")
+      .withColumnRenamed("v", "qv").withColumnRenamed("vn", "qn"))
+
+    val scored = cAssigned.join(qAssigned, Seq("cluster_id"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim", dotQ(col("qv"), col("cv")).cast("double") /
+        sqrt(col("qn").cast("double") * col("cn").cast("double")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select("query_id", "rk", "neighbor_id", "cos_sim")
+  }
+
   /** LSH-bucketed approximate top-k: exact cosine rerank, but only within
     * the query's bucket. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,

@@ -70,6 +70,7 @@ object QueriesAgg {
         count(col("v")).as("n_obs"),
         (GroupedOps.sumMinCount(col("v"), 5).cast("double") / 100.0).as("sum_mc5"),
         (sum(col("v")).cast("double") / 100.0).as("sum_all"),
+        (GroupedOps.noSkipna(sum(col("v")), col("v")).cast("double") / 100.0).as("sum_noskip"),
         when(count(col("v")) >= 5,
           sum(col("v")).cast("double") / 100.0 / count(col("v")).cast("double")).as("avg_mc5"))
       .orderBy("c_nationkey", "c_mktsegment")
@@ -82,6 +83,7 @@ object QueriesAgg {
     SELECT c_nationkey, c_mktsegment, count(v) AS n_obs,
            CASE WHEN count(v) >= 5 THEN CAST(sum(v) AS DOUBLE)/100.0 END AS sum_mc5,
            CAST(sum(v) AS DOUBLE)/100.0 AS sum_all,
+           CASE WHEN count(*) = count(v) THEN CAST(sum(v) AS DOUBLE)/100.0 END AS sum_noskip,
            CASE WHEN count(v) >= 5
                 THEN CAST(sum(v) AS DOUBLE)/100.0/CAST(count(v) AS DOUBLE) END AS avg_mc5
     FROM c GROUP BY c_nationkey, c_mktsegment ORDER BY c_nationkey, c_mktsegment"""
@@ -180,7 +182,14 @@ object QueriesAgg {
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 3)
       .select(col("user_id"), col("v2").as("nth3_v"))
-    fl.join(nth, Seq("user_id"), "left").orderBy("user_id")
+    // negative n (pandas nth(-2)): 2nd non-NA from the end
+    val wd = Window.partitionBy("user_id").orderBy(col("event_id").desc)
+    val nthNeg = ev.where(col("v2").isNotNull)
+      .withColumn("rn", row_number().over(wd))
+      .where(col("rn") === 2)
+      .select(col("user_id"), col("v2").as("nth_m2_v"))
+    fl.join(nth, Seq("user_id"), "left")
+      .join(nthNeg, Seq("user_id"), "left").orderBy("user_id")
   }
 
   val qFirstLastNthOracle: String = """
@@ -194,9 +203,14 @@ object QueriesAgg {
     nth AS (SELECT user_id, v2 nth3_v FROM (
               SELECT user_id, v2,
                      row_number() OVER (PARTITION BY user_id ORDER BY event_id) rn
-              FROM e WHERE v2 IS NOT NULL) WHERE rn = 3)
-    SELECT fl.user_id, first_v, last_v, n_obs, nth3_v
-    FROM fl LEFT JOIN nth ON fl.user_id = nth.user_id ORDER BY fl.user_id"""
+              FROM e WHERE v2 IS NOT NULL) WHERE rn = 3),
+    nthm AS (SELECT user_id, v2 nth_m2_v FROM (
+              SELECT user_id, v2,
+                     row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+              FROM e WHERE v2 IS NOT NULL) WHERE rn = 2)
+    SELECT fl.user_id, first_v, last_v, n_obs, nth3_v, nth_m2_v
+    FROM fl LEFT JOIN nth ON fl.user_id = nth.user_id
+            LEFT JOIN nthm ON fl.user_id = nthm.user_id ORDER BY fl.user_id"""
 
   /** group_ohlc — documented intent (first, max, min, last) per group
     * (`src/groupby.rs:1405-1530`; reference binding bugs not replicated). */
@@ -337,8 +351,26 @@ object QueriesAgg {
     SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k, count(k) AS n_k
     FROM c GROUP BY event_type ORDER BY event_type"""
 
+  /** Kahan-compensated sum/mean via the custom `KahanSum`
+    * DeclarativeAggregate (numeric fidelity with `group_mean`'s
+    * compensated accumulator, `src/groupby.rs:1325-1337`). No oracle:
+    * compensated results intentionally differ from naive engine sums in
+    * the low-order bits — correctness is spec-tested against exact
+    * BigDecimal sums instead (KahanSumSpec). */
+  def qKahan(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("kahan_sum(l_extendedprice)").as("ksum"),
+        (expr("kahan_sum(l_extendedprice)") / count(lit(1))).as("kmean"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q1_flagship", q1, Some(q1Oracle)),
+    QueryDef("q_kahan_sum", qKahan, None),
     QueryDef("q_sum_mincount", qSumMinCount, Some(qSumMinCountOracle)),
     QueryDef("q_prod", qProd, Some(qProdOracle)),
     QueryDef("q_moments", qMoments, Some(qMomentsOracle)),

@@ -23,6 +23,9 @@ object QueriesText {
     "en" -> Seq("the", "a"), "es" -> Seq("data", "row"),
     "zh" -> Seq("table", "scan"), "de" -> Seq("query", "batch"),
     "fr" -> Seq("join", "merge"))
+  /** GPT-2-style pretokenizer shape: letter runs, single digits, other
+    * symbols — identical semantics in Java regex and RE2. */
+  val BpeRegex = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
   val ShingleN = 5
   val Bands    = 4
   val Rows     = 4
@@ -43,7 +46,8 @@ object QueriesText {
         wc.as("wc"),
         (length(translate(col("text"), " ", "")).cast("double") / wc.cast("double")).as("avg_wlen"),
         stops.as("n_stop"),
-        (stops.cast("double") / wc.cast("double")).as("stop_ratio"))
+        (stops.cast("double") / wc.cast("double")).as("stop_ratio"),
+        regexp_count(col("text"), lit(BpeRegex)).cast("long").as("bpe_tokens"))
       .orderBy("doc_id")
   }
 
@@ -54,7 +58,8 @@ object QueriesText {
     SELECT doc_id, lang, $wc AS wc,
            CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST($wc AS DOUBLE) AS avg_wlen,
            $stops AS n_stop,
-           CAST($stops AS DOUBLE) / CAST($wc AS DOUBLE) AS stop_ratio
+           CAST($stops AS DOUBLE) / CAST($wc AS DOUBLE) AS stop_ratio,
+           CAST(len(regexp_extract_all(text, '$BpeRegex')) AS BIGINT) AS bpe_tokens
     FROM documents ORDER BY doc_id"""
   }
 
@@ -128,12 +133,20 @@ object QueriesText {
     Tables.documents(spark, dir).select(
         col("doc_id"),
         md5(lower(translate(col("text"), " ", ""))).as("fp"),
-        md5Hash32(lower(translate(col("text"), " ", ""))).as("fp_int"))
+        md5Hash32(lower(translate(col("text"), " ", ""))).as("fp_int"),
+        // polynomial rolling hash over word hashes: fold (acc*31 + h) mod P32
+        aggregate(split(col("text"), " "),
+          lit(0L), (acc, w) => (acc * 31 + md5Hash32(w)) % lit(P32))
+          .as("rolling_fp"))
       .orderBy("doc_id")
 
-  val qFingerprintOracle: String = """
+  val qFingerprintOracle: String = s"""
     SELECT doc_id, md5(lower(replace(text, ' ', ''))) AS fp,
-           ('0x' || substr(md5(lower(replace(text, ' ', ''))), 1, 8))::BIGINT AS fp_int
+           ('0x' || substr(md5(lower(replace(text, ' ', ''))), 1, 8))::BIGINT AS fp_int,
+           list_reduce(
+             list_prepend(0::BIGINT, list_transform(string_split(text, ' '),
+               w -> ('0x' || substr(md5(w), 1, 8))::BIGINT)),
+             (acc, h) -> (acc * 31 + h) % ${TextFunctions.P32}) AS rolling_fp
     FROM documents ORDER BY doc_id"""
 
   /** Exact dedup by content digest (hash-groupBy; one shuffle). */
