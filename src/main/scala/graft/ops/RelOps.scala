@@ -41,6 +41,26 @@ object RelOps {
       .select(leftCols.map(col) :+ col(as): _*)
   }
 
+  /** Skew-resistant grouped aggregation by key salting: phase 1 aggregates
+    * on (key, salt) so a hot key's rows spread over `buckets` reducers;
+    * phase 2 combines the partials per key. Only usable for aggregations
+    * with a partial/final decomposition — the caller provides both sides
+    * (e.g. partial `sum`/`count`, final `sum`/`sum`). AQE's skew handling
+    * covers joins; this covers the hot-key aggregation case it does not.
+    */
+  def saltedAgg(df: DataFrame, keys: Seq[String], buckets: Int,
+                partial: Seq[(String, Column)],
+                finalAgg: Seq[(String, Column)]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    val phase1 = salted.groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(partial.head._2.as(partial.head._1),
+        partial.tail.map { case (n, c) => c.as(n) }: _*)
+    phase1.groupBy(keys.map(col): _*)
+      .agg(finalAgg.head._2.as(finalAgg.head._1),
+        finalAgg.tail.map { case (n, c) => c.as(n) }: _*)
+  }
+
   /** Top-k rows per group by `ord` (descending), deterministic via the
     * caller-supplied tiebreaker in `ord`. Window row_number + filter: one
     * shuffle, k rows kept per group per partition — no global sort. */

@@ -24,6 +24,14 @@ object TakeOps {
     indexer.join(values, col(idxCol) === values(posCol), "left")
       .drop(posCol)
 
+  /** `take_2d_axis1` (`/root/reference/src/algos.rs:48-62`): gather
+    * *columns* by position — in a declarative engine this is a pure
+    * Catalyst projection (SURVEY.md §2.1), free of data movement. */
+  def take2dAxis1(df: DataFrame, indices: Seq[Int]): DataFrame = {
+    val cols = df.columns
+    df.select(indices.map(i => col(cols(i))): _*)
+  }
+
   /** Factorize: distinct keys → dense codes 0..n−1 in key sort order.
     * The caller-side `labels` contract of every reference kernel
     * (`src/lib.rs:781-783`). Null keys get code −1 (pandas' `dropna` label).

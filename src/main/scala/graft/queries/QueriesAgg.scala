@@ -368,9 +368,22 @@ object QueriesAgg {
       .orderBy("l_returnflag")
   }
 
+  /** Sketch-based approximate aggregates — the 100 TB substitutes for
+    * exact distinct/quantile (HLL++ and KLL-style): rows-only check, since
+    * sketch estimates are engine-specific by construction. */
+  def qApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_nd_part"),
+        approx_percentile(col("l_quantity"), lit(0.5), lit(1000)).as("approx_med_qty"),
+        countDistinct(col("l_partkey")).as("exact_nd_part"))
+      .orderBy("l_returnflag")
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q1_flagship", q1, Some(q1Oracle)),
     QueryDef("q_kahan_sum", qKahan, None),
+    QueryDef("q_approx_sketch", qApprox, None),
     QueryDef("q_sum_mincount", qSumMinCount, Some(qSumMinCountOracle)),
     QueryDef("q_prod", qProd, Some(qProdOracle)),
     QueryDef("q_moments", qMoments, Some(qMomentsOracle)),

@@ -53,4 +53,28 @@ object StreamOps {
                      keyCols: Seq[String]): DataFrame =
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Custom per-key running state via flatMapGroupsWithState: emits each
+    * input event with its per-key running sum — the stateful analog of
+    * `group_cumsum` for unbounded streams (reference cumulative kernels
+    * need the whole group in hand; stream state holds just one double per
+    * key). Works identically on batch Datasets (state spans the group). */
+  def statefulCumsum(ds: org.apache.spark.sql.Dataset[(Long, Long, Double)])
+      : org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    ds.groupByKey(_._2)
+      .flatMapGroupsWithState[Double, (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Double)], state: GroupState[Double]) =>
+          var acc = state.getOption.getOrElse(0.0)
+          // within a micro-batch, order by the event id for determinism
+          val out = rows.toSeq.sortBy(_._1).map { case (id, k, v) =>
+            acc += v
+            (id, k, acc)
+          }
+          state.update(acc)
+          out.iterator
+      }
+  }
 }

@@ -1,0 +1,66 @@
+package graft
+
+import graft.ops.{RelOps, TakeOps}
+import graft.streaming.StreamOps
+import org.apache.spark.sql.functions._
+
+/** Scale helpers: salted aggregation equals plain aggregation; positional
+  * column gather; stateful streaming cumsum equals the batch window cumsum. */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedAgg(sum, count) equals direct groupBy on a skewed key") {
+    // 90% of rows share one key — the pattern that hot-spots one reducer
+    val rows = (0 until 20000).map { i =>
+      val k = if (i % 10 == 0) (i % 7).toLong else 999L
+      (k, (i % 100).toLong)
+    }
+    val df = rows.toDF("k", "v")
+    val direct = df.groupBy("k")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = RelOps.saltedAgg(df, Seq("k"), buckets = 16,
+        partial = Seq("s" -> sum(col("v")), "n" -> count(lit(1))),
+        finalAgg = Seq("s" -> sum(col("s")), "n" -> sum(col("n"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == direct)
+  }
+
+  test("take2dAxis1 projects columns by position") {
+    val df  = Seq((1, "a", 2.0)).toDF("c0", "c1", "c2")
+    val got = TakeOps.take2dAxis1(df, Seq(2, 0))
+    assert(got.columns.toSeq == Seq("c2", "c0"))
+    assert(got.head() == org.apache.spark.sql.Row(2.0, 1))
+  }
+
+  test("stateful streaming cumsum == batch window cumsum") {
+    // (event_id, user_id, value) tuples through flatMapGroupsWithState
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").cast("double").as("v"))
+      .as[(Long, Long, Double)]
+    val batch = ev.toDF("event_id", "user_id", "v")
+      .select(col("event_id"),
+        sum("v").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+          .as("cs"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    ev.write.mode("overwrite").parquet("/tmp/graft_state_in")
+    val stream = spark.readStream.schema(ev.schema).parquet("/tmp/graft_state_in")
+      .as[(Long, Long, Double)]
+    val q = StreamOps.statefulCumsum(stream)
+      .toDF("event_id", "user_id", "cs")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("state_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("state_out").collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(got.size == batch.size)
+      // integer-cents values -> exact equality batch vs stream
+      batch.foreach { case (id, cs) => assert(got(id) == cs, s"event $id") }
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Source/sink coverage (SURVEY.md §2.5: the reference's caller reads the
+  * data; our engine exposes Spark's sources directly): parquet→csv→json
+  * round-trips preserve values, with explicit schemas on schemaless
+  * formats. */
+class SourcesSpec extends SparkSpec {
+
+  private val base = "/tmp/graft_sources"
+
+  test("csv round-trip preserves lineitem values") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    li.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    val back = spark.read.option("header", "true").schema(li.schema).csv(s"$base/csv")
+    assert(back.count() == li.count())
+    val a = li.agg(sum("l_quantity")).head.getDouble(0)
+    val b = back.agg(sum("l_quantity")).head.getDouble(0)
+    assert(a == b)
+  }
+
+  test("json round-trip preserves nested-free rows and nulls") {
+    import spark.implicits._
+    val df = Seq((1L, Some("x"), Some(1.5)), (2L, None, None))
+      .toDF("id", "s", "v")
+    df.write.mode("overwrite").json(s"$base/json")
+    val back = spark.read.schema(df.schema).json(s"$base/json")
+    val rows = back.orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2))
+    assert(rows(0).getString(1) == "x" && rows(0).getDouble(2) == 1.5)
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(s"$base/part")
+    val pruned = spark.read.parquet(s"$base/part").where(col("l_returnflag") === "A")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() == li.where(col("l_returnflag") === "A").count())
+    assert(plan.contains("PartitionFilters") || plan.contains("partitionFilters"))
+  }
+}
