@@ -96,6 +96,11 @@ object DedupOps {
     val sh   = shingleHashes(df, idCol, textCol, shingleN).persist(MEMORY_AND_DISK)
     val sigs = minhashSignatures(sh).persist(MEMORY_AND_DISK)
     val cand = lshCandidates(sigs, bands, rows).persist(MEMORY_AND_DISK)
+    // Eagerly materialize the checkpoints: downstream consumers then plan
+    // against small cached relations instead of one deep lazy DAG whose
+    // branches AQE re-plans (and sometimes re-executes) per stage. This is
+    // the phase structure a production LSH pipeline has anyway.
+    sh.count(); sigs.count(); cand.count()
     jaccardOnPairs(cand, sh).where(col("jaccard") >= threshold)
   }
 
