@@ -132,6 +132,18 @@ object GroupedOps {
       .when(count(lit(1)) > count(pred), lit(null))
       .otherwise(lit(true))
 
+  /** pandas' `dropna=True` default for group keys: the reference drops
+    * null-keyed rows before aggregating (`lab < 0` skip in every kernel,
+    * e.g. `src/groupby.rs:937-939`), while Spark's groupBy KEEPS a null
+    * group. Pre-filter to get pandas semantics; pass `dropna = false` for
+    * the SQL behavior. */
+  def groupByDropNa(df: org.apache.spark.sql.DataFrame, keys: Seq[Column],
+                    dropna: Boolean = true)
+      : org.apache.spark.sql.RelationalGroupedDataset = {
+    val base = if (dropna) df.where(keys.map(_.isNotNull).reduce(_ && _)) else df
+    base.groupBy(keys: _*)
+  }
+
   /** OHLC = (first, max, min, last) of `value` ordered by `ord` —
     * `group_ohlc`'s documented intent (`src/groupby.rs:1405-1530`; its
     * flag/low-slot bugs are not replicated). Returns the four columns. */

@@ -368,6 +368,33 @@ object QueriesAgg {
       .orderBy("l_returnflag")
   }
 
+  /** Null group keys: pandas drops them (`lab < 0` skip, reference
+    * `src/groupby.rs:937-939`); SQL keeps a null group. Both behaviors,
+    * side by side, over injected null keys. */
+  def qDropNaKeys(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("k", when(col("l_orderkey") % 13 =!= 0, col("l_returnflag")))
+    val dropped = GroupedOps.groupByDropNa(li, Seq(col("k")))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .withColumn("mode", lit("dropna"))
+    val kept = GroupedOps.groupByDropNa(li, Seq(col("k")), dropna = false)
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .withColumn("mode", lit("keepna"))
+    dropped.unionByName(kept).select("mode", "k", "sum_qty", "n")
+      .orderBy("mode", "k")
+  }
+
+  val qDropNaKeysOracle: String = """
+    WITH c AS (SELECT CASE WHEN l_orderkey % 13 <> 0 THEN l_returnflag END k,
+                      l_quantity
+               FROM lineitem)
+    SELECT 'dropna' AS mode, k, sum(l_quantity) AS sum_qty, count(*) AS n
+    FROM c WHERE k IS NOT NULL GROUP BY k
+    UNION ALL
+    SELECT 'keepna' AS mode, k, sum(l_quantity) AS sum_qty, count(*) AS n
+    FROM c GROUP BY k
+    ORDER BY mode, k"""
+
   /** Sketch-based approximate aggregates — the 100 TB substitutes for
     * exact distinct/quantile (HLL++ and KLL-style): rows-only check, since
     * sketch estimates are engine-specific by construction. */
@@ -384,6 +411,7 @@ object QueriesAgg {
     QueryDef("q1_flagship", q1, Some(q1Oracle)),
     QueryDef("q_kahan_sum", qKahan, None),
     QueryDef("q_approx_sketch", qApprox, None),
+    QueryDef("q_dropna_keys", qDropNaKeys, Some(qDropNaKeysOracle)),
     QueryDef("q_sum_mincount", qSumMinCount, Some(qSumMinCountOracle)),
     QueryDef("q_prod", qProd, Some(qProdOracle)),
     QueryDef("q_moments", qMoments, Some(qMomentsOracle)),

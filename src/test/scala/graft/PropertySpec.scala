@@ -1,0 +1,83 @@
+package graft
+
+import graft.ops.{QuantileOps, WindowOps}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based invariants (SURVEY.md §5): per-group sum equals the last
+  * cumsum; min ≤ every quantile mode ≤ max; rank is a permutation.
+  * Generated inputs include nulls, constant groups, and single-element
+  * groups. Uses ScalaCheck's own runner (no scalatest bridge in deps). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rowsGen: Gen[List[(Long, Option[Double])]] =
+    Gen.choose(1, 120).flatMap { n =>
+      Gen.listOfN(n, for {
+        g <- Gen.choose(0L, 4L)
+        v <- Gen.option(Gen.choose(-50, 50).map(_.toDouble))
+      } yield (g, v))
+    }
+
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("sum == last non-null cumsum per group") {
+    check(Prop.forAll(rowsGen) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((g, v), i) => (i.toLong, g, v) }.toDF("pos", "g", "v")
+      val sums = df.groupBy("g").agg(sum("v").as("s")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .toMap
+      val lastCs = df
+        .select(col("g"), col("pos"),
+          WindowOps.cumsum(col("v"), Seq(col("g")), Seq(col("pos"))).as("cs"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("g")
+            .orderBy(col("cs").isNull.asc, col("pos").desc)))
+        .where(col("rn") === 1)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+      sums.forall { case (g, s) =>
+        (s, lastCs.get(g).flatten) match {
+          case (Some(a), Some(b)) => approx(a, b)
+          case (a, b)             => a == b
+        }
+      }
+    })
+  }
+
+  test("min <= every quantile mode <= max") {
+    check(Prop.forAll(rowsGen) { rows =>
+      val df = rows.toDF("g", "v")
+      val mm = df.groupBy("g").agg(min("v").as("mn"), max("v").as("mx"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some((r.getDouble(1), r.getDouble(2))))).toMap
+      QuantileOps.groupedQuantiles(df, Seq("g"), "v", Seq(0.25, 0.5, 0.9))
+        .collect().forall { r =>
+          val (mn, mx) = mm(r.getLong(0)).get
+          (2 to 6).forall { i =>
+            r.getDouble(i) >= mn - 1e-9 && r.getDouble(i) <= mx + 1e-9
+          }
+        }
+    })
+  }
+
+  test("rank(first) is a permutation of 1..n_nonnull per group") {
+    check(Prop.forAll(rowsGen) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((g, v), i) => (i.toLong, g, v) }.toDF("pos", "g", "v")
+      df.where(col("v").isNotNull)
+        .select(col("g"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("g").orderBy(col("v"), col("pos"))).as("rk"))
+        .collect().groupBy(_.getLong(0))
+        .forall { case (_, rs) =>
+          rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length)
+        }
+    })
+  }
+}

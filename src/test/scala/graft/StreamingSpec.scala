@@ -48,6 +48,48 @@ class StreamingSpec extends SparkSpec {
     perUser.foreach { case (u, n) => assert(n == evCount(u)) }
   }
 
+  test("sliding window agg: streaming == batch") {
+    val batchEv = Tables.events(spark, dir)
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      StreamOps.slidingAgg(df, "ts", "1 hour", "30 minutes",
+        Seq(col("event_type")),
+        Seq(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("sv")))
+    val batch = agg(batchEv).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(1), r.getLong(2))).toSet
+    batchEv.write.mode("overwrite").parquet("/tmp/graft_stream_slide")
+    val q = agg(spark.readStream.schema(batchEv.schema).parquet("/tmp/graft_stream_slide"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("slide_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("slide_out").collect()
+        .map(r => (r.getString(0), r.getLong(3), r.getLong(1), r.getLong(2))).toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
+  test("watermarked append-mode windows emit only finalized windows") {
+    val batchEv = Tables.events(spark, dir)
+    batchEv.write.mode("overwrite").parquet("/tmp/graft_stream_wm")
+    val q = StreamOps.tumblingAggWatermarked(
+        spark.readStream.schema(batchEv.schema).parquet("/tmp/graft_stream_wm"),
+        "ts", "1 hour", "10 minutes", Seq(col("event_type")),
+        Seq(count(lit(1)).as("n")))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wm_out").start()
+    try {
+      q.processAllAvailable()
+      val emitted = spark.table("wm_out")
+      // append mode can only emit windows the watermark has closed: all
+      // but the final (still-open) window of each type
+      val maxStart = Tables.events(spark, dir)
+        .select(max(unix_timestamp(date_trunc("hour", col("ts"))))).head.getLong(0)
+      assert(emitted.where(col("window_start") >= maxStart).count() == 0)
+      assert(emitted.count() > 0)
+    } finally q.stop()
+  }
+
   test("streamingDedup drops duplicate keys within the watermark") {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
