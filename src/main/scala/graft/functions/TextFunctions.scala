@@ -43,6 +43,19 @@ object TextFunctions {
       sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
       i => text.substr(i, lit(n)))
 
+  /** Word n-gram shingles (n=3): ~5× fewer instances than character
+    * shingles on prose, same MinHash pipeline (MMDS ch.3 uses both; word
+    * grams are the web-dedup standard). Trailing positions pad with empty
+    * strings so strings match any SQL engine's `||`+COALESCE form. */
+  def wordShingles3(text: Column): Column = {
+    val ws = split(text, " ")
+    transform(
+      sequence(lit(1), greatest(size(ws) - 2, lit(1))),
+      i => concat(try_element_at(ws, i), lit(" "),
+        coalesce(try_element_at(ws, i + 1), lit("")), lit(" "),
+        coalesce(try_element_at(ws, i + 2), lit(""))))
+  }
+
   /** i-th minhash value over a (distinct) shingle-hash column, as an
     * aggregate expression: `min((a_i·h + b_i) mod P32)`. */
   def minhashAgg(hashCol: Column, i: Int): Column = {

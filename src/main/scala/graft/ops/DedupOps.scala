@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for LLM-pipeline data curation (north-star
@@ -25,14 +25,21 @@ object DedupOps {
   /** (id, shingle-hash) pairs, distinct per document — the sets Jaccard is
     * defined over. `n` = character shingle width. */
   def shingleHashes(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    // Repartition BEFORE the ~300× explode: input splits are sized by file
-    // bytes, which under-parallelizes the row-multiplying, md5-heavy stage
+    hashedShingles(df, idCol, charShingles(col(textCol), n))
+
+  /** Word-3-gram variant: ~5× fewer shingle instances on prose for the
+    * same near-dup recall — the default for the declared queries. */
+  def wordShingleHashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    hashedShingles(df, idCol, wordShingles3(col(textCol)))
+
+  private def hashedShingles(df: DataFrame, idCol: String, shingles: Column): DataFrame =
+    // Repartition BEFORE the row-multiplying explode: input splits are
+    // sized by file bytes, which under-parallelizes the md5-heavy stage
     // (the fixture's documents file is a single split). Same reason the
     // reference fans out its gather over a thread pool
     // (`/root/reference/src/lib.rs:186-198`).
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol).as("id"),
-        explode(charShingles(col(textCol), n)).as("sh"))
+      .select(col(idCol).as("id"), explode(shingles).as("sh"))
       .select(col("id"), md5Hash32(col("sh")).as("h"))
       .distinct()
 
@@ -83,7 +90,18 @@ object DedupOps {
     * threshold. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int, bands: Int, rows: Int,
-                      threshold: Double): DataFrame = {
+                      threshold: Double): DataFrame =
+    nearDupsOnShingles(shingleHashes(df, idCol, textCol, shingleN),
+      bands, rows, threshold)
+
+  /** Word-3-gram near-dup pipeline (declared-query default). */
+  def minhashNearDupsWords(df: DataFrame, idCol: String, textCol: String,
+                           bands: Int, rows: Int, threshold: Double): DataFrame =
+    nearDupsOnShingles(wordShingleHashes(df, idCol, textCol),
+      bands, rows, threshold)
+
+  private def nearDupsOnShingles(shingles: DataFrame, bands: Int, rows: Int,
+                                 threshold: Double): DataFrame = {
     require(bands * rows <= MinhashAB.size, "not enough hash functions")
     // Every intermediate feeds ≥2 downstream plan branches (shingles →
     // signatures + intersection counts + set sizes; signatures → both
@@ -93,7 +111,7 @@ object DedupOps {
     // scale this is checkpoint / exchange-reuse; in one JVM,
     // MEMORY_AND_DISK is the analog.
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val sh   = shingleHashes(df, idCol, textCol, shingleN).persist(MEMORY_AND_DISK)
+    val sh   = shingles.persist(MEMORY_AND_DISK)
     val sigs = minhashSignatures(sh).persist(MEMORY_AND_DISK)
     val cand = lshCandidates(sigs, bands, rows).persist(MEMORY_AND_DISK)
     // Eagerly materialize the checkpoints: downstream consumers then plan

@@ -29,10 +29,11 @@ object SimilarityOps {
   def quantize(vec: Column): Column =
     transform(vec, x => round(x.cast("double") * 1000).cast("long"))
 
-  /** Integer dot product of two quantized vectors (sequential fold —
-    * deterministic). */
+  /** Integer dot product of two quantized vectors — a native codegen'd
+    * Catalyst expression (see [[graft.functions.DotProductQ]]); exact
+    * integer arithmetic, so accumulation order is irrelevant. */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.DotProductQ.dot(a, b)
 
   /** Squared L2 norm of a quantized vector. */
   def norm2Q(a: Column): Column = dotQ(a, a)

@@ -158,10 +158,12 @@ object QueriesText {
     SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_dups
     FROM documents GROUP BY md5(text) ORDER BY keep_id"""
 
-  // shared oracle CTE: distinct (doc_id, shingle-hash) pairs
-  private val shingleCte: String = s"""
-    sh AS (SELECT doc_id, unnest(list_transform(range(1, greatest(length(text)-${ShingleN - 1},1)+1),
-                 i -> substr(text, CAST(i AS INT), $ShingleN))) s FROM documents),
+  // shared oracle CTE: distinct (doc_id, word-3-gram-hash) pairs
+  private val shingleCte: String = """
+    w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+    sh AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws)-2,1)+1),
+                 i -> ws[CAST(i AS INT)] || ' ' || COALESCE(ws[CAST(i AS INT)+1],'')
+                      || ' ' || COALESCE(ws[CAST(i AS INT)+2],''))) s FROM w),
     h AS (SELECT DISTINCT doc_id AS id, ('0x'||substr(md5(s),1,8))::BIGINT h FROM sh)"""
 
   private def minhashExprSql(i: Int): String = {
@@ -169,11 +171,11 @@ object QueriesText {
     s"min((h*$a + $b) % ${TextFunctions.P32}) AS mh$i"
   }
 
-  /** MinHash signatures (k=${MinhashAB.size} permutations over 5-char
+  /** MinHash signatures (k=${MinhashAB.size} permutations over word-3-gram
     * shingle sets). */
   def qMinhashSig(spark: SparkSession, dir: String): DataFrame =
     DedupOps.minhashSignatures(
-        DedupOps.shingleHashes(Tables.documents(spark, dir), "doc_id", "text", ShingleN))
+        DedupOps.wordShingleHashes(Tables.documents(spark, dir), "doc_id", "text"))
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
 
@@ -189,8 +191,8 @@ object QueriesText {
   /** MinHash + LSH banding near-dup detection with exact-Jaccard
     * verification on candidates only (no all-pairs join). */
   def qNearDupLsh(spark: SparkSession, dir: String): DataFrame =
-    DedupOps.minhashNearDups(Tables.documents(spark, dir), "doc_id", "text",
-        ShingleN, Bands, Rows, JaccardThreshold)
+    DedupOps.minhashNearDupsWords(Tables.documents(spark, dir), "doc_id", "text",
+        Bands, Rows, JaccardThreshold)
       .orderBy("id_a", "id_b")
 
   val qNearDupLshOracle: String = {
