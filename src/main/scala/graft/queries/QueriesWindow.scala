@@ -209,8 +209,32 @@ object QueriesWindow {
            rkd AS r_desc
     FROM w ORDER BY event_id"""
 
+  /** diff / pct_change — shift-derived transforms pandas users expect
+    * (composition of `group_shift_indexer` + arithmetic). pct_change is a
+    * ratio of integer-cents values → deterministic double. */
+  def qDiffPct(spark: SparkSession, dir: String): DataFrame = {
+    val c   = round(col("value") * 100).cast("long")
+    val ev  = Tables.events(spark, dir).withColumn("c", c)
+    val lag1 = WindowOps.shift(col("c"), 1, userKey, byEvent)
+    ev.select(col("event_id"), col("user_id"),
+        ((col("c") - lag1).cast("double") / 100.0).as("diff1"),
+        when(lag1 =!= 0,
+          (col("c") - lag1).cast("double") / lag1.cast("double")).as("pct_change"))
+      .orderBy("event_id")
+  }
+
+  val qDiffPctOracle: String = """
+    WITH e AS (SELECT event_id, user_id, CAST(round(value*100) AS BIGINT) c FROM events),
+    w AS (SELECT event_id, user_id, c,
+                 lag(c) OVER (PARTITION BY user_id ORDER BY event_id) l FROM e)
+    SELECT event_id, user_id,
+           CAST(c - l AS DOUBLE)/100.0 AS diff1,
+           CASE WHEN l <> 0 THEN CAST(c - l AS DOUBLE)/CAST(l AS DOUBLE) END AS pct_change
+    FROM w ORDER BY event_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_cumsum", qCumsum, Some(qCumsumOracle)),
+    QueryDef("q_diff_pct", qDiffPct, Some(qDiffPctOracle)),
     QueryDef("q_cumprod", qCumprod, Some(qCumprodOracle)),
     QueryDef("q_cum_minmax", qCumMinMax, Some(qCumMinMaxOracle)),
     QueryDef("q_shift", qShift, Some(qShiftOracle)),
