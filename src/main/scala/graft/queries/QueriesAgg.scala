@@ -368,6 +368,30 @@ object QueriesAgg {
       .orderBy("l_returnflag")
   }
 
+  /** Grouped mode (most frequent value, ties → smallest value — pandas
+    * `mode().iloc[0]`) and value_counts top-1: two-phase count + window
+    * argmin, no per-group buffering. */
+  def qMode(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("cnt").desc, col("l_quantity").asc)
+    counts.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+        col("cnt").as("mode_n"))
+      .orderBy("l_returnflag")
+  }
+
+  val qModeOracle: String = """
+    WITH c AS (SELECT l_returnflag, l_quantity, count(*) cnt
+               FROM lineitem GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                                       ORDER BY cnt DESC, l_quantity) rn FROM c)
+    SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_n
+    FROM r WHERE rn = 1 ORDER BY l_returnflag"""
+
   /** Null group keys: pandas drops them (`lab < 0` skip, reference
     * `src/groupby.rs:937-939`); SQL keeps a null group. Both behaviors,
     * side by side, over injected null keys. */
@@ -412,6 +436,7 @@ object QueriesAgg {
     QueryDef("q_kahan_sum", qKahan, None),
     QueryDef("q_approx_sketch", qApprox, None),
     QueryDef("q_dropna_keys", qDropNaKeys, Some(qDropNaKeysOracle)),
+    QueryDef("q_mode", qMode, Some(qModeOracle)),
     QueryDef("q_sum_mincount", qSumMinCount, Some(qSumMinCountOracle)),
     QueryDef("q_prod", qProd, Some(qProdOracle)),
     QueryDef("q_moments", qMoments, Some(qMomentsOracle)),
