@@ -1,6 +1,5 @@
 package graft.ops
 
-import graft.functions.TextFunctions.md5Hash32
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -80,18 +79,74 @@ object SimilarityOps {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane p, dim j):
-    * ±1 derived from md5 — identical in any engine. */
-  def planeSign(p: Int, j: Column): Column =
-    (md5Hash32(concat(lit(s"plane${p}_"), j.cast("string"))) % 2) * 2 - 1
+    * ±1 derived from md5 — identical in any engine. Driver-side mirror of
+    * the DuckDB oracle's `('0x'||substr(md5(...),1,8))::BIGINT % 2 * 2 - 1`
+    * (same first-4-bytes-big-endian parse as
+    * [[graft.functions.TextFunctions.md5Hash32]]). */
+  def planeSignLocal(p: Int, j: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane${p}_$j".getBytes("UTF-8"))
+    val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    (h % 2) * 2 - 1
+  }
+
+  /** The ±1 hyperplane for plane `p` as a literal bigint array: the sign
+    * matrix is tiny and deterministic, so it is materialized at plan time
+    * and each per-row plane hash is one codegen'd [[dotQ]] over it — no
+    * interpreted `zip_with`/`aggregate` lambdas in the hot path. */
+  private def planeVec(p: Int, dim: Int): Column =
+    typedLit((0 until dim).map(j => planeSignLocal(p, j)))
 
   /** Sign-pattern LSH bucket of a quantized vector: bit p = [dot(v, r_p) > 0]. */
-  def lshBucket(qvec: Column, planes: Int): Column =
+  def lshBucket(qvec: Column, planes: Int, dim: Int = 64): Column =
     (0 until planes).map { p =>
-      val signed = zip_with(qvec, sequence(lit(0), size(qvec) - 1),
-        (x, j) => x * planeSign(p, j))
-      when(aggregate(signed, lit(0L), (acc, x) => acc + x) > 0, lit(1L << p))
-        .otherwise(lit(0L))
+      when(dotQ(qvec, planeVec(p, dim)) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Per-band sign signature for banded LSH (band `b` uses global planes
+    * b·r .. b·r+r−1, so every band is an independent hash family). */
+  def bandSig(qvec: Column, band: Int, planesPerBand: Int, dim: Int): Column =
+    (0 until planesPerBand).map { i =>
+      when(dotQ(qvec, planeVec(band * planesPerBand + i, dim)) > 0,
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Banded random-hyperplane LSH near-duplicate pairs (the OR-construction
+    * of MMDS ch.3 applied to Charikar sign hashes): a pair is a candidate
+    * iff it agrees on ALL planes of AT LEAST ONE band, then candidates are
+    * exactly reranked and thresholded.
+    *
+    * Scale shape: candidates come from a posting-list equi-join on
+    * (band, signature) — never an all-pairs product. Pairs are deduped as
+    * ids-only before the rerank joins fetch vectors, so the wide vector
+    * payload crosses the shuffle twice (once per side), not once per
+    * candidate-band. At 100 TB recall/cost tunes by (bands, planesPerBand)
+    * exactly like the reference-style MinHash band table in DedupOps. */
+  def bandedNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                         bands: Int, planesPerBand: Int, threshold: Double,
+                         dim: Int = 64): DataFrame = {
+    val v = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), quantize(col(vecCol)).as("v"))
+      .withColumn("n2", norm2Q(col("v")))
+    val posts = v.select(col("id"),
+        posexplode(array((0 until bands).map(b =>
+          bandSig(col("v"), b, planesPerBand, dim)): _*)).as(Seq("band", "sig")))
+    val cand = posts.select(col("band"), col("sig"), col("id").as("id_a"))
+      .join(posts.select(col("band"), col("sig"), col("id").as("id_b")),
+        Seq("band", "sig"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(v.select(col("id").as("id_a"), col("v").as("va"), col("n2").as("na")), Seq("id_a"))
+      .join(v.select(col("id").as("id_b"), col("v").as("vb"), col("n2").as("nb")), Seq("id_b"))
+      .withColumn("cos_sim",
+        when(col("na") === 0 || col("nb") === 0, lit(null))
+          .otherwise(dotQ(col("va"), col("vb")).cast("double") /
+            sqrt(col("na").cast("double") * col("nb").cast("double"))))
+      .where(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
 
   /** IVF (inverted-file) approximate top-k: corpus vectors are assigned to
     * their nearest centroid (coarse quantizer); a query searches only its

@@ -24,6 +24,31 @@ object TakeOps {
     indexer.join(values, col(idxCol) === values(posCol), "left")
       .drop(posCol)
 
+  /** The reference's take_1d dtype upcast matrix
+    * (`/root/reference/src/lib.rs:64-165`): the exact (values → out) pairs
+    * its dispatch implements. Signed ints widen to wider ints or f64,
+    * f32 → f64, identity always; i64 → f64 is NOT allowed (the reference
+    * leaves that arm commented out, `src/lib.rs:139-147`), and narrowing /
+    * float→int are NotImplementedError. */
+  import org.apache.spark.sql.types._
+  val upcastMatrix: Set[(DataType, DataType)] = Set[(DataType, DataType)](
+    (ByteType, ByteType), (ByteType, IntegerType), (ByteType, LongType),
+    (ByteType, DoubleType),
+    (ShortType, IntegerType), (ShortType, LongType), (ShortType, DoubleType),
+    (IntegerType, IntegerType), (IntegerType, LongType), (IntegerType, DoubleType),
+    (LongType, LongType),
+    (FloatType, FloatType), (FloatType, DoubleType),
+    (DoubleType, DoubleType))
+
+  /** Widen a gathered column per the reference's allowed matrix; forbidden
+    * pairs (narrowing, i64→f64, float→int) throw — the Spark analog of the
+    * reference's `PyNotImplementedError` arm (`src/lib.rs:160`). */
+  def widen(c: Column, from: DataType, to: DataType): Column =
+    if (from == to) c
+    else if (upcastMatrix((from, to))) c.cast(to)
+    else throw new IllegalArgumentException(
+      s"take_1d upcast $from -> $to is outside the reference's allowed matrix")
+
   /** `take_2d_axis1` (`/root/reference/src/algos.rs:48-62`): gather
     * *columns* by position — in a declarative engine this is a pure
     * Catalyst projection (SURVEY.md §2.1), free of data movement. */
@@ -36,16 +61,27 @@ object TakeOps {
     * The caller-side `labels` contract of every reference kernel
     * (`src/lib.rs:781-783`). Null keys get code −1 (pandas' `dropna` label).
     *
-    * dense_rank over the *distinct* keys (not the raw rows) keeps the sort
-    * tiny; joining codes back is a broadcast at any realistic cardinality.
+    * Scale shape: a global window (`Window.orderBy` with no partitioning)
+    * would pull every distinct key through one task; instead the distinct
+    * set is range-partition sorted (a distributed `orderBy`) and codes are
+    * assigned with `zipWithIndex`, which numbers rows per partition and
+    * adds partition-offset prefix sums — one extra count job, no
+    * single-task stage, so high-cardinality keys (user ids, URLs)
+    * factorize at any scale.
     */
   def factorize(df: DataFrame, keys: Seq[String], codeCol: String = "code"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark    = df.sparkSession
     val keyCols  = keys.map(col)
     val nonNull  = keyCols.map(_.isNotNull).reduce(_ && _)
     val distinct = df.select(keyCols: _*).distinct()
-    val w = org.apache.spark.sql.expressions.Window.orderBy(keyCols: _*)
-    distinct.filter(nonNull)
-      .withColumn(codeCol, dense_rank().over(w).cast("long") - 1)
-      .unionByName(distinct.filter(!nonNull).withColumn(codeCol, lit(-1L)))
+    val sorted   = distinct.filter(nonNull).orderBy(keyCols: _*)
+    val schema   = StructType(distinct.schema.fields :+
+      StructField(codeCol, LongType, nullable = false))
+    val coded = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      schema)
+    coded.unionByName(distinct.filter(!nonNull).withColumn(codeCol, lit(-1L)))
   }
 }

@@ -353,10 +353,15 @@ object QueriesAgg {
 
   /** Kahan-compensated sum/mean via the custom `KahanSum`
     * DeclarativeAggregate (numeric fidelity with `group_mean`'s
-    * compensated accumulator, `src/groupby.rs:1325-1337`). No oracle:
-    * compensated results intentionally differ from naive engine sums in
-    * the low-order bits — correctness is spec-tested against exact
-    * BigDecimal sums instead (KahanSumSpec). */
+    * compensated accumulator, `src/groupby.rs:1325-1337`).
+    *
+    * Exact oracle: prices are integer cents, so DuckDB's HUGEINT sum of
+    * cents is the exact rational total; casting it to DOUBLE and dividing
+    * by 100.0 performs the identical two final roundings. The compensated
+    * engine sum reproduces that bit-for-bit (the Neumaier compensation
+    * recovers every low-order bit the naive running sum drops), where a
+    * naive partition-ordered double sum drifts — KahanSumSpec demonstrates
+    * the divergence against exact BigDecimal sums. */
   def qKahan(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     Tables.lineitem(spark, dir)
@@ -367,6 +372,15 @@ object QueriesAgg {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
   }
+
+  val qKahanOracle: String = """
+    WITH c AS (SELECT l_returnflag,
+                      CAST(round(l_extendedprice*100) AS HUGEINT) pc FROM lineitem)
+    SELECT l_returnflag,
+           CAST(sum(pc) AS DOUBLE)/100.0 AS ksum,
+           CAST(sum(pc) AS DOUBLE)/100.0/CAST(count(*) AS DOUBLE) AS kmean,
+           count(*) AS n
+    FROM c GROUP BY l_returnflag ORDER BY l_returnflag"""
 
   /** Grouped mode (most frequent value, ties → smallest value — pandas
     * `mode().iloc[0]`) and value_counts top-1: two-phase count + window
@@ -433,7 +447,7 @@ object QueriesAgg {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q1_flagship", q1, Some(q1Oracle)),
-    QueryDef("q_kahan_sum", qKahan, None),
+    QueryDef("q_kahan_sum", qKahan, Some(qKahanOracle)),
     QueryDef("q_approx_sketch", qApprox, None),
     QueryDef("q_dropna_keys", qDropNaKeys, Some(qDropNaKeysOracle)),
     QueryDef("q_mode", qMode, Some(qModeOracle)),

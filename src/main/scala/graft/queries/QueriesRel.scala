@@ -39,6 +39,44 @@ object QueriesRel {
     FROM idxr LEFT JOIN documents d2 ON idx = d2.doc_id
     ORDER BY idxr.doc_id"""
 
+  /** take_1d across the reference's dtype upcast matrix
+    * (`/root/reference/src/lib.rs:64-165`): gather embeddings' int32
+    * `label` widened to i64 and f64, and its float32 first component
+    * widened to f64 — the i8/i16/i32→{i64,f64} and f32→f64 arms on real
+    * mixed-dtype columns (forbidden arms, e.g. the commented-out i64→f64,
+    * are negative-tested in RelTakeSpec). */
+  def qTakeUpcast(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val emb = Tables.embeddings(spark, dir)
+    val n   = broadcast(emb.agg(count(lit(1)).as("n")))
+    val indexer = emb.select(col("vec_id")).crossJoin(n)
+      .withColumn("idx",
+        when(col("vec_id") % 31 === 0, lit(-1L))
+          .otherwise((col("vec_id") * 3 + 7) % col("n")))
+      .select("vec_id", "idx")
+    val values = emb.select(col("vec_id").as("pos"), col("label"),
+      element_at(col("embedding"), 1).as("e0"))
+    TakeOps.take1d(indexer, "idx", values, "pos")
+      .select(col("vec_id"), col("idx"),
+        TakeOps.widen(col("label"), IntegerType, LongType).as("label_l"),
+        TakeOps.widen(col("label"), IntegerType, DoubleType).as("label_d"),
+        TakeOps.widen(col("e0"), FloatType, DoubleType).as("e0_d"))
+      .orderBy("vec_id")
+  }
+
+  val qTakeUpcastOracle: String = """
+    WITH n AS (SELECT count(*) n FROM embeddings),
+    idxr AS (SELECT vec_id,
+                    CASE WHEN vec_id % 31 = 0 THEN -1
+                         ELSE (vec_id * 3 + 7) % n END idx
+             FROM embeddings CROSS JOIN n)
+    SELECT idxr.vec_id, idx,
+           CAST(e.label AS BIGINT) AS label_l,
+           CAST(e.label AS DOUBLE) AS label_d,
+           CAST(e.embedding[1] AS DOUBLE) AS e0_d
+    FROM idxr LEFT JOIN embeddings e ON idx = e.vec_id
+    ORDER BY idxr.vec_id"""
+
   /** Key factorization (labels contract, `src/lib.rs:781-783`): distinct
     * keys → dense codes in key order. */
   def qFactorize(spark: SparkSession, dir: String): DataFrame =
@@ -52,26 +90,38 @@ object QueriesRel {
     FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)
     ORDER BY code"""
 
-  /** Star join: fact × broadcast dims, revenue per nation (cents-exact).
-    * Catalyst broadcasts nation/region; orders↔lineitem is a shuffled hash
-    * join on the key both sides are large in. */
+  /** Star join: fact × dims, revenue per nation (cents-exact).
+    *
+    * Scale shape: lineitem is pre-aggregated per order BEFORE any join —
+    * that collapses ~4 lines/order at the first (and only wide) shuffle,
+    * turns `count(DISTINCT o_orderkey)` into a plain `count` (orders are
+    * unique per pre-aggregated row, so no distinct-Expand doubling and
+    * re-shuffling the joined fact), and lets the orders join reuse the
+    * hash partitioning the pre-aggregation already produced. Dims
+    * (customer at small SF, nation, region) are left to AQE's runtime
+    * broadcast conversion — customer scales with the fact at 100 TB, so a
+    * static broadcast hint would be wrong there; nation/region are
+    * constant-size and hinted. */
   def qJoinAgg(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .withColumn("pc", round(col("l_extendedprice") * 100).cast("long"))
-      .withColumn("dc", round(col("l_discount") * 100).cast("long"))
-    val o = Tables.orders(spark, dir)
-    val c = Tables.customer(spark, dir)
+    val perOrder = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        (round(col("l_extendedprice") * 100).cast("long")
+          * (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_c"))
+      .groupBy("l_orderkey")
+      .agg(sum(col("rev_c")).as("rev_c"), count(lit(1)).as("nl"))
+    val o   = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val c   = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
     val nat = Tables.nation(spark, dir)
     val reg = Tables.region(spark, dir)
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
+    perOrder.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
       .agg(
-        (sum(col("pc") * (lit(100L) - col("dc"))).cast("double") / 10000.0).as("revenue"),
-        countDistinct(col("o_orderkey")).as("n_orders"),
-        count(lit(1)).as("n_lines"))
+        (sum(col("rev_c")).cast("double") / 10000.0).as("revenue"),
+        count(lit(1)).as("n_orders"),
+        sum(col("nl")).as("n_lines"))
       .orderBy("r_name", "n_name")
   }
 
@@ -195,6 +245,7 @@ object QueriesRel {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_take", qTake, Some(qTakeOracle)),
+    QueryDef("q_take_upcast", qTakeUpcast, Some(qTakeUpcastOracle)),
     QueryDef("q_factorize", qFactorize, Some(qFactorizeOracle)),
     QueryDef("q_join_agg", qJoinAgg, Some(qJoinAggOracle)),
     QueryDef("q_anti_join", qAntiJoin, Some(qAntiJoinOracle)),

@@ -141,34 +141,54 @@ object QueriesSim {
     SELECT query_id, rk, neighbor_id, cos_sim
     FROM r WHERE rk <= $K ORDER BY query_id, rk"""
 
-  /** Embedding-cosine near-duplicate pairs (all-pairs at fixture scale;
-    * the LSH bucket variant is the 100 TB path). */
-  def qEmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
-    val q = emb.select(col("vec_id").as("id_a"),
-      SimilarityOps.quantize(col("embedding")).as("va"))
-    val c = emb.select(col("vec_id").as("id_b"),
-      SimilarityOps.quantize(col("embedding")).as("vb"))
-    q.join(c, col("id_a") < col("id_b"))
-      .withColumn("cos_sim", SimilarityOps.cosineQ(col("va"), col("vb")))
-      .where(col("cos_sim") >= 0.4)
-      .select("id_a", "id_b", "cos_sim")
-      .orderBy("id_a", "id_b")
-  }
+  val NdBands         = 8
+  val NdPlanesPerBand = 8
+  val NdThreshold     = 0.4
 
-  val qEmbedNearDupOracle: String = s"""
+  /** Embedding-cosine near-duplicate pairs via banded sign-LSH: candidates
+    * are pairs agreeing on all 8 planes of at least one of 8 bands
+    * (posting-list equi-join — no all-pairs product anywhere in the plan),
+    * exactly reranked and thresholded. The all-pairs exact join is the
+    * spec-only baseline (DedupSimSpec measures this plan's recall against
+    * it) — at 100 TB only the banded form survives, so the banded form is
+    * the declared operator and the oracle encodes the same band semantics
+    * (as q_embed_lsh's already does). */
+  def qEmbedNearDup(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.bandedNearDupPairs(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", NdBands, NdPlanesPerBand, NdThreshold)
+      .orderBy("id_a", "id_b")
+
+  val qEmbedNearDupOracle: String = {
+    def signSql(p: Int) =
+      s"((('0x'||substr(md5('plane${p}_' || CAST(i-1 AS VARCHAR)),1,8))::BIGINT % 2) * 2 - 1)"
+    val planeSums = (0 until NdBands * NdPlanesPerBand)
+      .map(p => s"sum(xi * ${signSql(p)}) sp$p").mkString(",\n                 ")
+    def bandSig(b: Int) = (0 until NdPlanesPerBand)
+      .map(i => s"CASE WHEN sp${b * NdPlanesPerBand + i} > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    val sigCols = (0 until NdBands).map(b => s"(${bandSig(b)}) b$b").mkString(", ")
+    val anyBand = (0 until NdBands).map(b => s"a.b$b = n.b$b").mkString(" OR ")
+    s"""
     WITH u AS (SELECT vec_id, generate_subscripts(embedding,1) i, unnest(embedding) x
                FROM embeddings),
     c AS (SELECT vec_id, i, $quantSql xi FROM u),
     nrm AS (SELECT vec_id, sum(xi*xi) n2 FROM c GROUP BY vec_id),
-    d AS (SELECT a.vec_id id_a, b.vec_id id_b, sum(a.xi*b.xi) dot
-          FROM c a JOIN c b ON a.i = b.i AND a.vec_id < b.vec_id
+    pl AS (SELECT vec_id,
+                 $planeSums
+           FROM c GROUP BY vec_id),
+    sig AS (SELECT vec_id, $sigCols FROM pl),
+    cand AS (SELECT a.vec_id id_a, n.vec_id id_b
+             FROM sig a JOIN sig n ON a.vec_id < n.vec_id AND ($anyBand)),
+    d AS (SELECT id_a, id_b, sum(a.xi*b.xi) dot
+          FROM cand JOIN c a ON id_a = a.vec_id
+                    JOIN c b ON id_b = b.vec_id AND a.i = b.i
           GROUP BY 1, 2),
     s AS (SELECT id_a, id_b,
                  CAST(dot AS DOUBLE)/sqrt(CAST(na.n2 AS DOUBLE)*CAST(nb.n2 AS DOUBLE)) cos_sim
           FROM d JOIN nrm na ON id_a = na.vec_id JOIN nrm nb ON id_b = nb.vec_id)
-    SELECT id_a, id_b, cos_sim FROM s WHERE cos_sim >= 0.4 ORDER BY id_a, id_b"""
+    SELECT id_a, id_b, cos_sim FROM s
+    WHERE cos_sim >= $NdThreshold ORDER BY id_a, id_b"""
+  }
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_embed_topk", qEmbedTopK, Some(qEmbedTopKOracle)),

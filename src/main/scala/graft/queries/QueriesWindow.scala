@@ -164,23 +164,45 @@ object QueriesWindow {
     FROM f2 JOIN bf ON f2.event_id = bf.event_id ORDER BY f2.event_id"""
 
   /** group_rank — all pandas tie methods + pct + na_option (completes the
-    * reference stub `src/lib.rs:1259-1274`). */
+    * reference stub `src/lib.rs:1259-1274`).
+    *
+    * Fused plan: all nine variants are arithmetic over TWO physical sorts
+    * (events.value is non-null, which the oracle verifies):
+    *   sort 1 — (event_type, value, event_id): rank/dense_rank (prefix
+    *     ordering), row_number ("first"), per-(key,value) tie counts and
+    *     per-key counts (prefix-satisfied, no re-sort). avg/min/max/pct are
+    *     rank + tie-count arithmetic; desc-rank over a non-null column is
+    *     n − max_asc_rank + 1 — no descending sort at all.
+    *   sort 2 — (event_type, v2 nulls-last): the na_option variants over
+    *     the nullable column.
+    * One-variant callers use [[WindowOps.rank]]; this query is the fused
+    * all-variants form (the reference computes each call separately —
+    * `src/lib.rs:1259-1274` is one kernel per method). */
   def qRank(spark: SparkSession, dir: String): DataFrame = {
-    val keys = Seq(col("event_type"))
+    import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(spark, dir)
       .withColumn("v2", when(col("event_id") % 9 =!= 0, col("value")))
+    val wFull = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    val wVal  = Window.partitionBy(col("event_type")).orderBy(col("value").asc)
+    val wTie  = Window.partitionBy(col("event_type"), col("value"))
+    val wAll  = Window.partitionBy(col("event_type"))
+    val wNa   = Window.partitionBy(col("event_type")).orderBy(col("v2").asc_nulls_last)
+    val rk   = org.apache.spark.sql.functions.rank().over(wVal).cast("double")
+    val tcnt = count(lit(1)).over(wTie).cast("double")
+    val nv   = count(col("value")).over(wAll).cast("double")
+    val nall = count(lit(1)).over(wAll).cast("double")
+    val rk2  = org.apache.spark.sql.functions.rank().over(wNa).cast("double")
     ev.select(col("event_id"), col("event_type"), col("value"),
-        WindowOps.rank(col("value"), keys, "average").as("r_avg"),
-        WindowOps.rank(col("value"), keys, "min").as("r_min"),
-        WindowOps.rank(col("value"), keys, "max").as("r_max"),
-        WindowOps.rank(col("value"), keys, "dense").as("r_dense"),
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("event_type")).orderBy(col("value"), col("event_id")))
-          .cast("double").as("r_first"),
-        WindowOps.rank(col("value"), keys, "average", pct = true).as("r_pct"),
-        WindowOps.rank(col("v2"), keys, "min", naOption = "keep").as("r_na_keep"),
-        WindowOps.rank(col("v2"), keys, "min", naOption = "bottom").as("r_na_bottom"),
-        WindowOps.rank(col("value"), keys, "min", ascending = false).as("r_desc"))
+        (rk + (tcnt - 1) / 2).as("r_avg"),
+        rk.as("r_min"),
+        (rk + tcnt - 1).as("r_max"),
+        dense_rank().over(wVal).cast("double").as("r_dense"),
+        row_number().over(wFull).cast("double").as("r_first"),
+        ((rk + (tcnt - 1) / 2) / nv).as("r_pct"),
+        when(col("v2").isNull, lit(null)).otherwise(rk2).as("r_na_keep"),
+        rk2.as("r_na_bottom"),
+        (nall - (rk + tcnt - 1) + 1).as("r_desc"))
       .orderBy("event_id")
   }
 

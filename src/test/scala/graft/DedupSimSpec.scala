@@ -61,6 +61,57 @@ class DedupSimSpec extends SparkSpec {
     assert(got(1L) == 1.0 && got(2L) == 0.0 && got(3L) == -1.0)
   }
 
+  test("lshBucket codegen matches the interpreted HOF formulation") {
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(dim)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val q = SimilarityOps.quantize($"embedding")
+    // reference formulation: interpreted zip_with/aggregate over runtime md5
+    def planeSignHof(p: Int, j: org.apache.spark.sql.Column) =
+      (graft.functions.TextFunctions.md5Hash32(
+        concat(lit(s"plane${p}_"), j.cast("string"))) % 2) * 2 - 1
+    val hofBucket = (0 until 6).map { p =>
+      val signed = zip_with(q, sequence(lit(0), size(q) - 1),
+        (x, j) => x * planeSignHof(p, j))
+      when(aggregate(signed, lit(0L), (acc, x) => acc + x) > 0, lit(1L << p))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val got = vecs.select(
+      SimilarityOps.lshBucket(q, 6, dim).as("fast"), hofBucket.as("hof")).collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("bandedNearDupPairs: exact subset of all-pairs; full recall on planted dups") {
+    val rnd = new scala.util.Random(3)
+    val dim = 32
+    val base = (0 until 60).map(_ => Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+    // plant 10 near-identical pairs (ids 100+i duplicates id i, tiny noise)
+    val planted = (0 until 10).map { i =>
+      (100L + i, base(i).map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f))
+    }
+    val vecs = (base.indices.map(i => (i.toLong, base(i))) ++ planted)
+      .toDF("vec_id", "embedding")
+    val banded = SimilarityOps.bandedNearDupPairs(
+        vecs, "vec_id", "embedding", bands = 8, planesPerBand = 8, 0.4, dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // all-pairs exact baseline (the plan that cannot survive 100×; kept
+    // here as the spec-only oracle for the banded production path)
+    val a = vecs.select($"vec_id".as("id_a"), SimilarityOps.quantize($"embedding").as("va"))
+    val b = vecs.select($"vec_id".as("id_b"), SimilarityOps.quantize($"embedding").as("vb"))
+    val allPairs = a.join(b, $"id_a" < $"id_b")
+      .withColumn("cos_sim", SimilarityOps.cosineQ($"va", $"vb"))
+      .where($"cos_sim" >= 0.4)
+      .select("id_a", "id_b", "cos_sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // banded ⊆ all-pairs with identical exact similarities
+    banded.foreach { case (pair, sim) => assert(allPairs(pair) == sim) }
+    // 100% recall in the regime banded LSH targets: planted near-identical
+    // pairs (cos ≈ 1) must all collide in at least one band
+    (0 until 10).foreach(i => assert(banded.contains((i.toLong, 100L + i)),
+      s"planted dup pair ($i, ${100 + i}) missed"))
+  }
+
   test("lshTopK: bucket-mates of the query are exact-cosine ranked") {
     val rnd = new scala.util.Random(7)
     val vecs = (0L until 50L).map(i =>

@@ -23,7 +23,8 @@ class EntrySpec extends SparkSpec {
       "q_dedup_exact", "q_minhash_sig", "q_neardup_lsh", "q_simhash",
       "q_embed_topk", "q_embed_lsh", "q_embed_neardup",
       "q_text_stats", "q_quality", "q_langid", "q_fingerprint",
-      "q_window_tumbling", "q_window_sliding", "q_session_window")
+      "q_window_tumbling", "q_window_sliding", "q_session_window",
+      "q_take_upcast", "q_frame_sample", "q_kahan_sum")
     val missing = mustHave.filterNot(qs.contains)
     assert(missing.isEmpty, s"missing: $missing")
   }

@@ -24,6 +24,40 @@ class RelTakeSpec extends SparkSpec {
     assert(got == Map(Some("a") -> 0L, Some("b") -> 1L, Some("c") -> 2L, None -> -1L))
   }
 
+  test("widen: allowed matrix pairs cast; forbidden pairs throw") {
+    import org.apache.spark.sql.types._
+    val df = Seq((1, 2L, 3.5f, 4.5)).toDF("i", "l", "f", "d")
+    // allowed arms (reference lib.rs:64-165)
+    val widened = df.select(
+      TakeOps.widen(col("i"), IntegerType, LongType).as("i_l"),
+      TakeOps.widen(col("i"), IntegerType, DoubleType).as("i_d"),
+      TakeOps.widen(col("f"), FloatType, DoubleType).as("f_d"),
+      TakeOps.widen(col("d"), DoubleType, DoubleType).as("d_d")).collect()(0)
+    assert(widened.getLong(0) == 1L && widened.getDouble(1) == 1.0)
+    assert(widened.getDouble(2) == 3.5 && widened.getDouble(3) == 4.5)
+    // forbidden arms: i64→f64 (the reference's commented-out TODO arm),
+    // narrowing, float→int
+    for ((from, to) <- Seq((LongType: DataType, DoubleType: DataType),
+        (LongType, IntegerType), (DoubleType, FloatType),
+        (DoubleType, LongType), (FloatType, IntegerType)))
+      intercept[IllegalArgumentException](TakeOps.widen(col("l"), from, to))
+  }
+
+  test("factorize: high-cardinality keys, distributed plan (no Window)") {
+    val n = 20000
+    val df = spark.range(n * 3L)
+      .selectExpr("CAST((id * 7919) % 20000 AS BIGINT) AS k") // shuffled key order
+    val got = TakeOps.factorize(df, Seq("k"))
+    assert(!got.queryExecution.executedPlan.toString.contains("Window"),
+      "factorize must not use a window (single-task sort at scale)")
+    val rows = got.orderBy("code").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == n)
+    // dense codes 0..n-1 aligned with ascending key order
+    assert(rows.map(_._2).toSeq == (0L until n.toLong))
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    assert(rows.head == (0L, 0L) && rows.last == (19999L, (n - 1).toLong))
+  }
+
   test("asof join picks the latest right row at-or-before, inclusive") {
     val left = Seq((1L, 100L, 10L), (2L, 100L, 25L), (3L, 100L, 5L))
       .toDF("id", "k", "t")
