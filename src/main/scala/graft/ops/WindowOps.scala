@@ -36,6 +36,25 @@ object WindowOps {
     else when(seenNa(v, keys, ord), lit(null)).otherwise(run)
   }
 
+  /** Per-group compensated running sum — float-fidelity parity with the
+    * reference's Kahan `CumSumAccumulator` for f32/f64
+    * (`src/groupby.rs:314-360`): the [[graft.functions.KahanSum]]
+    * DeclarativeAggregate evaluated over a running frame, so each prefix
+    * sum is Neumaier-compensated instead of naively accumulated. Same
+    * streamed one-sort window plan as [[cumsum]] (the aggregate buffer is
+    * (sum, comp, seen) — constant state per group). Use for raw-double
+    * pipelines; the oracle-checked queries use integer cents instead,
+    * which makes plain [[cumsum]] already exact. */
+  def cumsumKahan(v: Column, keys: Seq[Column], ord: Seq[Column],
+                  skipna: Boolean = true): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val run = ColumnBridge.column(
+      graft.functions.KahanSum(ColumnBridge.expression(v)).toAggregateExpression())
+      .over(cum(keys, ord))
+    if (skipna) when(v.isNull, lit(null)).otherwise(run)
+    else when(seenNa(v, keys, ord), lit(null)).otherwise(run)
+  }
+
   /** Per-group running product — `group_cumprod` (`src/groupby.rs:211-300`). */
   def cumprod(v: Column, keys: Seq[Column], ord: Seq[Column],
               skipna: Boolean = true): Column = {

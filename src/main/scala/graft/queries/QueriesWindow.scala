@@ -254,6 +254,90 @@ object QueriesWindow {
            CASE WHEN l <> 0 THEN CAST(c - l AS DOUBLE)/CAST(l AS DOUBLE) END AS pct_change
     FROM w ORDER BY event_id"""
 
+  /** Fixed-width binning (pandas `cut` with integer-edge bins) + per-bin
+    * aggregation: a pure projection (codegen arithmetic, no shuffle until
+    * the final tiny bin agg) — the 100 TB histogram shape. */
+  def qCut(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("bin", floor((col("l_quantity") - 1) / 10).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        (sum(round(col("l_extendedprice") * 100).cast("long")).cast("double") / 100.0)
+          .as("sum_price"))
+      .orderBy("bin")
+
+  val qCutOracle: String = """
+    WITH c AS (SELECT CAST(floor((l_quantity - 1)/10) AS BIGINT) bin,
+                      l_quantity,
+                      CAST(round(l_extendedprice*100) AS BIGINT) pc
+               FROM lineitem)
+    SELECT bin, count(*) AS n, min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty,
+           CAST(sum(pc) AS DOUBLE)/100.0 AS sum_price
+    FROM c GROUP BY bin ORDER BY bin"""
+
+  /** Quantile binning (pandas `qcut(4)`): ntile over a deterministic
+    * (value, id) order, then per-tile stats. */
+  def qQcut(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("tile", ntile(4).over(w).cast("long"))
+      .groupBy("event_type", "tile")
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"))
+      .orderBy("event_type", "tile")
+  }
+
+  val qQcutOracle: String = """
+    WITH t AS (SELECT event_type, value,
+                      ntile(4) OVER (PARTITION BY event_type
+                                     ORDER BY value, event_id) tile
+               FROM events)
+    SELECT event_type, tile, count(*) AS n, min(value) AS min_v, max(value) AS max_v
+    FROM t GROUP BY event_type, tile ORDER BY event_type, tile"""
+
+  /** Rolling window aggregates (pandas `rolling(5)` with the default
+    * min_periods = window): per-user 5-row sum/mean/min/max over the
+    * event-id order — one shuffle + one sort, running frames streamed. */
+  def qRolling(spark: SparkSession, dir: String): DataFrame = {
+    val w5 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(-4, org.apache.spark.sql.expressions.Window.currentRow)
+    val c    = round(col("value") * 100).cast("long")
+    val cnt  = count(lit(1)).over(w5)
+    val full = cnt === 5
+    Tables.events(spark, dir)
+      .withColumn("c", c)
+      .select(col("event_id"), col("user_id"), col("value"),
+        when(full, sum(col("c")).over(w5).cast("double") / 100.0).as("roll_sum"),
+        when(full, (sum(col("c")).over(w5).cast("double") / 100.0) / 5.0).as("roll_mean"),
+        when(full, min(col("value")).over(w5)).as("roll_min"),
+        when(full, max(col("value")).over(w5)).as("roll_max"))
+      .orderBy("event_id")
+  }
+
+  val qRollingOracle: String = """
+    WITH e AS (SELECT event_id, user_id, value,
+                      CAST(round(value*100) AS BIGINT) c FROM events),
+    w AS (SELECT event_id, user_id, value,
+                 sum(c)   OVER win rs,
+                 min(value) OVER win rmin,
+                 max(value) OVER win rmax,
+                 count(*) OVER win cnt
+          FROM e
+          WINDOW win AS (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+    SELECT event_id, user_id, value,
+           CASE WHEN cnt = 5 THEN CAST(rs AS DOUBLE)/100.0 END AS roll_sum,
+           CASE WHEN cnt = 5 THEN CAST(rs AS DOUBLE)/100.0/5.0 END AS roll_mean,
+           CASE WHEN cnt = 5 THEN rmin END AS roll_min,
+           CASE WHEN cnt = 5 THEN rmax END AS roll_max
+    FROM w ORDER BY event_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_cumsum", qCumsum, Some(qCumsumOracle)),
     QueryDef("q_diff_pct", qDiffPct, Some(qDiffPctOracle)),
@@ -261,5 +345,8 @@ object QueriesWindow {
     QueryDef("q_cum_minmax", qCumMinMax, Some(qCumMinMaxOracle)),
     QueryDef("q_shift", qShift, Some(qShiftOracle)),
     QueryDef("q_fill", qFill, Some(qFillOracle)),
-    QueryDef("q_rank", qRank, Some(qRankOracle)))
+    QueryDef("q_rank", qRank, Some(qRankOracle)),
+    QueryDef("q_cut", qCut, Some(qCutOracle)),
+    QueryDef("q_qcut", qQcut, Some(qQcutOracle)),
+    QueryDef("q_rolling", qRolling, Some(qRollingOracle)))
 }

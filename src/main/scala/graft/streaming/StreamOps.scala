@@ -58,7 +58,11 @@ object StreamOps {
     * input event with its per-key running sum — the stateful analog of
     * `group_cumsum` for unbounded streams (reference cumulative kernels
     * need the whole group in hand; stream state holds just one double per
-    * key). Works identically on batch Datasets (state spans the group). */
+    * key).
+    *
+    * The intra-batch `toSeq.sortBy` materializes one key's slice of ONE
+    * micro-batch (bounded by trigger size) — fine for streams; for large
+    * BATCH groups use [[batchCumsum]], which never materializes a group. */
   def statefulCumsum(ds: org.apache.spark.sql.Dataset[(Long, Long, Double)])
       : org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
     import ds.sparkSession.implicits._
@@ -75,6 +79,28 @@ object StreamOps {
           }
           state.update(acc)
           out.iterator
+      }
+  }
+
+  /** Batch-scale running sum with the same (id, key, value) → running-sum
+    * contract as [[statefulCumsum]]: shuffle by key, external-sort within
+    * partitions, then a single streaming pass with one accumulator — rows
+    * are never collected into memory per group, so group size is unbounded
+    * (the WindowExec-style shape, expressed imperatively for reuse as a
+    * mapPartitions pattern). */
+  def batchCumsum(ds: org.apache.spark.sql.Dataset[(Long, Long, Double)])
+      : org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    import ds.sparkSession.implicits._
+    ds.repartition(col("_2")).sortWithinPartitions(col("_2"), col("_1"))
+      .mapPartitions { rows =>
+        var curKey = Long.MinValue
+        var first  = true
+        var acc    = 0.0
+        rows.map { case (id, k, v) =>
+          if (first || k != curKey) { curKey = k; acc = 0.0; first = false }
+          acc += v
+          (id, k, acc)
+        }
       }
   }
 }

@@ -63,4 +63,24 @@ class ScaleOpsSpec extends SparkSpec {
       batch.foreach { case (id, cs) => assert(got(id) == cs, s"event $id") }
     } finally q.stop()
   }
+
+  test("batchCumsum: streaming-pass batch variant matches the window cumsum") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val rows = (0L until 5000L).map(i => (i, (rnd.nextInt(7)).toLong,
+      rnd.nextInt(1000).toDouble))
+    val ds = rows.toDF("id", "k", "v").as[(Long, Long, Double)]
+    val expected = ds.toDF("id", "k", "v")
+      .select(col("id"),
+        sum("v").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("k").orderBy("id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+          .as("cs"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = StreamOps.batchCumsum(ds).collect()
+      .map { case (id, _, cs) => id -> cs }.toMap
+    assert(got.size == expected.size)
+    // integral values, per-key ordered accumulation -> exact equality
+    expected.foreach { case (id, cs) => assert(got(id) == cs, s"row $id") }
+  }
 }
