@@ -185,24 +185,35 @@ object QueriesWindow {
     val wFull = Window.partitionBy(col("event_type"))
       .orderBy(col("value").asc, col("event_id").asc)
     val wVal  = Window.partitionBy(col("event_type")).orderBy(col("value").asc)
-    val wTie  = Window.partitionBy(col("event_type"), col("value"))
+    // Tie count via the RANGE peer-group frame over the SAME (type, value)
+    // ordering — partitioning by the raw double would get wrapped in
+    // NaN/-0.0 normalization and force its own sort.
+    val wTie  = wVal.rangeBetween(Window.currentRow, Window.currentRow)
     val wAll  = Window.partitionBy(col("event_type"))
     val wNa   = Window.partitionBy(col("event_type")).orderBy(col("v2").asc_nulls_last)
-    val rk   = org.apache.spark.sql.functions.rank().over(wVal).cast("double")
-    val tcnt = count(lit(1)).over(wTie).cast("double")
-    val nv   = count(col("value")).over(wAll).cast("double")
-    val nall = count(lit(1)).over(wAll).cast("double")
-    val rk2  = org.apache.spark.sql.functions.rank().over(wNa).cast("double")
-    ev.select(col("event_id"), col("event_type"), col("value"),
+    // The withColumn chain fixes the WindowExec stacking order: the full
+    // (value, event_id) sort runs first, and every later asc window's
+    // required ordering is a prefix of it — so no re-sort until the one
+    // genuinely different ordering (v2 nulls-last).
+    val staged = ev
+      .withColumn("__rf", row_number().over(wFull).cast("double"))
+      .withColumn("__rk", org.apache.spark.sql.functions.rank().over(wVal).cast("double"))
+      .withColumn("__dr", dense_rank().over(wVal).cast("double"))
+      .withColumn("__tc", count(lit(1)).over(wTie).cast("double"))
+      .withColumn("__nv", count(col("value")).over(wAll).cast("double"))
+      .withColumn("__na", count(lit(1)).over(wAll).cast("double"))
+      .withColumn("__r2", org.apache.spark.sql.functions.rank().over(wNa).cast("double"))
+    val rk = col("__rk"); val tcnt = col("__tc")
+    staged.select(col("event_id"), col("event_type"), col("value"),
         (rk + (tcnt - 1) / 2).as("r_avg"),
         rk.as("r_min"),
         (rk + tcnt - 1).as("r_max"),
-        dense_rank().over(wVal).cast("double").as("r_dense"),
-        row_number().over(wFull).cast("double").as("r_first"),
-        ((rk + (tcnt - 1) / 2) / nv).as("r_pct"),
-        when(col("v2").isNull, lit(null)).otherwise(rk2).as("r_na_keep"),
-        rk2.as("r_na_bottom"),
-        (nall - (rk + tcnt - 1) + 1).as("r_desc"))
+        col("__dr").as("r_dense"),
+        col("__rf").as("r_first"),
+        ((rk + (tcnt - 1) / 2) / col("__nv")).as("r_pct"),
+        when(col("v2").isNull, lit(null)).otherwise(col("__r2")).as("r_na_keep"),
+        col("__r2").as("r_na_bottom"),
+        (col("__na") - (rk + tcnt - 1) + 1).as("r_desc"))
       .orderBy("event_id")
   }
 
