@@ -243,6 +243,42 @@ object QueriesRel {
     SELECT event_id, user_id, value, last_click_value
     FROM s WHERE isr = 0 ORDER BY event_id"""
 
+  /** Pivot (pandas pivot_table): linestatus values become columns, one
+    * row per returnflag — Catalyst plans this as a single hash aggregate
+    * with conditional sums (no per-value scans). */
+  def qPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(col("l_quantity")))
+      .orderBy("l_returnflag")
+
+  val qPivotOracle: String = """
+    SELECT l_returnflag,
+           sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS F,
+           sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS O
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** Melt / unpivot (pandas melt): wide numeric columns to long
+    * (id, variable, value) rows — a pure projection + generator, no
+    * shuffle. */
+  def qMelt(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "variable", "value")
+      .orderBy("l_orderkey", "l_linenumber", "variable")
+
+  val qMeltOracle: String = """
+    SELECT l_orderkey, l_linenumber, variable, "value" FROM (
+      SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,
+             l_quantity AS "value" FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+    ORDER BY l_orderkey, l_linenumber, variable"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_take", qTake, Some(qTakeOracle)),
     QueryDef("q_take_upcast", qTakeUpcast, Some(qTakeUpcastOracle)),
@@ -252,5 +288,7 @@ object QueriesRel {
     QueryDef("q_semi_join", qSemiJoin, Some(qSemiJoinOracle)),
     QueryDef("q_set_ops", qSetOps, Some(qSetOpsOracle)),
     QueryDef("q_topk", qTopK, Some(qTopKOracle)),
-    QueryDef("q_asof", qAsof, Some(qAsofOracle)))
+    QueryDef("q_asof", qAsof, Some(qAsofOracle)),
+    QueryDef("q_pivot", qPivot, Some(qPivotOracle)),
+    QueryDef("q_melt", qMelt, Some(qMeltOracle)))
 }

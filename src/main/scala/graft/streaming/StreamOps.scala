@@ -54,6 +54,25 @@ object StreamOps {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Event-time interval join (stream-stream or batch): each left row
+    * joins right rows with the same key whose timestamp falls in
+    * [left.ts − lookback, left.ts]. Watermarks on both sides bound the
+    * join state (Spark drops right-state older than the watermark +
+    * interval), which is what makes the stream-stream join runnable
+    * indefinitely; on batch frames `withWatermark` is a no-op and the same
+    * builder plans a plain range-condition join. Key columns must be
+    * distinctly named on the two sides. */
+  def intervalJoin(left: DataFrame, leftKey: String, leftTs: String,
+                   right: DataFrame, rightKey: String, rightTs: String,
+                   lookback: String, watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL '$lookback'") &&
+        col(rightTs) <= col(leftTs))
+  }
+
   /** Custom per-key running state via flatMapGroupsWithState: emits each
     * input event with its per-key running sum — the stateful analog of
     * `group_cumsum` for unbounded streams (reference cumulative kernels

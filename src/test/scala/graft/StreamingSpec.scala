@@ -36,6 +36,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join == batch join") {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_event"))
+    val batch = StreamOps.intervalJoin(purchases, "user_id", "ts",
+        clicks, "c_user", "c_ts", "1 hour", "2 hours")
+      .select("event_id", "c_event")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty)
+
+    purchases.write.mode("overwrite").parquet("/tmp/graft_ssj_l")
+    clicks.write.mode("overwrite").parquet("/tmp/graft_ssj_r")
+    val lStream = spark.readStream.schema(purchases.schema).parquet("/tmp/graft_ssj_l")
+    val rStream = spark.readStream.schema(clicks.schema).parquet("/tmp/graft_ssj_r")
+    val q = StreamOps.intervalJoin(lStream, "user_id", "ts",
+        rStream, "c_user", "c_ts", "1 hour", "2 hours")
+      .select("event_id", "c_event")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssj_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ssj_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("session windows merge events with gaps under the timeout") {
     val got = StreamOps.sessionAgg(Tables.events(spark, dir), "ts", "30 minutes",
         Seq(col("user_id")), Seq(count(lit(1)).as("n")))
