@@ -122,6 +122,44 @@ object DedupOps {
     jaccardOnPairs(cand, sh).where(col("jaccard") >= threshold)
   }
 
+  /** Connected components over near-dup pairs → (id, cluster_id = minimum
+    * id in the component): the canonical-document assignment step of a
+    * dedup pipeline (pairs alone don't say which doc survives when dups
+    * chain a-b-c). Iterative min-label propagation: each node takes the
+    * min label of itself and its neighbors until fixpoint — O(component
+    * diameter) rounds, and near-dup components are shallow by
+    * construction. The per-round `count()` is the driver-side convergence
+    * check (a justified phase barrier, same as the LSH checkpoints); each
+    * round's labels are persisted so lineage stays one round deep. */
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .persist(MEMORY_AND_DISK)
+    var changed = labels.count() // materialize; any nonzero starts the loop
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
+      val updated = labels
+        .join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .persist(MEMORY_AND_DISK)
+      changed = updated.join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
+        .where(col("cluster_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = updated
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** SimHash signature (first `bits` bits, LSB-first) from word-level
     * 32-bit hashes: bit b set iff Σ_words (±1 for bit b of word hash) > 0.
     * Hamming-near signatures → near-dup docs (Charikar 2002; used by

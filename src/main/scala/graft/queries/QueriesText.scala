@@ -225,6 +225,83 @@ object QueriesText {
     SELECT * FROM j WHERE jaccard >= $JaccardThreshold ORDER BY id_a, id_b"""
   }
 
+  /** Text normalization (the cleaning pass that precedes dedup in an LLM
+    * data pipeline): lowercase, strip non-alphanumerics, collapse runs of
+    * spaces, trim — then digest + post-normalization stats. Pure codegen
+    * projection; regex classes are chosen to mean the same thing in Java
+    * regex and RE2. */
+  def qNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    Tables.documents(spark, dir).select(
+        col("doc_id"),
+        md5(norm).as("norm_digest"),
+        length(norm).cast("long").as("n_chars_norm"),
+        (length(norm) - length(translate(norm, " ", "")) + 1).cast("long")
+          .as("n_words_norm"))
+      .orderBy("doc_id")
+  }
+
+  val qNormalizeOracle: String = """
+    WITH n AS (SELECT doc_id,
+                      trim(regexp_replace(regexp_replace(lower(text),
+                           '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) norm
+               FROM documents)
+    SELECT doc_id, md5(norm) AS norm_digest,
+           CAST(length(norm) AS BIGINT) AS n_chars_norm,
+           CAST(length(norm) - length(replace(norm, ' ', '')) + 1 AS BIGINT)
+             AS n_words_norm
+    FROM n ORDER BY doc_id"""
+
+  /** Dedup clustering: connected components over the near-dup pairs,
+    * cluster id = min doc id in the component (the doc that survives).
+    * Oracle: the same pair CTE + a recursive transitive closure (fine at
+    * oracle scale; the engine's label propagation is the scale path). */
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.dedupClusters(
+        DedupOps.minhashNearDupsWords(Tables.documents(spark, dir), "doc_id",
+          "text", Bands, Rows, JaccardThreshold))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy("doc_id")
+
+  val qDedupClustersOracle: String = {
+    val mhs = MinhashAB.indices.map(minhashExprSql).mkString(", ")
+    val bandKeys = (0 until Bands).map { b =>
+      val key = (0 until Rows).map(r => s"CAST(mh${b * Rows + r} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT id, $b AS band, $key AS bkey FROM sigs"
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+    WITH RECURSIVE $shingleCte,
+    sigs AS (SELECT id, $mhs FROM h GROUP BY id),
+    banded AS (
+      $bandKeys),
+    cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+             FROM banded x JOIN banded y
+               ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id),
+    sz AS (SELECT id, count(*) AS sz FROM h GROUP BY id),
+    inter AS (SELECT id_a, id_b, count(*) AS inter
+              FROM cand JOIN h sa ON id_a = sa.id
+                        JOIN h sb ON id_b = sb.id AND sa.h = sb.h
+              GROUP BY id_a, id_b),
+    pairs AS (SELECT cand.id_a, cand.id_b
+          FROM cand LEFT JOIN inter USING (id_a, id_b)
+                    JOIN sz x ON cand.id_a = x.id
+                    JOIN sz y ON cand.id_b = y.id
+          WHERE CAST(COALESCE(inter, 0) AS DOUBLE) /
+                  CAST(x.sz + y.sz - COALESCE(inter, 0) AS DOUBLE)
+                >= $JaccardThreshold),
+    edges AS (SELECT id_a a, id_b b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    cc AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+           FROM reach GROUP BY a)
+    SELECT doc_id, cluster_id FROM cc ORDER BY doc_id"""
+  }
+
   /** SimHash signatures (word-level, ${SimhashBits}-bit). */
   def qSimhash(spark: SparkSession, dir: String): DataFrame =
     DedupOps.simhash(Tables.documents(spark, dir), "doc_id", "text", SimhashBits)
@@ -255,5 +332,7 @@ object QueriesText {
     QueryDef("q_dedup_exact", qDedupExact, Some(qDedupExactOracle)),
     QueryDef("q_minhash_sig", qMinhashSig, Some(qMinhashSigOracle)),
     QueryDef("q_neardup_lsh", qNearDupLsh, Some(qNearDupLshOracle)),
+    QueryDef("q_dedup_clusters", qDedupClusters, Some(qDedupClustersOracle)),
+    QueryDef("q_normalize", qNormalize, Some(qNormalizeOracle)),
     QueryDef("q_simhash", qSimhash, Some(qSimhashOracle)))
 }

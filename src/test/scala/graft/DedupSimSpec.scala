@@ -42,6 +42,15 @@ class DedupSimSpec extends SparkSpec {
     assert(!got.keySet.exists { case (a, b) => b == 3L || a == 3L })
   }
 
+  test("dedupClusters: chained pairs collapse to one component with min-id label") {
+    // components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,6}; singletons absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val got = DedupOps.dedupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("simhash: identical docs equal; near dups within small hamming distance") {
     val sh = DedupOps.simhash(docs, "doc_id", "text", 48).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
