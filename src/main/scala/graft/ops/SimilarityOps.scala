@@ -192,6 +192,40 @@ object SimilarityOps {
       .select("query_id", "rk", "neighbor_id", "cos_sim")
   }
 
+  /** Multi-probe LSH top-k: with more planes (finer buckets — the 100 TB
+    * direction, since bucket population shrinks 2× per plane) recall is
+    * restored by ALSO probing every bucket at Hamming distance ≤ 1 from
+    * the query's: the query side (small, broadcast) expands to
+    * planes + 1 probe buckets; the corpus is hashed once. A corpus vector
+    * matches at most one probe (probe buckets are distinct), so no
+    * dedup pass is needed before the rerank. */
+  def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame, idCol: String,
+                        vecCol: String, k: Int, planes: Int,
+                        dim: Int = 64): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+        quantize(col(vecCol)).as("qv"))
+      .withColumn("qbucket", lshBucket(col("qv"), planes, dim))
+      .withColumn("qn", norm2Q(col("qv")))
+    val probes = broadcast(q.withColumn("bucket",
+      explode(array(col("qbucket") +:
+        (0 until planes).map(p => col("qbucket").bitwiseXOR(lit(1L << p))): _*))))
+    val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
+      .withColumn("bucket", lshBucket(col("cv"), planes, dim))
+      .withColumn("cn", norm2Q(col("cv")))
+    val scored = c.join(probes, Seq("bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim",
+        when(col("qn") === 0 || col("cn") === 0, lit(null))
+          .otherwise(dotQ(col("qv"), col("cv")).cast("double") /
+            sqrt(col("qn").cast("double") * col("cn").cast("double"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select("query_id", "rk", "neighbor_id", "cos_sim")
+  }
+
   /** LSH-bucketed approximate top-k: exact cosine rerank, but only within
     * the query's bucket. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,

@@ -93,6 +93,55 @@ object QueriesSim {
     FROM r WHERE rk <= $K ORDER BY query_id, rk"""
   }
 
+  val ProbePlanes = 8
+
+  /** Multi-probe LSH top-k: 8 planes (256 buckets — the finer-bucket
+    * regime coarse q_embed_lsh can't reach without losing recall) with
+    * Hamming-distance-≤1 probing on the query side. */
+  def qEmbedLshProbe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    SimilarityOps.lshTopKMultiProbe(
+        emb.where(col("vec_id") % QueryMod === 0), emb, "vec_id", "embedding",
+        K, ProbePlanes)
+      .orderBy("query_id", "rk")
+  }
+
+  val qEmbedLshProbeOracle: String = {
+    def signSql(p: Int) =
+      s"((('0x'||substr(md5('plane${p}_' || CAST(i-1 AS VARCHAR)),1,8))::BIGINT % 2) * 2 - 1)"
+    val planeSums = (0 until ProbePlanes)
+      .map(p => s"sum(xi * ${signSql(p)}) sp$p").mkString(",\n                 ")
+    val bucket = (0 until ProbePlanes)
+      .map(p => s"CASE WHEN sp$p > 0 THEN ${1L << p} ELSE 0 END")
+      .mkString(" + ")
+    s"""
+    WITH u AS (SELECT vec_id, generate_subscripts(embedding,1) i, unnest(embedding) x
+               FROM embeddings),
+    c AS (SELECT vec_id, i, $quantSql xi FROM u),
+    pl AS (SELECT vec_id,
+                 $planeSums
+           FROM c GROUP BY vec_id),
+    bk AS (SELECT vec_id, CAST($bucket AS BIGINT) bucket FROM pl),
+    nrm AS (SELECT vec_id, sum(xi*xi) n2 FROM c GROUP BY vec_id),
+    cand AS (SELECT qb.vec_id qid, cb.vec_id nid
+             FROM bk qb JOIN bk cb
+               ON qb.vec_id % $QueryMod = 0 AND qb.vec_id <> cb.vec_id
+               AND bit_count(xor(qb.bucket, cb.bucket)) <= 1),
+    d AS (SELECT qid, nid, sum(q.xi*c2.xi) dot
+          FROM cand JOIN c q ON qid = q.vec_id
+                    JOIN c c2 ON nid = c2.vec_id AND q.i = c2.i
+          GROUP BY qid, nid),
+    s AS (SELECT qid, nid,
+                 CAST(dot AS DOUBLE)/sqrt(CAST(nq.n2 AS DOUBLE)*CAST(nc.n2 AS DOUBLE)) cos_sim
+          FROM d JOIN nrm nq ON qid = nq.vec_id JOIN nrm nc ON nid = nc.vec_id),
+    r AS (SELECT qid query_id, nid neighbor_id, cos_sim,
+                 CAST(row_number() OVER (PARTITION BY qid
+                        ORDER BY cos_sim DESC, nid) AS BIGINT) rk
+          FROM s)
+    SELECT query_id, rk, neighbor_id, cos_sim
+    FROM r WHERE rk <= $K ORDER BY query_id, rk"""
+  }
+
   val IvfMod = 25 // vec_id % IvfMod == IvfRem → centroid
   val IvfRem = 7
 
@@ -193,6 +242,7 @@ object QueriesSim {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_embed_topk", qEmbedTopK, Some(qEmbedTopKOracle)),
     QueryDef("q_embed_lsh", qEmbedLsh, Some(qEmbedLshOracle)),
+    QueryDef("q_embed_lsh_probe", qEmbedLshProbe, Some(qEmbedLshProbeOracle)),
     QueryDef("q_embed_ivf", qEmbedIvf, Some(qEmbedIvfOracle)),
     QueryDef("q_embed_neardup", qEmbedNearDup, Some(qEmbedNearDupOracle)))
 }
