@@ -10,19 +10,26 @@ import org.apache.spark.sql.functions._
   */
 object RelOps {
 
-  /** As-of join: for every left row, the payload of the latest right row
-    * with the same keys and `rightOrd <= leftOrd` (inclusive).
+  /** As-of join with pandas `merge_asof` direction semantics:
+    *   - "backward" (default): latest right row with `rightOrd <= leftOrd`
+    *   - "forward": earliest right row with `rightOrd >= leftOrd`
+    *   - "nearest": whichever of the two is closer; exact-distance ties go
+    *     backward
     *
     * Union-and-scan formulation: tag both sides, sort by (keys, ord,
-    * rightFirst) once, and stream `last(payload ignore nulls)` over the
-    * running frame. ONE shuffle + ONE sort, no point-in-time self-join
-    * explosion — this is the plan a sort-merge as-of needs at 100 TB, and
-    * AQE handles skewed keys. Right rows at the exact same ord sort before
-    * left rows so the match is inclusive.
+    * rightFirst) once, and stream `last(match ignore nulls)` over the
+    * running frame (forward is the same scan over the reversed order;
+    * nearest combines both and compares the two ord distances — interval
+    * arithmetic, so timestamp and numeric ord columns both work). ONE
+    * shuffle + one sort per scan direction, no point-in-time self-join
+    * explosion — the plan a sort-merge as-of needs at 100 TB, and AQE
+    * handles skewed keys. Right rows at the exact same ord sort before
+    * left rows so matches are inclusive in both directions.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftOrd: String, rightOrd: String,
-               payload: String, as: String): DataFrame = {
+               payload: String, as: String,
+               direction: String = "backward"): DataFrame = {
     val leftCols = left.columns
     val l = left.withColumn("__ord", col(leftOrd)).withColumn("__isR", lit(0))
       .withColumn("__pay", lit(null).cast(right.schema(payload).dataType))
@@ -32,11 +39,28 @@ object RelOps {
     val unioned = l.select((keys.map(col) ++ Seq(col("__ord"), col("__isR"), col("__pay")) ++
       leftCols.filterNot(keys.contains).map(col)): _*)
       .unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ord").asc, col("__isR").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def scan(desc: Boolean) = {
+      val ord = if (desc) col("__ord").desc else col("__ord").asc
+      Window.partitionBy(keys.map(col): _*)
+        .orderBy(ord, col("__isR").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    }
+    // right-row (ord, payload) carried as a struct so `nearest` can
+    // compare match distances; null for left rows keeps ignoreNulls exact
+    val rs = when(col("__isR") === 1, struct(col("__ord").as("o"), col("__pay").as("p")))
+    val matched = direction match {
+      case "backward" => last(rs, ignoreNulls = true).over(scan(desc = false))
+      case "forward"  => last(rs, ignoreNulls = true).over(scan(desc = true))
+      case "nearest"  =>
+        val b = last(rs, ignoreNulls = true).over(scan(desc = false))
+        val f = last(rs, ignoreNulls = true).over(scan(desc = true))
+        when(f.isNull, b).when(b.isNull, f)
+          .when(col("__ord") - b.getField("o") <= f.getField("o") - col("__ord"), b)
+          .otherwise(f)
+      case other => throw new IllegalArgumentException(s"direction $other")
+    }
     unioned
-      .withColumn(as, last(col("__pay"), ignoreNulls = true).over(w))
+      .withColumn(as, matched.getField("p"))
       .where(col("__isR") === 0)
       .select(leftCols.map(col) :+ col(as): _*)
   }

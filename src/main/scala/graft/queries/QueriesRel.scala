@@ -243,6 +243,53 @@ object QueriesRel {
     SELECT event_id, user_id, value, last_click_value
     FROM s WHERE isr = 0 ORDER BY event_id"""
 
+  /** As-of join, forward + nearest directions (pandas merge_asof
+    * direction= parity; q_asof covers backward). */
+  def qAsofDir(spark: SparkSession, dir: String): DataFrame = {
+    val ev        = Tables.events(spark, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value").as("click_value"))
+    val fwd = RelOps.asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts",
+      "click_value", "next_click_value", direction = "forward")
+    RelOps.asofJoin(fwd, clicks, Seq("user_id"), "ts", "ts",
+        "click_value", "nearest_click_value", direction = "nearest")
+      .select("event_id", "user_id", "value", "next_click_value",
+        "nearest_click_value")
+      .orderBy("event_id")
+  }
+
+  val qAsofDirOracle: String = """
+    WITH u AS (
+      SELECT user_id, ts, 0 AS isr, event_id, value, NULL::DOUBLE AS pay
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, 1 AS isr, NULL AS event_id, NULL::DOUBLE AS value,
+             value AS pay
+      FROM events WHERE event_type = 'click'),
+    s AS (SELECT *,
+            last_value(pay IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ts, isr DESC
+                    ROWS UNBOUNDED PRECEDING) bpay,
+            last_value(CASE WHEN isr = 1 THEN ts END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ts, isr DESC
+                    ROWS UNBOUNDED PRECEDING) bts,
+            last_value(pay IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ts DESC, isr DESC
+                    ROWS UNBOUNDED PRECEDING) fpay,
+            last_value(CASE WHEN isr = 1 THEN ts END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ts DESC, isr DESC
+                    ROWS UNBOUNDED PRECEDING) fts
+          FROM u)
+    SELECT event_id, user_id, value,
+           fpay AS next_click_value,
+           CASE WHEN fts IS NULL THEN bpay
+                WHEN bts IS NULL THEN fpay
+                WHEN ts - bts <= fts - ts THEN bpay ELSE fpay
+           END AS nearest_click_value
+    FROM s WHERE isr = 0 ORDER BY event_id"""
+
   /** Pivot (pandas pivot_table): linestatus values become columns, one
     * row per returnflag — Catalyst plans this as a single hash aggregate
     * with conditional sums (no per-value scans). */
@@ -289,6 +336,7 @@ object QueriesRel {
     QueryDef("q_set_ops", qSetOps, Some(qSetOpsOracle)),
     QueryDef("q_topk", qTopK, Some(qTopKOracle)),
     QueryDef("q_asof", qAsof, Some(qAsofOracle)),
+    QueryDef("q_asof_dir", qAsofDir, Some(qAsofDirOracle)),
     QueryDef("q_pivot", qPivot, Some(qPivotOracle)),
     QueryDef("q_melt", qMelt, Some(qMeltOracle)))
 }

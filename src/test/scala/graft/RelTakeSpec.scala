@@ -70,6 +70,24 @@ class RelTakeSpec extends SparkSpec {
     assert(got.toSeq == Seq(Some(1.0), Some(2.0), None))
   }
 
+  test("asof join forward / nearest directions") {
+    val left = Seq((1L, 100L, 10L), (2L, 100L, 25L), (3L, 100L, 35L))
+      .toDF("id", "k", "t")
+    val right = Seq((100L, 10L, 1.0), (100L, 20L, 2.0), (100L, 30L, 3.0))
+      .toDF("k", "t", "p")
+    val fwd = RelOps.asofJoin(left, right, Seq("k"), "t", "t", "p", "fp",
+        direction = "forward")
+      .orderBy("id").collect()
+      .map(r => if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    // t=10 -> 1.0 (inclusive); t=25 -> 3.0 (next at 30); t=35 -> none
+    assert(fwd.toSeq == Seq(Some(1.0), Some(3.0), None))
+    val near = RelOps.asofJoin(left, right, Seq("k"), "t", "t", "p", "np",
+        direction = "nearest")
+      .orderBy("id").collect().map(_.getDouble(3))
+    // t=10 exact; t=25 equidistant 20/30 -> backward tie-break 2.0; t=35 -> 3.0
+    assert(near.toSeq == Seq(1.0, 2.0, 3.0))
+  }
+
   test("topKPerGroup keeps k rows per group in order") {
     val df = Seq(("x", 1.0), ("x", 3.0), ("x", 2.0), ("y", 9.0)).toDF("g", "v")
     val got = RelOps.topKPerGroup(df, Seq("g"), Seq(col("v").desc), 2)
