@@ -79,8 +79,41 @@ object QueriesTime {
            count(*) n, CAST(sum(c) AS DOUBLE)/100.0 sum_value
     FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""
 
+  /** Datetime component extraction (pandas `dt.*` accessors): year /
+    * month / day / day-of-week / hour + month truncation, aggregated per
+    * (year, month) — pure projections, one tiny agg. Day-of-week is
+    * normalized to pandas' Monday=0 convention on both engines (Spark
+    * `dayofweek` is 1=Sunday; DuckDB `dayofweek` is 0=Sunday). */
+  def qDatetime(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        year(col("ts")).cast("long").as("y"),
+        month(col("ts")).cast("long").as("m"),
+        dayofmonth(col("ts")).cast("long").as("d"),
+        ((dayofweek(col("ts")) + 5) % 7).cast("long").as("dow_mon0"),
+        hour(col("ts")).cast("long").as("h"),
+        unix_timestamp(date_trunc("day", col("ts"))).as("day_start"))
+      .groupBy("y", "m", "d", "dow_mon0", "day_start")
+      .agg(count(lit(1)).as("n"),
+        min(col("h")).as("min_h"), max(col("h")).as("max_h"),
+        countDistinct(col("h")).as("nd_hour"))
+      .orderBy("y", "m", "d")
+
+  val qDatetimeOracle: String = """
+    WITH e AS (SELECT CAST(year(ts) AS BIGINT) y, CAST(month(ts) AS BIGINT) m,
+                      CAST(day(ts) AS BIGINT) d,
+                      CAST((dayofweek(ts) + 6) % 7 AS BIGINT) dow_mon0,
+                      CAST(hour(ts) AS BIGINT) h,
+                      CAST(epoch(date_trunc('day', ts)) AS BIGINT) day_start
+               FROM events)
+    SELECT y, m, d, dow_mon0, day_start, count(*) AS n,
+           min(h) AS min_h, max(h) AS max_h,
+           count(DISTINCT h) AS nd_hour
+    FROM e GROUP BY y, m, d, dow_mon0, day_start ORDER BY y, m, d"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_window_tumbling", qTumbling, Some(qTumblingOracle)),
     QueryDef("q_window_sliding", qSliding, Some(qSlidingOracle)),
-    QueryDef("q_session_window", qSession, Some(qSessionOracle)))
+    QueryDef("q_session_window", qSession, Some(qSessionOracle)),
+    QueryDef("q_datetime", qDatetime, Some(qDatetimeOracle)))
 }

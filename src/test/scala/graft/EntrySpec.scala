@@ -24,7 +24,10 @@ class EntrySpec extends SparkSpec {
       "q_embed_topk", "q_embed_lsh", "q_embed_neardup",
       "q_text_stats", "q_quality", "q_langid", "q_fingerprint",
       "q_window_tumbling", "q_window_sliding", "q_session_window",
-      "q_take_upcast", "q_frame_sample", "q_kahan_sum")
+      "q_take_upcast", "q_frame_sample", "q_kahan_sum",
+      "q_cut", "q_qcut", "q_rolling", "q_pivot", "q_melt",
+      "q_dedup_clusters", "q_normalize", "q_embed_lsh_probe",
+      "q_asof_dir", "q_datetime")
     val missing = mustHave.filterNot(qs.contains)
     assert(missing.isEmpty, s"missing: $missing")
   }
