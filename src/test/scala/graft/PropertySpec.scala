@@ -66,6 +66,45 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("rolling(k) sum matches a reference loop; null until k rows") {
+    check(Prop.forAll(rowsGen) { rows =>
+      val k = 3
+      val data = rows.zipWithIndex
+        .map { case ((g, v), i) => (i.toLong, g, v.getOrElse(0.0)) }
+      val df = data.toDF("pos", "g", "v")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy("pos").rowsBetween(-(k - 1), 0)
+      val got = df.select(col("pos"),
+          when(count(lit(1)).over(w) === k, sum("v").over(w)).as("rs"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      val byG = data.groupBy(_._2)
+      byG.forall { case (_, rs0) =>
+        val rs = rs0.sortBy(_._1)
+        rs.indices.forall { i =>
+          val expect = if (i < k - 1) None
+            else Some(rs.slice(i - k + 1, i + 1).map(_._3).sum)
+          (got(rs(i)._1), expect) match {
+            case (Some(a), Some(b)) => approx(a, b)
+            case (a, b)             => a == b
+          }
+        }
+      }
+    })
+  }
+
+  test("fixed-width bins partition the domain: every value lands in its bin") {
+    check(Prop.forAll(rowsGen) { rows =>
+      val df = rows.collect { case (g, Some(v)) => (g, v) }.toDF("g", "v")
+      val width = 10.0
+      df.select(col("v"), floor(col("v") / width).cast("long").as("bin"))
+        .collect().forall { r =>
+          val v = r.getDouble(0); val b = r.getLong(1)
+          v >= b * width && v < (b + 1) * width
+        }
+    })
+  }
+
   test("rank(first) is a permutation of 1..n_nonnull per group") {
     check(Prop.forAll(rowsGen) { rows =>
       val df = rows.zipWithIndex
