@@ -9,6 +9,40 @@ import org.apache.spark.sql.functions._
 class ScaleOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("AQE splits a skewed join partition (skew=true in the final plan)") {
+    import spark.implicits._
+    // 95% of left rows share one key; thresholds forced tiny so local
+    // data sizes trigger the same OptimizeSkewedJoin path a 100 TB hot
+    // key would.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.shuffle.partitions" -> "8")
+    val saved = confs.map { case (key, _) => key -> spark.conf.getOption(key) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(200000L)
+        .select(when(col("id") % 20 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+          concat(lit("payload_"), col("id")).as("s"))
+      val right = spark.range(1000L).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = left.join(right, "k")
+      // 190000 rows on the hot key 7 + the 50 distinct keys < 1000
+      assert(joined.count() == 190050L)
+      // run THIS dataframe's own physical plan so its adaptive plan
+      // finalizes (count()/foreach() above plan separate executions)
+      val qe = joined.queryExecution
+      qe.executedPlan.execute().count()
+      val plan = qe.executedPlan.toString
+      assert(plan.contains("skew=true"), s"expected a skew-split join:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("saltedAgg(sum, count) equals direct groupBy on a skewed key") {
     // 90% of rows share one key — the pattern that hot-spots one reducer
     val rows = (0 until 20000).map { i =>
