@@ -433,6 +433,25 @@ object QueriesAgg {
     FROM c GROUP BY k
     ORDER BY mode, k"""
 
+  /** Rollup subtotals (pandas pivot_table margins / SQL ROLLUP): per
+    * (flag, status), per flag, and grand total in ONE aggregation pass —
+    * Catalyst's Expand feeds a single hash-agg, not three scans. */
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity")).as("sum_qty"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
+  val qRollupOracle: String = """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           sum(l_quantity) AS sum_qty,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag, l_linestatus"""
+
   /** Sketch-based approximate aggregates — the 100 TB substitutes for
     * exact distinct/quantile (HLL++ and KLL-style): rows-only check, since
     * sketch estimates are engine-specific by construction. */
@@ -451,6 +470,7 @@ object QueriesAgg {
     QueryDef("q_approx_sketch", qApprox, None),
     QueryDef("q_dropna_keys", qDropNaKeys, Some(qDropNaKeysOracle)),
     QueryDef("q_mode", qMode, Some(qModeOracle)),
+    QueryDef("q_rollup", qRollup, Some(qRollupOracle)),
     QueryDef("q_sum_mincount", qSumMinCount, Some(qSumMinCountOracle)),
     QueryDef("q_prod", qProd, Some(qProdOracle)),
     QueryDef("q_moments", qMoments, Some(qMomentsOracle)),
