@@ -158,14 +158,18 @@ object SimilarityOps {
     * centroid set is broadcast and the corpus partitions by cluster id, so
     * a query touches 1/nlist of the data. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-              vecCol: String, k: Int, centroidMod: Int, centroidRem: Int): DataFrame = {
+              vecCol: String, k: Int, centroidMod: Int, centroidRem: Int,
+              nprobe: Int = 1): DataFrame = {
     val cent = broadcast(
       corpus.where(col(idCol) % centroidMod === centroidRem)
         .select(col(idCol).as("cid"), quantize(col(vecCol)).as("centv"))
         .withColumn("centn", norm2Q(col("centv"))))
 
-    // nearest centroid per vector, deterministic tie-break by centroid id
-    def assign(df: DataFrame, outId: String): DataFrame = {
+    // nearest `probes` centroids per vector, deterministic tie-break by
+    // centroid id; corpus rows always store under exactly one centroid,
+    // query rows probe their top-`nprobe` (the IVF recall lever — a probe
+    // multiplies candidates by ~1/nlist, never all-pairs)
+    def assign(df: DataFrame, outId: String, probes: Int): DataFrame = {
       val v = df.select(col(idCol).as(outId), quantize(col(vecCol)).as("v"))
         .withColumn("vn", norm2Q(col("v")))
       val scored = v.join(cent)
@@ -173,12 +177,12 @@ object SimilarityOps {
           sqrt(col("vn").cast("double") * col("centn").cast("double")))
       val w = Window.partitionBy(col(outId))
         .orderBy(col("ccos").desc, col("cid").asc)
-      scored.withColumn("crn", row_number().over(w)).where(col("crn") === 1)
+      scored.withColumn("crn", row_number().over(w)).where(col("crn") <= probes)
         .select(col(outId), col("cid").as("cluster_id"), col("v"), col("vn"))
     }
-    val cAssigned = assign(corpus, "neighbor_id")
+    val cAssigned = assign(corpus, "neighbor_id", 1)
       .withColumnRenamed("v", "cv").withColumnRenamed("vn", "cn")
-    val qAssigned = broadcast(assign(queries, "query_id")
+    val qAssigned = broadcast(assign(queries, "query_id", nprobe)
       .withColumnRenamed("v", "qv").withColumnRenamed("vn", "qn"))
 
     val scored = cAssigned.join(qAssigned, Seq("cluster_id"))

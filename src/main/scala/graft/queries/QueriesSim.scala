@@ -194,6 +194,54 @@ object QueriesSim {
   val NdPlanesPerBand = 8
   val NdThreshold     = 0.4
 
+  /** IVF with nprobe=2: each query searches its two nearest centroids'
+    * posting lists — the standard IVF recall lever (candidates scale with
+    * nprobe/nlist, never all-pairs). Corpus assignment stays single-list. */
+  def qEmbedIvfProbe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    SimilarityOps.ivfTopK(
+        emb.where(col("vec_id") % QueryMod === 0), emb, "vec_id", "embedding",
+        K, IvfMod, IvfRem, nprobe = 2)
+      .orderBy("query_id", "rk")
+  }
+
+  val qEmbedIvfProbeOracle: String = s"""
+    WITH u AS (SELECT vec_id, generate_subscripts(embedding,1) i, unnest(embedding) x
+               FROM embeddings),
+    c AS (SELECT vec_id, i, $quantSql xi FROM u),
+    nrm AS (SELECT vec_id, sum(xi*xi) n2 FROM c GROUP BY vec_id),
+    cent AS (SELECT vec_id cid FROM embeddings WHERE vec_id % $IvfMod = $IvfRem),
+    cdot AS (SELECT a.vec_id, cid, sum(a.xi*b.xi) dot
+             FROM c a JOIN cent ON TRUE JOIN c b ON b.vec_id = cid AND a.i = b.i
+             GROUP BY a.vec_id, cid),
+    ccos AS (SELECT v.vec_id, cid,
+                    CAST(dot AS DOUBLE)/sqrt(CAST(nv.n2 AS DOUBLE)*CAST(nc.n2 AS DOUBLE)) ccs
+             FROM cdot v JOIN nrm nv ON v.vec_id = nv.vec_id
+                         JOIN nrm nc ON cid = nc.vec_id),
+    ranked AS (SELECT vec_id, cid,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY ccs DESC, cid) crn
+               FROM ccos),
+    cassign AS (SELECT vec_id, cid cluster_id FROM ranked WHERE crn = 1),
+    qprobe AS (SELECT vec_id, cid cluster_id FROM ranked
+               WHERE crn <= 2 AND vec_id % $QueryMod = 0),
+    cand AS (SELECT q.vec_id qid, n.vec_id nid
+             FROM qprobe q JOIN cassign n ON q.cluster_id = n.cluster_id
+             WHERE q.vec_id <> n.vec_id),
+    d AS (SELECT qid, nid, sum(a.xi*b.xi) dot
+          FROM cand JOIN c a ON qid = a.vec_id
+                    JOIN c b ON nid = b.vec_id AND a.i = b.i
+          GROUP BY qid, nid),
+    s AS (SELECT qid, nid,
+                 CAST(dot AS DOUBLE)/sqrt(CAST(na.n2 AS DOUBLE)*CAST(nb.n2 AS DOUBLE)) cos_sim
+          FROM d JOIN nrm na ON qid = na.vec_id JOIN nrm nb ON nid = nb.vec_id),
+    r AS (SELECT qid query_id, nid neighbor_id, cos_sim,
+                 CAST(row_number() OVER (PARTITION BY qid
+                        ORDER BY cos_sim DESC, nid) AS BIGINT) rk
+          FROM s)
+    SELECT query_id, rk, neighbor_id, cos_sim
+    FROM r WHERE rk <= $K ORDER BY query_id, rk"""
+
   /** Embedding-cosine near-duplicate pairs via banded sign-LSH: candidates
     * are pairs agreeing on all 8 planes of at least one of 8 bands
     * (posting-list equi-join — no all-pairs product anywhere in the plan),
@@ -244,5 +292,6 @@ object QueriesSim {
     QueryDef("q_embed_lsh", qEmbedLsh, Some(qEmbedLshOracle)),
     QueryDef("q_embed_lsh_probe", qEmbedLshProbe, Some(qEmbedLshProbeOracle)),
     QueryDef("q_embed_ivf", qEmbedIvf, Some(qEmbedIvfOracle)),
+    QueryDef("q_embed_ivf_probe", qEmbedIvfProbe, Some(qEmbedIvfProbeOracle)),
     QueryDef("q_embed_neardup", qEmbedNearDup, Some(qEmbedNearDupOracle)))
 }
