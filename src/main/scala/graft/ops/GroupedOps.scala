@@ -73,6 +73,43 @@ object GroupedOps {
 
   def stdExact(value: Column, ddof: Int): Column = sqrt(varExact(value, ddof))
 
+  /** Sample covariance from exact power sums (pandas `groupby.cov`,
+    * ddof=1): rows where EITHER side is null are excluded (pairwise
+    * complete), matching pandas. Summands must be integer-valued for the
+    * sums to be exact (the caller's cents/quantity contract). */
+  def covExact(x: Column, y: Column, ddof: Int = 1): Column = {
+    val both = x.isNotNull && y.isNotNull
+    val xa   = when(both, x)
+    val ya   = when(both, y)
+    val n    = count(xa).cast("double")
+    val sx   = sum(xa).cast("double")
+    val sy   = sum(ya).cast("double")
+    val sxy  = sum(xa * ya).cast("double")
+    when(n - lit(ddof) <= 0, lit(null))
+      .otherwise((sxy - sx * sy / n) / (n - lit(ddof)))
+  }
+
+  /** Pearson correlation from exact power sums (pandas `groupby.corr`):
+    * (n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²)(n·Σy² − (Σy)²)); NULL for
+    * degenerate (zero-variance or n<2) groups. Same explicit formula on
+    * the oracle side — built-in corr() implementations differ in update
+    * algorithm and would not hash-match. */
+  def corrExact(x: Column, y: Column): Column = {
+    val both = x.isNotNull && y.isNotNull
+    val xa   = when(both, x)
+    val ya   = when(both, y)
+    val n    = count(xa).cast("double")
+    val sx   = sum(xa).cast("double")
+    val sy   = sum(ya).cast("double")
+    val sxx  = sum(xa * xa).cast("double")
+    val syy  = sum(ya * ya).cast("double")
+    val sxy  = sum(xa * ya).cast("double")
+    val vx   = n * sxx - sx * sx
+    val vy   = n * syy - sy * sy
+    when(n < 2 || vx <= 0 || vy <= 0, lit(null))
+      .otherwise((n * sxy - sx * sy) / sqrt(vx * vy))
+  }
+
   def semExact(value: Column, ddof: Int): Column =
     stdExact(value, ddof) / sqrt(count(value).cast("double"))
 

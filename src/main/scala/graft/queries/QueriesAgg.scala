@@ -433,6 +433,52 @@ object QueriesAgg {
     FROM c GROUP BY k
     ORDER BY mode, k"""
 
+  /** Grouped covariance/correlation (pandas `groupby.cov/corr`) from
+    * exact power sums over integer-valued summands (quantity, discount
+    * cents) — one hash-agg pass, no second scan, and the identical
+    * explicit formula on the oracle side (built-in corr() algorithms
+    * differ between engines and would not hash-match). Nulls injected on
+    * one side exercise the pairwise-complete contract. */
+  def qCorr(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity")
+    val y = cents("l_discount")
+    Tables.lineitem(spark, dir)
+      .withColumn("x", x)
+      .withColumn("y", when(col("l_orderkey") % 17 =!= 0, y))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(when(col("x").isNotNull && col("y").isNotNull, lit(1))).as("n_pair"),
+        GroupedOps.covExact(col("x"), col("y"), 1).as("cov1"),
+        GroupedOps.covExact(col("x"), col("y"), 0).as("cov0"),
+        GroupedOps.corrExact(col("x"), col("y")).as("corr"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val qCorrOracle: String = """
+    WITH c AS (SELECT l_returnflag, l_linestatus, l_quantity x,
+                      CASE WHEN l_orderkey % 17 <> 0
+                           THEN CAST(round(l_discount*100) AS BIGINT) END y
+               FROM lineitem),
+    p AS (SELECT l_returnflag, l_linestatus,
+                 CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN x END xa,
+                 CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN y END ya
+          FROM c),
+    s AS (SELECT l_returnflag, l_linestatus,
+                 CAST(count(xa) AS DOUBLE) n,
+                 CAST(sum(xa) AS DOUBLE) sx, CAST(sum(ya) AS DOUBLE) sy,
+                 CAST(sum(xa*xa) AS DOUBLE) sxx, CAST(sum(ya*ya) AS DOUBLE) syy,
+                 CAST(sum(xa*ya) AS DOUBLE) sxy,
+                 count(xa) np
+          FROM p GROUP BY l_returnflag, l_linestatus)
+    SELECT l_returnflag, l_linestatus, np AS n_pair,
+           CASE WHEN n - 1 <= 0 THEN NULL
+                ELSE (sxy - sx*sy/n)/(n - 1) END AS cov1,
+           CASE WHEN n <= 0 THEN NULL
+                ELSE (sxy - sx*sy/n)/n END AS cov0,
+           CASE WHEN n < 2 OR n*sxx - sx*sx <= 0 OR n*syy - sy*sy <= 0 THEN NULL
+                ELSE (n*sxy - sx*sy)/sqrt((n*sxx - sx*sx)*(n*syy - sy*sy)) END AS corr
+    FROM s ORDER BY l_returnflag, l_linestatus"""
+
   /** Rollup subtotals (pandas pivot_table margins / SQL ROLLUP): per
     * (flag, status), per flag, and grand total in ONE aggregation pass —
     * Catalyst's Expand feeds a single hash-agg, not three scans. */
@@ -471,6 +517,7 @@ object QueriesAgg {
     QueryDef("q_dropna_keys", qDropNaKeys, Some(qDropNaKeysOracle)),
     QueryDef("q_mode", qMode, Some(qModeOracle)),
     QueryDef("q_rollup", qRollup, Some(qRollupOracle)),
+    QueryDef("q_corr", qCorr, Some(qCorrOracle)),
     QueryDef("q_sum_mincount", qSumMinCount, Some(qSumMinCountOracle)),
     QueryDef("q_prod", qProd, Some(qProdOracle)),
     QueryDef("q_moments", qMoments, Some(qMomentsOracle)),
