@@ -101,6 +101,45 @@ object StreamOps {
       }
   }
 
+  /** The same per-key running sum on Spark 4's `transformWithState`
+    * stateful-processor API (the successor to flatMapGroupsWithState):
+    * typed `ValueState` holds one double per key, optionally TTL-bounded.
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`) when run as a
+    * stream — which is also what makes the state disk-backed and
+    * unbounded-key-safe at 100 TB. */
+  class RunningSumProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Double), (Long, Long, Double)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+    @transient private var sumState: ValueState[Double] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sumState = getHandle.getValueState[Double]("sum",
+        org.apache.spark.sql.Encoders.scalaDouble, TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Double)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Double)] = {
+      var acc = if (sumState.exists()) sumState.get() else 0.0
+      val out = rows.toSeq.sortBy(_._1).map { case (id, k, v) =>
+        acc += v
+        (id, k, acc)
+      }
+      sumState.update(acc)
+      out.iterator
+    }
+  }
+
+  /** [[statefulCumsum]] on the transformWithState API. */
+  def statefulCumsumTws(ds: org.apache.spark.sql.Dataset[(Long, Long, Double)])
+      : org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    ds.groupByKey(_._2)
+      .transformWithState(new RunningSumProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Batch-scale running sum with the same (id, key, value) → running-sum
     * contract as [[statefulCumsum]]: shuffle by key, external-sort within
     * partitions, then a single streaming pass with one accumulator — rows

@@ -98,6 +98,45 @@ class ScaleOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState running sum (RocksDB state) matches the window cumsum") {
+    import spark.implicits._
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"),
+        round(col("value") * 100).cast("long").cast("double").as("v"))
+      .as[(Long, Long, Double)]
+    val batch = ev.toDF("event_id", "user_id", "v")
+      .select(col("event_id"),
+        sum("v").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+          .as("cs"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    ev.write.mode("overwrite").parquet("/tmp/graft_tws_in")
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = spark.readStream.schema(ev.schema).parquet("/tmp/graft_tws_in")
+      .as[(Long, Long, Double)]
+    val q = StreamOps.statefulCumsumTws(stream)
+      .toDF("event_id", "user_id", "cs")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tws_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("tws_out").collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(got.size == batch.size)
+      batch.foreach { case (id, cs) => assert(got(id) == cs, s"event $id") }
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("batchCumsum: streaming-pass batch variant matches the window cumsum") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
