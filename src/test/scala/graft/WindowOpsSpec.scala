@@ -117,5 +117,10 @@ class WindowOpsSpec extends SparkSpec {
     assert(got(1L) == ((Some(2.0), 2.0)))
     assert(got(2L) == ((None, 3.0)))
     assert(got(3L) == ((Some(1.0), 1.0)))
+    // na_option=top: nulls rank first, non-nulls shift down
+    val top = df.select(col("pos"),
+        WindowOps.rank(col("v"), keys, "min", naOption = "top").as("top"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(top == Map(1L -> 3.0, 2L -> 1.0, 3L -> 2.0))
   }
 }
