@@ -36,6 +36,31 @@ class MultimodalSpec extends SparkSpec {
     assert(decoded.rdd.getNumPartitions == 7)
   }
 
+  test("binaryFile source ingests opaque payloads with metadata") {
+    // the real media-ingestion path: a directory of opaque files read as
+    // (path, modificationTime, length, content) — content lands in the
+    // same BinaryType column MediaRow.payload models
+    val dir = "/tmp/graft_binfiles"
+    val fs = new java.io.File(dir)
+    fs.mkdirs()
+    val payloads = Map("a.bin" -> Array[Byte](1, 2, 3, 4),
+      "b.bin" -> Array[Byte](9, 8, 7))
+    payloads.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, name), bytes)
+    }
+    val df = spark.read.format("binaryFile").load(dir)
+    assert(df.schema("content").dataType.typeName == "binary")
+    val got = df.select(element_at(split(col("path"), "/"), -1).as("name"),
+        col("length"), col("content"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getAs[Array[Byte]](2)))
+      .toMap
+    payloads.foreach { case (name, bytes) =>
+      val (len, content) = got(name)
+      assert(len == bytes.length && content.sameElements(bytes))
+    }
+  }
+
   test("frameSamplePlan explodes one row per sampled timestamp") {
     val df = media.toDF().select("media_id", "duration_ms")
     val frames = MultimodalOps.frameSamplePlan(df, everyMs = 1000L)

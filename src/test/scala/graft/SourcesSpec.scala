@@ -33,6 +33,16 @@ class SourcesSpec extends SparkSpec {
     assert(rows(0).getString(1) == "x" && rows(0).getDouble(2) == 1.5)
   }
 
+  test("text source reads raw lines (one string column)") {
+    val dir = s"$base/text"
+    Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("text").limit(50)
+      .write.mode("overwrite").text(dir)
+    val back = spark.read.text(dir)
+    assert(back.schema.fieldNames.toSeq == Seq("value"))
+    assert(back.count() == 50)
+  }
+
   test("orc round-trip preserves values and types") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
