@@ -433,6 +433,31 @@ object QueriesAgg {
     FROM c GROUP BY k
     ORDER BY mode, k"""
 
+  /** List aggregation (pandas `groupby.agg(list)` / SQL array_agg):
+    * per-user event cents collected, explicitly sorted (collect_list's
+    * arrival order is partition-dependent — sort_array makes the result
+    * deterministic), and compared via scalar derivations (size, ends, an
+    * md5 digest of the joined values) so the differential compare sees
+    * engine-neutral scalars instead of engine-formatted arrays. */
+  def qCollect(spark: SparkSession, dir: String): DataFrame = {
+    val c      = round(col("value") * 100).cast("long")
+    val sorted = sort_array(collect_list(c))
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        size(sorted).cast("long").as("n"),
+        element_at(sorted, 1).as("smallest"),
+        element_at(sorted, -1).as("largest"),
+        md5(concat_ws(",", transform(sorted, x => x.cast("string")))).as("digest"))
+      .orderBy("user_id")
+  }
+
+  val qCollectOracle: String = """
+    WITH c AS (SELECT user_id, CAST(round(value*100) AS BIGINT) c FROM events)
+    SELECT user_id, count(*) AS n, min(c) AS smallest, max(c) AS largest,
+           md5(string_agg(CAST(c AS VARCHAR), ',' ORDER BY c)) AS digest
+    FROM c GROUP BY user_id ORDER BY user_id"""
+
   /** Grouped covariance/correlation (pandas `groupby.cov/corr`) from
     * exact power sums over integer-valued summands (quantity, discount
     * cents) — one hash-agg pass, no second scan, and the identical
@@ -518,6 +543,7 @@ object QueriesAgg {
     QueryDef("q_mode", qMode, Some(qModeOracle)),
     QueryDef("q_rollup", qRollup, Some(qRollupOracle)),
     QueryDef("q_corr", qCorr, Some(qCorrOracle)),
+    QueryDef("q_collect", qCollect, Some(qCollectOracle)),
     QueryDef("q_sum_mincount", qSumMinCount, Some(qSumMinCountOracle)),
     QueryDef("q_prod", qProd, Some(qProdOracle)),
     QueryDef("q_moments", qMoments, Some(qMomentsOracle)),
