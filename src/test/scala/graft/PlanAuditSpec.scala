@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Plan-shape regression guards: the PLANS.md audit encoded as tests.
+  * These inspect the planned (pre-execution) physical plan only — no data
+  * runs — and pin the properties the round-2 perf work established. */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  private def count(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("q_rank: at most 3 sorts total (2 interior + the output orderBy)") {
+    val p = plan("q_rank")
+    assert(count(p, "+- Sort") <= 3, p)
+  }
+
+  test("q_join_agg: no count-distinct Expand; single wide pre-agg shuffle") {
+    val p = plan("q_join_agg")
+    assert(!p.contains("Expand"), p)
+    // exchanges: the per-order pre-agg (the one WIDE shuffle over the
+    // fact), the tiny 25-group final agg, and the output orderBy range
+    // partitioning; broadcasts excluded
+    val wide = count(p, "+- Exchange")
+    assert(wide <= 3, s"expected <=3 non-broadcast exchanges, plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_topk: WindowGroupLimit pushes the per-group limit below the shuffle") {
+    assert(plan("q_topk").contains("WindowGroupLimit"))
+  }
+
+  test("similarity/near-dup plans never go all-pairs") {
+    // LSH paths: candidates only from bucket equi-joins — no unconditioned
+    // join of any kind
+    Seq("q_embed_neardup", "q_embed_lsh", "q_embed_lsh_probe").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+    // IVF: the ONE nested-loop is each vector scoring the broadcast
+    // centroid codebook (O(n·nlist) by design); the corpus itself must
+    // never be on both sides of an unconditioned join
+    Seq("q_embed_ivf", "q_embed_ivf_probe").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$q rerank must be equi-join:\n$p")
+    }
+  }
+
+  test("q1_flagship: filter pushed to the parquet scan, no sort before agg") {
+    val p = plan("q1_flagship")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"), p)
+    assert(count(p, "+- Sort") <= 1, p) // output orderBy only
+  }
+
+  test("q_factorize: no window operator (distributed code assignment)") {
+    assert(!plan("q_factorize").contains("Window"))
+  }
+}
