@@ -41,6 +41,12 @@ object Tables {
 
 /** Session defaults shared by Verify / Bench / tests. */
 object GraftSession {
+  /** One warehouse per JVM (static conf — can't change after the first
+    * session): process-unique path under tmpdir. */
+  private lazy val warehouseDir: String =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+      s"/graft-warehouse-${java.util.UUID.randomUUID().toString.take(8)}"
+
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
@@ -54,9 +60,9 @@ object GraftSession {
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
       .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
-      // keep managed-table data (bucketed-join tests) out of the repo cwd
-      .config("spark.sql.warehouse.dir",
-        sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")
+      // keep managed-table data (bucketed-join tests) out of the repo cwd,
+      // unique per JVM so concurrent test runs don't collide on table paths
+      .config("spark.sql.warehouse.dir", warehouseDir)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 }

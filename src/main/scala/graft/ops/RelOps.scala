@@ -16,6 +16,10 @@ object RelOps {
     *   - "nearest": whichever of the two is closer; exact-distance ties go
     *     backward
     *
+    * Matching is by ROW, not by payload: a matched right row whose payload
+    * is null yields null (pandas parity) — the match struct carries
+    * (ord, payload) so null payloads never fall through to earlier rows.
+    *
     * Union-and-scan formulation: tag both sides, sort by (keys, ord,
     * rightFirst) once, and stream `last(match ignore nulls)` over the
     * running frame (forward is the same scan over the reversed order;

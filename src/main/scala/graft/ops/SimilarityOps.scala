@@ -98,19 +98,30 @@ object SimilarityOps {
   private def planeVec(p: Int, dim: Int): Column =
     typedLit((0 until dim).map(j => planeSignLocal(p, j)))
 
+  /** Guard: the plane sign matrix is a plan-time literal sized to `dim`,
+    * and [[dotQ]] truncates to the shorter side — a wrong `dim` would
+    * silently hash prefixes. Fail loudly instead. */
+  private def requireDim(qvec: Column, dim: Int, bucket: Column): Column =
+    when(size(qvec) === dim, bucket)
+      .otherwise(raise_error(concat(
+        lit(s"lsh: plane matrix is dim=$dim but vector has dim "),
+        size(qvec).cast("string"))))
+
   /** Sign-pattern LSH bucket of a quantized vector: bit p = [dot(v, r_p) > 0]. */
   def lshBucket(qvec: Column, planes: Int, dim: Int = 64): Column =
-    (0 until planes).map { p =>
-      when(dotQ(qvec, planeVec(p, dim)) > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    requireDim(qvec, dim,
+      (0 until planes).map { p =>
+        when(dotQ(qvec, planeVec(p, dim)) > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _))
 
   /** Per-band sign signature for banded LSH (band `b` uses global planes
     * b·r .. b·r+r−1, so every band is an independent hash family). */
   def bandSig(qvec: Column, band: Int, planesPerBand: Int, dim: Int): Column =
-    (0 until planesPerBand).map { i =>
-      when(dotQ(qvec, planeVec(band * planesPerBand + i, dim)) > 0,
-        lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    requireDim(qvec, dim,
+      (0 until planesPerBand).map { i =>
+        when(dotQ(qvec, planeVec(band * planesPerBand + i, dim)) > 0,
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _))
 
   /** Banded random-hyperplane LSH near-duplicate pairs (the OR-construction
     * of MMDS ch.3 applied to Charikar sign hashes): a pair is a candidate
@@ -126,12 +137,21 @@ object SimilarityOps {
   def bandedNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                          bands: Int, planesPerBand: Int, threshold: Double,
                          dim: Int = 64): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // v feeds three plan branches (signatures + both rerank sides) and
+    // posts feeds both sides of the self-join — persist so the quantize/
+    // norm pass and the bands·planes dot products run once, not 3–4×
+    // (same phase-checkpoint structure as the MinHash pipeline in
+    // DedupOps.nearDupsOnShingles)
     val v = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"), quantize(col(vecCol)).as("v"))
       .withColumn("n2", norm2Q(col("v")))
+      .persist(MEMORY_AND_DISK)
     val posts = v.select(col("id"),
         posexplode(array((0 until bands).map(b =>
           bandSig(col("v"), b, planesPerBand, dim)): _*)).as(Seq("band", "sig")))
+      .persist(MEMORY_AND_DISK)
+    posts.count() // eager phase barrier (materializes v too)
     val cand = posts.select(col("band"), col("sig"), col("id").as("id_a"))
       .join(posts.select(col("band"), col("sig"), col("id").as("id_b")),
         Seq("band", "sig"))
@@ -233,14 +253,14 @@ object SimilarityOps {
   /** LSH-bucketed approximate top-k: exact cosine rerank, but only within
     * the query's bucket. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-              vecCol: String, k: Int, planes: Int): DataFrame = {
+              vecCol: String, k: Int, planes: Int, dim: Int = 64): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"),
         quantize(col(vecCol)).as("qv"))
-      .withColumn("bucket", lshBucket(col("qv"), planes))
+      .withColumn("bucket", lshBucket(col("qv"), planes, dim))
       .withColumn("qn", norm2Q(col("qv"))))
     val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
-      .withColumn("bucket", lshBucket(col("cv"), planes))
+      .withColumn("bucket", lshBucket(col("cv"), planes, dim))
       .withColumn("cn", norm2Q(col("cv")))
     val scored = c.join(q, Seq("bucket"))
       .where(col("neighbor_id") =!= col("query_id"))

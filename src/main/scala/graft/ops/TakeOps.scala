@@ -41,11 +41,12 @@ object TakeOps {
     (DoubleType, DoubleType))
 
   /** Widen a gathered column per the reference's allowed matrix; forbidden
-    * pairs (narrowing, i64→f64, float→int) throw — the Spark analog of the
-    * reference's `PyNotImplementedError` arm (`src/lib.rs:160`). */
+    * pairs (narrowing, i64→f64, float→int — and i16→i16, which the
+    * reference dispatch also lacks) throw — the Spark analog of the
+    * reference's `PyNotImplementedError` arm (`src/lib.rs:160`). Identity
+    * arms are NOT implied: only the pairs the dispatch lists pass. */
   def widen(c: Column, from: DataType, to: DataType): Column =
-    if (from == to) c
-    else if (upcastMatrix((from, to))) c.cast(to)
+    if (upcastMatrix((from, to))) { if (from == to) c else c.cast(to) }
     else throw new IllegalArgumentException(
       s"take_1d upcast $from -> $to is outside the reference's allowed matrix")
 

@@ -355,30 +355,38 @@ object QueriesAgg {
     * DeclarativeAggregate (numeric fidelity with `group_mean`'s
     * compensated accumulator, `src/groupby.rs:1325-1337`).
     *
-    * Exact oracle: prices are integer cents, so DuckDB's HUGEINT sum of
-    * cents is the exact rational total; casting it to DOUBLE and dividing
-    * by 100.0 performs the identical two final roundings. The compensated
-    * engine sum reproduces that bit-for-bit (the Neumaier compensation
-    * recovers every low-order bit the naive running sum drops), where a
-    * naive partition-ordered double sum drifts — KahanSumSpec demonstrates
-    * the divergence against exact BigDecimal sums. */
+    * The summands are constructed so the oracle match is PROVABLE, not
+    * just observed: v = cents + k·2⁻²⁰ with cents < 2²⁴ and k < 2³, so
+    * every summand is exactly representable (44 bits), every per-add
+    * rounding error is a small multiple of 2⁻²⁰ that the Neumaier
+    * compensation term holds exactly (|comp| < 2⁸ ⇒ 28 bits), and the
+    * final s + comp is therefore ONE correct rounding of the exact
+    * rational total. The oracle computes the same total exactly as a
+    * HUGEINT in 2⁻²⁰-cent units; CAST to DOUBLE rounds once and the
+    * division by the power of two 2²⁰ is exact — the same single
+    * rounding. A naive double sum drops the 2⁻²⁰ tails once the running
+    * sum passes 2³³ (KahanSumSpec demonstrates the divergence). */
   def qKahan(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     Tables.lineitem(spark, dir)
+      .withColumn("v", cents("l_extendedprice").cast("double")
+        + (col("l_orderkey") % 8).cast("double") / 1048576.0)
       .groupBy("l_returnflag")
       .agg(
-        expr("kahan_sum(l_extendedprice)").as("ksum"),
-        (expr("kahan_sum(l_extendedprice)") / count(lit(1))).as("kmean"),
+        expr("kahan_sum(v)").as("ksum_c"),
+        (expr("kahan_sum(v)") / count(lit(1))).as("kmean_c"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
   }
 
   val qKahanOracle: String = """
     WITH c AS (SELECT l_returnflag,
-                      CAST(round(l_extendedprice*100) AS HUGEINT) pc FROM lineitem)
+                      CAST(round(l_extendedprice*100) AS HUGEINT) * 1048576
+                        + (l_orderkey % 8) s
+               FROM lineitem)
     SELECT l_returnflag,
-           CAST(sum(pc) AS DOUBLE)/100.0 AS ksum,
-           CAST(sum(pc) AS DOUBLE)/100.0/CAST(count(*) AS DOUBLE) AS kmean,
+           CAST(sum(s) AS DOUBLE)/1048576.0 AS ksum_c,
+           CAST(sum(s) AS DOUBLE)/1048576.0/CAST(count(*) AS DOUBLE) AS kmean_c,
            count(*) AS n
     FROM c GROUP BY l_returnflag ORDER BY l_returnflag"""
 
@@ -454,7 +462,7 @@ object QueriesAgg {
 
   val qCollectOracle: String = """
     WITH c AS (SELECT user_id, CAST(round(value*100) AS BIGINT) c FROM events)
-    SELECT user_id, count(*) AS n, min(c) AS smallest, max(c) AS largest,
+    SELECT user_id, count(c) AS n, min(c) AS smallest, max(c) AS largest,
            md5(string_agg(CAST(c AS VARCHAR), ',' ORDER BY c)) AS digest
     FROM c GROUP BY user_id ORDER BY user_id"""
 

@@ -229,6 +229,10 @@ object QueriesRel {
       .orderBy("event_id")
   }
 
+  // The oracle carries the matched right ROW as a struct (not the bare
+  // payload): as-of matches rows, so a matched row's null payload must
+  // propagate instead of being skipped by IGNORE NULLS — pandas
+  // merge_asof semantics, and exactly what RelOps.asofJoin computes.
   val qAsofOracle: String = """
     WITH u AS (
       SELECT user_id, ts, 0 AS isr, event_id, value, NULL::DOUBLE AS pay
@@ -236,9 +240,10 @@ object QueriesRel {
       UNION ALL
       SELECT user_id, ts, 1 AS isr, NULL AS event_id, NULL::DOUBLE AS value, value AS pay
       FROM events WHERE event_type = 'click'),
-    s AS (SELECT *, last_value(pay IGNORE NULLS)
+    s AS (SELECT *, (last_value(CASE WHEN isr = 1 THEN {'o': ts, 'p': pay} END
+                                IGNORE NULLS)
                       OVER (PARTITION BY user_id ORDER BY ts, isr DESC
-                            ROWS UNBOUNDED PRECEDING) last_click_value
+                            ROWS UNBOUNDED PRECEDING)).p last_click_value
           FROM u)
     SELECT event_id, user_id, value, last_click_value
     FROM s WHERE isr = 0 ORDER BY event_id"""
@@ -260,6 +265,9 @@ object QueriesRel {
       .orderBy("event_id")
   }
 
+  // Struct-carried matches (see qAsofOracle): both the payload and the
+  // matched timestamp come from the SAME right row, so a null payload
+  // propagates and the nearest tie-break always uses the true match ts.
   val qAsofDirOracle: String = """
     WITH u AS (
       SELECT user_id, ts, 0 AS isr, event_id, value, NULL::DOUBLE AS pay
@@ -269,24 +277,20 @@ object QueriesRel {
              value AS pay
       FROM events WHERE event_type = 'click'),
     s AS (SELECT *,
-            last_value(pay IGNORE NULLS)
+            last_value(CASE WHEN isr = 1 THEN {'o': ts, 'p': pay} END
+                       IGNORE NULLS)
               OVER (PARTITION BY user_id ORDER BY ts, isr DESC
-                    ROWS UNBOUNDED PRECEDING) bpay,
-            last_value(CASE WHEN isr = 1 THEN ts END IGNORE NULLS)
-              OVER (PARTITION BY user_id ORDER BY ts, isr DESC
-                    ROWS UNBOUNDED PRECEDING) bts,
-            last_value(pay IGNORE NULLS)
+                    ROWS UNBOUNDED PRECEDING) bs,
+            last_value(CASE WHEN isr = 1 THEN {'o': ts, 'p': pay} END
+                       IGNORE NULLS)
               OVER (PARTITION BY user_id ORDER BY ts DESC, isr DESC
-                    ROWS UNBOUNDED PRECEDING) fpay,
-            last_value(CASE WHEN isr = 1 THEN ts END IGNORE NULLS)
-              OVER (PARTITION BY user_id ORDER BY ts DESC, isr DESC
-                    ROWS UNBOUNDED PRECEDING) fts
+                    ROWS UNBOUNDED PRECEDING) fs
           FROM u)
     SELECT event_id, user_id, value,
-           fpay AS next_click_value,
-           CASE WHEN fts IS NULL THEN bpay
-                WHEN bts IS NULL THEN fpay
-                WHEN ts - bts <= fts - ts THEN bpay ELSE fpay
+           fs.p AS next_click_value,
+           CASE WHEN fs IS NULL THEN bs.p
+                WHEN bs IS NULL THEN fs.p
+                WHEN ts - bs.o <= fs.o - ts THEN bs.p ELSE fs.p
            END AS nearest_click_value
     FROM s WHERE isr = 0 ORDER BY event_id"""
 

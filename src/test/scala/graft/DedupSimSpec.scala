@@ -129,7 +129,7 @@ class DedupSimSpec extends SparkSpec {
         vecs.where($"vec_id" === 0), vecs, "vec_id", "embedding", 50)
       .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
     val lsh = SimilarityOps.lshTopK(
-        vecs.where($"vec_id" === 0), vecs, "vec_id", "embedding", 5, 2)
+        vecs.where($"vec_id" === 0), vecs, "vec_id", "embedding", 5, 2, dim = 8)
       .collect()
     assert(lsh.nonEmpty)
     // every LSH result's similarity must equal the brute-force value

@@ -12,12 +12,17 @@ class PlanAuditSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
-  private def count(hay: String, needle: String): Int =
-    hay.sliding(needle.length).count(_ == needle)
+  /** Count plan nodes named exactly `node`: Spark prints last children as
+    * "+- X" but non-last (left) children as ":- X" — counting only one
+    * prefix would let a join-side Sort/Exchange escape the budget; the
+    * trailing boundary keeps Sort from matching SortMergeJoin, and
+    * Exchange from matching BroadcastExchange. */
+  private def count(hay: String, node: String): Int =
+    s"[+:]- $node[ \\[]".r.findAllIn(hay).size
 
   test("q_rank: at most 3 sorts total (2 interior + the output orderBy)") {
     val p = plan("q_rank")
-    assert(count(p, "+- Sort") <= 3, p)
+    assert(count(p, "Sort") <= 3, p)
   }
 
   test("q_join_agg: no count-distinct Expand; single wide pre-agg shuffle") {
@@ -26,7 +31,7 @@ class PlanAuditSpec extends SparkSpec {
     // exchanges: the per-order pre-agg (the one WIDE shuffle over the
     // fact), the tiny 25-group final agg, and the output orderBy range
     // partitioning; broadcasts excluded
-    val wide = count(p, "+- Exchange")
+    val wide = count(p, "Exchange")
     assert(wide <= 3, s"expected <=3 non-broadcast exchanges, plan:\n$p")
     assert(p.contains("BroadcastHashJoin"), p)
   }
@@ -56,7 +61,7 @@ class PlanAuditSpec extends SparkSpec {
   test("q1_flagship: filter pushed to the parquet scan, no sort before agg") {
     val p = plan("q1_flagship")
     assert(p.contains("PushedFilters") && p.contains("l_shipdate"), p)
-    assert(count(p, "+- Sort") <= 1, p) // output orderBy only
+    assert(count(p, "Sort") <= 1, p) // output orderBy only
   }
 
   test("q_factorize: no window operator (distributed code assignment)") {

@@ -36,10 +36,12 @@ class RelTakeSpec extends SparkSpec {
     assert(widened.getLong(0) == 1L && widened.getDouble(1) == 1.0)
     assert(widened.getDouble(2) == 3.5 && widened.getDouble(3) == 4.5)
     // forbidden arms: i64→f64 (the reference's commented-out TODO arm),
-    // narrowing, float→int
+    // narrowing, float→int, and i16→i16 (the dispatch has no such arm —
+    // identity is not implied)
     for ((from, to) <- Seq((LongType: DataType, DoubleType: DataType),
         (LongType, IntegerType), (DoubleType, FloatType),
-        (DoubleType, LongType), (FloatType, IntegerType)))
+        (DoubleType, LongType), (FloatType, IntegerType),
+        (ShortType, ShortType)))
       intercept[IllegalArgumentException](TakeOps.widen(col("l"), from, to))
   }
 
@@ -68,6 +70,18 @@ class RelTakeSpec extends SparkSpec {
       .map(r => if (r.isNullAt(3)) None else Some(r.getDouble(3)))
     // t=10 matches p=1.0 (inclusive); t=25 -> 2.0; t=5 -> none
     assert(got.toSeq == Seq(Some(1.0), Some(2.0), None))
+  }
+
+  test("asof join matches rows: a matched null payload propagates") {
+    val left  = Seq((1L, 100L, 25L)).toDF("id", "k", "t")
+    val right = Seq((100L, 10L, Some(2.0)), (100L, 20L, Option.empty[Double]))
+      .toDF("k", "t", "p")
+    // latest row at-or-before t=25 is (t=20, p=NULL): the match is that
+    // ROW, so the result is NULL — not the earlier non-null 2.0 (pandas
+    // merge_asof semantics)
+    val got = RelOps.asofJoin(left, right, Seq("k"), "t", "t", "p", "ap")
+      .collect()(0)
+    assert(got.isNullAt(3))
   }
 
   test("asof join forward / nearest directions") {
