@@ -466,6 +466,25 @@ object QueriesAgg {
            md5(string_agg(CAST(c AS VARCHAR), ',' ORDER BY c)) AS digest
     FROM c GROUP BY user_id ORDER BY user_id"""
 
+  /** Cube subtotals: every grouping-set combination — adds the
+    * status-only margin rollup cannot produce; same single Expand-fed
+    * aggregation pass. */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity")).as("sum_qty"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
+  val qCubeOracle: String = """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           sum(l_quantity) AS sum_qty,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag, l_linestatus"""
+
   /** Grouped covariance/correlation (pandas `groupby.cov/corr`) from
     * exact power sums over integer-valued summands (quantity, discount
     * cents) — one hash-agg pass, no second scan, and the identical
@@ -550,6 +569,7 @@ object QueriesAgg {
     QueryDef("q_dropna_keys", qDropNaKeys, Some(qDropNaKeysOracle)),
     QueryDef("q_mode", qMode, Some(qModeOracle)),
     QueryDef("q_rollup", qRollup, Some(qRollupOracle)),
+    QueryDef("q_cube", qCube, Some(qCubeOracle)),
     QueryDef("q_corr", qCorr, Some(qCorrOracle)),
     QueryDef("q_collect", qCollect, Some(qCollectOracle)),
     QueryDef("q_sum_mincount", qSumMinCount, Some(qSumMinCountOracle)),
