@@ -119,7 +119,61 @@ object DedupOps {
     // branches AQE re-plans (and sometimes re-executes) per stage. This is
     // the phase structure a production LSH pipeline has anyway.
     sh.count(); sigs.count(); cand.count()
-    jaccardOnPairs(cand, sh).where(col("jaccard") >= threshold)
+    // Materialize the (tiny) verified-pair result, then release the big
+    // phase checkpoints — they must not accumulate in the cache across
+    // calls. The caller owns the returned cached frame.
+    val out = jaccardOnPairs(cand, sh).where(col("jaccard") >= threshold)
+      .persist(MEMORY_AND_DISK)
+    out.count()
+    cand.unpersist(); sigs.unpersist(); sh.unpersist()
+    out
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs via prefix filtering (the
+    * AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08):
+    * order every document's shingles by global rarity (document frequency
+    * asc, hash asc — one consistent total order) and post only the first
+    * `|d| − ⌊t·|d|⌋ + 1` shingles of each document to the inverted index.
+    * Any pair with Jaccard ≥ t MUST collide inside those prefixes (if all
+    * common shingles sat in the suffixes, the intersection would be
+    * < t·min(|A|,|B|) ≤ t·(|A|+|B|)/(1+t), contradicting J ≥ t), so
+    * candidates come from a posting-list equi-join on prefix shingles —
+    * never an all-pairs product — and the exact Jaccard rerank runs only
+    * on candidates. Output is IDENTICAL to the naive all-pairs exact join,
+    * with the index cost collapsing from O(docs²) to O(Σ prefix postings²
+    * per shingle) — the standard exact-similarity-join shape at corpus
+    * scale (rare-first ordering keeps hot shingles out of prefixes).
+    *
+    * Cache ownership: the shingle checkpoint is released before returning;
+    * the caller owns the (tiny, cached) pair result. */
+  def ngramJaccardNearDups(shingles: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    // integer threshold arithmetic (t·|d| via ⌊sz·num/100⌋) so the prefix
+    // bound is engine-exact; num/100 rounds t DOWN — a smaller effective
+    // threshold lengthens the prefix, which only adds candidates (rounding
+    // up could shorten it below the bound and silently drop true pairs)
+    val tNum = math.floor(threshold * 100).toLong
+    val sh = shingles.persist(MEMORY_AND_DISK)
+    sh.count() // phase barrier: shingles feed freq, prefixes, and the rerank
+    val freq = sh.groupBy(col("h")).agg(count(lit(1)).as("dfreq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("dfreq").asc, col("h").asc)
+    val prefixes = sh.join(freq, Seq("h"))
+      .withColumn("sz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= col("sz") - floor(col("sz") * tNum / 100) + 1)
+      .select("id", "h")
+    val cand = prefixes.select(col("h"), col("id").as("id_a"))
+      .join(prefixes.select(col("h"), col("id").as("id_b")), Seq("h"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val out = jaccardOnPairs(cand, sh).where(col("jaccard") >= threshold)
+      .persist(MEMORY_AND_DISK)
+    out.count()
+    sh.unpersist()
+    out
   }
 
   /** Connected components over near-dup pairs → (id, cluster_id = minimum
@@ -130,7 +184,12 @@ object DedupOps {
     * diameter) rounds, and near-dup components are shallow by
     * construction. The per-round `count()` is the driver-side convergence
     * check (a justified phase barrier, same as the LSH checkpoints); each
-    * round's labels are persisted so lineage stays one round deep. */
+    * round's labels are persisted so lineage stays one round deep.
+    *
+    * Cache ownership: intermediates (edges, superseded label rounds) are
+    * released before returning; the returned labels frame stays cached
+    * (it was the convergence check's materialization) and the caller owns
+    * it — unpersist when done. */
   def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))

@@ -133,7 +133,11 @@ object SimilarityOps {
     * ids-only before the rerank joins fetch vectors, so the wide vector
     * payload crosses the shuffle twice (once per side), not once per
     * candidate-band. At 100 TB recall/cost tunes by (bands, planesPerBand)
-    * exactly like the reference-style MinHash band table in DedupOps. */
+    * exactly like the reference-style MinHash band table in DedupOps.
+    *
+    * Cache ownership: the big intermediates (quantized vectors, band
+    * posting lists) are unpersisted before returning; only the tiny pair
+    * result stays cached, and the caller owns it (unpersist when done). */
   def bandedNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                          bands: Int, planesPerBand: Int, threshold: Double,
                          dim: Int = 64): DataFrame = {
@@ -157,7 +161,7 @@ object SimilarityOps {
         Seq("band", "sig"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    cand
+    val pairs = cand
       .join(v.select(col("id").as("id_a"), col("v").as("va"), col("n2").as("na")), Seq("id_a"))
       .join(v.select(col("id").as("id_b"), col("v").as("vb"), col("n2").as("nb")), Seq("id_b"))
       .withColumn("cos_sim",
@@ -166,6 +170,14 @@ object SimilarityOps {
             sqrt(col("na").cast("double") * col("nb").cast("double"))))
       .where(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
+      // The rerank output is tiny (near-dup pairs); materialize it so the
+      // big intermediates can be released NOW instead of accumulating in
+      // the cache for the session lifetime.
+      .persist(MEMORY_AND_DISK)
+    pairs.count()
+    posts.unpersist()
+    v.unpersist()
+    pairs
   }
 
   /** IVF (inverted-file) approximate top-k: corpus vectors are assigned to
@@ -214,6 +226,43 @@ object SimilarityOps {
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .where(col("rk") <= k)
       .select("query_id", "rk", "neighbor_id", "cos_sim")
+  }
+
+  /** One Lloyd (k-means) iteration over quantized embeddings: assign every
+    * vector to its nearest centroid by cosine (broadcast centroids →
+    * map-side scoring, one per-vector argmin window), then recompute the
+    * per-cluster mean. The initial codebook is a deterministic corpus
+    * subsample (`idCol % centroidMod == centroidRem`), same stand-in as
+    * [[ivfTopK]]'s.
+    *
+    * Determinism at the mean: component sums run over quantized LONGS
+    * (exact, order-free); the only float op is one final division — which
+    * is what lets the DuckDB oracle hash-match a clustering step, normally
+    * an FP-accumulation minefield. Scale shape: one broadcast join + one
+    * hash-agg keyed by cluster; the `outDims` cap keeps the demo output
+    * narrow, but the same agg carries all dims at 100 TB (a k×dim grid of
+    * longs — tiny). */
+  def kmeansIterate(corpus: DataFrame, idCol: String, vecCol: String,
+                    centroidMod: Int, centroidRem: Int,
+                    outDims: Int): DataFrame = {
+    val cent = broadcast(
+      corpus.where(col(idCol) % centroidMod === centroidRem)
+        .select(col(idCol).as("cid"), quantize(col(vecCol)).as("centv"))
+        .withColumn("centn", norm2Q(col("centv"))))
+    val v = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), quantize(col(vecCol)).as("v"))
+      .withColumn("vn", norm2Q(col("v")))
+    val scored = v.join(cent)
+      .withColumn("ccos", dotQ(col("v"), col("centv")).cast("double") /
+        sqrt(col("vn").cast("double") * col("centn").cast("double")))
+    val w = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid").asc)
+    val assigned = scored.withColumn("crn", row_number().over(w))
+      .where(col("crn") === 1)
+    assigned.groupBy(col("cid").as("cluster_id"))
+      .agg(count(lit(1)).as("n"),
+        (0 until outDims).map(d =>
+          (sum(element_at(col("v"), d + 1)).cast("double") /
+            count(lit(1)).cast("double")).as(s"c$d")): _*)
   }
 
   /** Multi-probe LSH top-k: with more planes (finer buckets — the 100 TB

@@ -287,11 +287,54 @@ object QueriesSim {
     WHERE cos_sim >= $NdThreshold ORDER BY id_a, id_b"""
   }
 
+  val KmDims = 4
+
+  /** One k-means (Lloyd) iteration: nearest-centroid assignment by cosine
+    * (broadcast codebook, same coarse quantizer as q_embed_ivf), then the
+    * per-cluster recomputed mean over exact quantized-integer sums — the
+    * codebook-training step an IVF index needs. First KmDims components
+    * of each new centroid are emitted (the full-dim agg is the same
+    * plan). */
+  def qKmeansIter(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.kmeansIterate(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", IvfMod, IvfRem, KmDims)
+      .orderBy("cluster_id")
+
+  val qKmeansIterOracle: String = {
+    val comps = (1 to KmDims)
+      .map(i => s"CAST(CAST(sum(CASE WHEN i = $i THEN xi END) AS BIGINT) AS DOUBLE)"
+        + s" / count(DISTINCT a.vec_id) AS c${i - 1}")
+      .mkString(",\n           ")
+    s"""
+    WITH u AS (SELECT vec_id, generate_subscripts(embedding,1) i, unnest(embedding) x
+               FROM embeddings),
+    c AS (SELECT vec_id, i, $quantSql xi FROM u),
+    nrm AS (SELECT vec_id, sum(xi*xi) n2 FROM c GROUP BY vec_id),
+    cent AS (SELECT vec_id cid FROM embeddings WHERE vec_id % $IvfMod = $IvfRem),
+    cdot AS (SELECT a.vec_id, cid, sum(a.xi*b.xi) dot
+             FROM c a JOIN cent ON TRUE JOIN c b ON b.vec_id = cid AND a.i = b.i
+             GROUP BY a.vec_id, cid),
+    ccos AS (SELECT v.vec_id, cid,
+                    CAST(dot AS DOUBLE)/sqrt(CAST(nv.n2 AS DOUBLE)*CAST(nc.n2 AS DOUBLE)) ccs
+             FROM cdot v JOIN nrm nv ON v.vec_id = nv.vec_id
+                         JOIN nrm nc ON cid = nc.vec_id),
+    assign AS (SELECT vec_id, cid cluster_id FROM (
+                 SELECT vec_id, cid,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY ccs DESC, cid) crn
+                 FROM ccos) WHERE crn = 1)
+    SELECT cluster_id, count(DISTINCT a.vec_id) AS n,
+           $comps
+    FROM assign a JOIN c ON a.vec_id = c.vec_id AND i <= $KmDims
+    GROUP BY cluster_id ORDER BY cluster_id"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_embed_topk", qEmbedTopK, Some(qEmbedTopKOracle)),
     QueryDef("q_embed_lsh", qEmbedLsh, Some(qEmbedLshOracle)),
     QueryDef("q_embed_lsh_probe", qEmbedLshProbe, Some(qEmbedLshProbeOracle)),
     QueryDef("q_embed_ivf", qEmbedIvf, Some(qEmbedIvfOracle)),
     QueryDef("q_embed_ivf_probe", qEmbedIvfProbe, Some(qEmbedIvfProbeOracle)),
-    QueryDef("q_embed_neardup", qEmbedNearDup, Some(qEmbedNearDupOracle)))
+    QueryDef("q_embed_neardup", qEmbedNearDup, Some(qEmbedNearDupOracle)),
+    QueryDef("q_kmeans_iter", qKmeansIter, Some(qKmeansIterOracle)))
 }

@@ -225,6 +225,100 @@ object QueriesText {
     SELECT * FROM j WHERE jaccard >= $JaccardThreshold ORDER BY id_a, id_b"""
   }
 
+  /** Exact n-gram Jaccard near-dup pairs (no MinHash approximation): the
+    * prefix-filtered similarity self-join (AllPairs/PPJoin family — see
+    * DedupOps.ngramJaccardNearDups for the bound). The oracle states the
+    * SEMANTICS the filter provably preserves — all pairs sharing ≥1
+    * shingle, exact Jaccard ≥ t — so a prefix-filter bug that dropped a
+    * true pair would hash-mismatch. */
+  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.ngramJaccardNearDups(
+        DedupOps.wordShingleHashes(Tables.documents(spark, dir), "doc_id", "text"),
+        JaccardThreshold)
+      .orderBy("id_a", "id_b")
+
+  val qNgramJaccardOracle: String = s"""
+    WITH $shingleCte,
+    sz AS (SELECT id, count(*) AS sz FROM h GROUP BY id),
+    cand AS (SELECT DISTINCT sa.id AS id_a, sb.id AS id_b
+             FROM h sa JOIN h sb ON sa.h = sb.h AND sa.id < sb.id),
+    inter AS (SELECT id_a, id_b, count(*) AS inter
+              FROM cand JOIN h sa ON id_a = sa.id
+                        JOIN h sb ON id_b = sb.id AND sa.h = sb.h
+              GROUP BY id_a, id_b),
+    j AS (SELECT cand.id_a, cand.id_b, inter,
+                 x.sz AS sz_a, y.sz AS sz_b,
+                 CAST(inter AS DOUBLE) /
+                   CAST(x.sz + y.sz - inter AS DOUBLE) AS jaccard
+          FROM cand JOIN inter USING (id_a, id_b)
+                    JOIN sz x ON cand.id_a = x.id
+                    JOIN sz y ON cand.id_b = y.id)
+    SELECT * FROM j WHERE jaccard >= $JaccardThreshold ORDER BY id_a, id_b"""
+
+  /** TF-IDF top terms per document. The idf factor is the exact rational
+    * N/df (score = tf·N/df with ONE float division) instead of a log —
+    * same ranking monotonicity per document, and bitwise-identical across
+    * engines, which a `ln()` would not guarantee. Scale shape: explode →
+    * hash-agg tf → hash-agg df (tiny: one row per term, broadcast back) →
+    * per-doc top-k window. */
+  def qTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+    val tf = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), Seq("term")).crossJoin(nDocs)
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 3)
+      .select("doc_id", "rk", "term", "tf", "df", "score")
+      .orderBy("doc_id", "rk")
+  }
+
+  val qTfidfOracle: String = """
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+               FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    s AS (SELECT doc_id, term, tf, df,
+                 CAST(tf * n_docs AS DOUBLE) / df AS score
+          FROM tf JOIN df USING (term) CROSS JOIN n),
+    r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, term) AS BIGINT) AS rk
+          FROM s)
+    SELECT doc_id, rk, term, tf, df, score
+    FROM r WHERE rk <= 3 ORDER BY doc_id, rk"""
+
+  /** Deterministic stratified train/val/test split (80/10/10) by content-
+    * independent id hash — the split every training pipeline needs, made
+    * reproducible across engines/reruns (md5 of a salted id, not a RNG).
+    * Stratum stats verify the split is balanced per language. */
+  def qSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bkt = md5Hash32(concat(lit("split42_"), col("doc_id").cast("string"))) % 10
+    Tables.documents(spark, dir)
+      .withColumn("split",
+        when(bkt < 8, "train").when(bkt === 8, "val").otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"),
+        sum(col("n_chars")).as("chars"))
+      .orderBy("lang", "split")
+  }
+
+  val qSplitOracle: String = """
+    WITH b AS (SELECT lang, doc_id, n_chars,
+                      ('0x' || substr(md5('split42_' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 AS bkt
+               FROM documents)
+    SELECT lang,
+           CASE WHEN bkt < 8 THEN 'train' WHEN bkt = 8 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n, min(doc_id) AS min_doc,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM b GROUP BY 1, 2 ORDER BY lang, split"""
+
   /** Text normalization (the cleaning pass that precedes dedup in an LLM
     * data pipeline): lowercase, strip non-alphanumerics, collapse runs of
     * spaces, trim — then digest + post-normalization stats. Pure codegen
@@ -332,6 +426,9 @@ object QueriesText {
     QueryDef("q_dedup_exact", qDedupExact, Some(qDedupExactOracle)),
     QueryDef("q_minhash_sig", qMinhashSig, Some(qMinhashSigOracle)),
     QueryDef("q_neardup_lsh", qNearDupLsh, Some(qNearDupLshOracle)),
+    QueryDef("q_ngram_jaccard", qNgramJaccard, Some(qNgramJaccardOracle)),
+    QueryDef("q_tfidf", qTfidf, Some(qTfidfOracle)),
+    QueryDef("q_split", qSplit, Some(qSplitOracle)),
     QueryDef("q_dedup_clusters", qDedupClusters, Some(qDedupClustersOracle)),
     QueryDef("q_normalize", qNormalize, Some(qNormalizeOracle)),
     QueryDef("q_simhash", qSimhash, Some(qSimhashOracle)))

@@ -289,13 +289,28 @@ object QueriesWindow {
            CAST(sum(pc) AS DOUBLE)/100.0 AS sum_price
     FROM c GROUP BY bin ORDER BY bin"""
 
-  /** Quantile binning (pandas `qcut(4)`): ntile over a deterministic
-    * (value, id) order, then per-tile stats. */
+  /** Quantile binning with pandas `qcut(4)` semantics: per-group quartile
+    * EDGES (exact linear-interpolation percentile), then bin by value —
+    * bin i = (edge_{i−1}, edge_i], lowest bin closed on the left — so tied
+    * values always land in ONE bin (ntile would split them across tiles).
+    *
+    * Determinism: edges are interpolated over integer cents; quartile
+    * fractions of (n−1) are dyadic, so `lower + frac·(upper−lower)` is
+    * FP-exact and identical in Spark and DuckDB. Scale shape: one grouped
+    * percentile agg (tiny: one row per event_type), broadcast back, one
+    * map-side bin projection, one final hash-agg. */
   def qQcut(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
-    Tables.events(spark, dir)
-      .withColumn("tile", ntile(4).over(w).cast("long"))
+    val ev = Tables.events(spark, dir)
+      .withColumn("c", round(col("value") * 100).cast("long"))
+    val edges = broadcast(ev.groupBy("event_type")
+      .agg(percentile(col("c"), lit(0.25)).as("e1"),
+        percentile(col("c"), lit(0.5)).as("e2"),
+        percentile(col("c"), lit(0.75)).as("e3")))
+    ev.join(edges, Seq("event_type"))
+      .withColumn("tile",
+        (lit(1L) + when(col("c") > col("e1"), 1L).otherwise(0L)
+          + when(col("c") > col("e2"), 1L).otherwise(0L)
+          + when(col("c") > col("e3"), 1L).otherwise(0L)))
       .groupBy("event_type", "tile")
       .agg(count(lit(1)).as("n"),
         min(col("value")).as("min_v"),
@@ -304,10 +319,18 @@ object QueriesWindow {
   }
 
   val qQcutOracle: String = """
-    WITH t AS (SELECT event_type, value,
-                      ntile(4) OVER (PARTITION BY event_type
-                                     ORDER BY value, event_id) tile
-               FROM events)
+    WITH c AS (SELECT event_type, value,
+                      CAST(round(value*100) AS BIGINT) c FROM events),
+    e AS (SELECT event_type,
+                 quantile_cont(c, 0.25) e1,
+                 quantile_cont(c, 0.5)  e2,
+                 quantile_cont(c, 0.75) e3
+          FROM c GROUP BY event_type),
+    t AS (SELECT c.event_type, value,
+                 1 + CASE WHEN c > e1 THEN 1 ELSE 0 END
+                   + CASE WHEN c > e2 THEN 1 ELSE 0 END
+                   + CASE WHEN c > e3 THEN 1 ELSE 0 END AS tile
+          FROM c JOIN e ON c.event_type = e.event_type)
     SELECT event_type, tile, count(*) AS n, min(value) AS min_v, max(value) AS max_v
     FROM t GROUP BY event_type, tile ORDER BY event_type, tile"""
 

@@ -65,6 +65,12 @@ object StreamOps {
   def intervalJoin(left: DataFrame, leftKey: String, leftTs: String,
                    right: DataFrame, rightKey: String, rightTs: String,
                    lookback: String, watermark: String): DataFrame = {
+    // The condition uses unqualified col() names: a column present on BOTH
+    // sides would either fail as ambiguous or silently resolve to one side.
+    // Enforce the disjoint-name contract loudly at build time.
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty,
+      s"intervalJoin requires disjoint column names; shared: ${shared.toSeq.sorted.mkString(", ")}")
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
     l.join(r,

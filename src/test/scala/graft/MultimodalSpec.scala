@@ -40,7 +40,7 @@ class MultimodalSpec extends SparkSpec {
     // the real media-ingestion path: a directory of opaque files read as
     // (path, modificationTime, length, content) — content lands in the
     // same BinaryType column MediaRow.payload models
-    val dir = "/tmp/graft_binfiles"
+    val dir = tmpPath("graft_binfiles")
     val fs = new java.io.File(dir)
     fs.mkdirs()
     val payloads = Map("a.bin" -> Array[Byte](1, 2, 3, 4),

@@ -81,8 +81,8 @@ class ScaleOpsSpec extends SparkSpec {
           .as("cs"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
 
-    ev.write.mode("overwrite").parquet("/tmp/graft_state_in")
-    val stream = spark.readStream.schema(ev.schema).parquet("/tmp/graft_state_in")
+    ev.write.mode("overwrite").parquet(tmpPath("graft_state_in"))
+    val stream = spark.readStream.schema(ev.schema).parquet(tmpPath("graft_state_in"))
       .as[(Long, Long, Double)]
     val q = StreamOps.statefulCumsum(stream)
       .toDF("event_id", "user_id", "cs")
@@ -112,11 +112,11 @@ class ScaleOpsSpec extends SparkSpec {
           .as("cs"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
 
-    ev.write.mode("overwrite").parquet("/tmp/graft_tws_in")
+    ev.write.mode("overwrite").parquet(tmpPath("graft_tws_in"))
     val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val stream = spark.readStream.schema(ev.schema).parquet("/tmp/graft_tws_in")
+    val stream = spark.readStream.schema(ev.schema).parquet(tmpPath("graft_tws_in"))
       .as[(Long, Long, Double)]
     val q = StreamOps.statefulCumsumTws(stream)
       .toDF("event_id", "user_id", "cs")

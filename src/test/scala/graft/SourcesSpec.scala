@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * formats. */
 class SourcesSpec extends SparkSpec {
 
-  private val base = "/tmp/graft_sources"
+  private val base = tmpPath("graft_sources")
 
   test("csv round-trip preserves lineitem values") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")

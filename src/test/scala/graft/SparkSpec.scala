@@ -8,11 +8,28 @@ import org.scalatest.funsuite.AnyFunSuite
 object SharedSpark {
   lazy val spark: SparkSession =
     GraftSession.builder("local[4]", 4).appName("graft-test").getOrCreate()
+
+  /** Per-JVM scratch root: concurrent test JVMs must not collide on
+    * fixed /tmp paths (same failure class the per-JVM warehouse.dir in
+    * GraftSession guards against). */
+  lazy val tmpRoot: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-spec-").toString
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(d))
+    }
+    d
+  }
 }
 
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SharedSpark.spark
   spark.sparkContext.setLogLevel("ERROR")
+
+  /** Unique-per-JVM scratch path for test inputs/outputs. */
+  def tmpPath(name: String): String = s"${SharedSpark.tmpRoot}/$name"
 
   /** Seeded generator for kernel-shaped inputs (N rows, G groups, null
     * probability p) mirroring the reference's differential-test recipes

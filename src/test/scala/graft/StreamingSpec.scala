@@ -20,9 +20,9 @@ class StreamingSpec extends SparkSpec {
       .toSet
 
     // stage the (ns->us converted) events as parquet the stream can read
-    batchEv.write.mode("overwrite").parquet("/tmp/graft_stream_in")
+    batchEv.write.mode("overwrite").parquet(tmpPath("graft_stream_in"))
     val streamEv = spark.readStream.schema(batchEv.schema)
-      .parquet(s"/tmp/graft_stream_in")
+      .parquet(tmpPath("graft_stream_in"))
     val q = StreamOps.tumblingAgg(streamEv, "ts", "1 hour",
         Seq(col("event_type")),
         Seq(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("long")).as("sv")))
@@ -49,10 +49,10 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(batch.nonEmpty)
 
-    purchases.write.mode("overwrite").parquet("/tmp/graft_ssj_l")
-    clicks.write.mode("overwrite").parquet("/tmp/graft_ssj_r")
-    val lStream = spark.readStream.schema(purchases.schema).parquet("/tmp/graft_ssj_l")
-    val rStream = spark.readStream.schema(clicks.schema).parquet("/tmp/graft_ssj_r")
+    purchases.write.mode("overwrite").parquet(tmpPath("graft_ssj_l"))
+    clicks.write.mode("overwrite").parquet(tmpPath("graft_ssj_r"))
+    val lStream = spark.readStream.schema(purchases.schema).parquet(tmpPath("graft_ssj_l"))
+    val rStream = spark.readStream.schema(clicks.schema).parquet(tmpPath("graft_ssj_r"))
     val q = StreamOps.intervalJoin(lStream, "user_id", "ts",
         rStream, "c_user", "c_ts", "1 hour", "2 hours")
       .select("event_id", "c_event")
@@ -87,8 +87,8 @@ class StreamingSpec extends SparkSpec {
           sum(round(col("value") * 100).cast("long")).as("sv")))
     val batch = agg(batchEv).collect()
       .map(r => (r.getString(0), r.getLong(3), r.getLong(1), r.getLong(2))).toSet
-    batchEv.write.mode("overwrite").parquet("/tmp/graft_stream_slide")
-    val q = agg(spark.readStream.schema(batchEv.schema).parquet("/tmp/graft_stream_slide"))
+    batchEv.write.mode("overwrite").parquet(tmpPath("graft_stream_slide"))
+    val q = agg(spark.readStream.schema(batchEv.schema).parquet(tmpPath("graft_stream_slide")))
       .writeStream.outputMode("complete").format("memory")
       .queryName("slide_out").start()
     try {
@@ -101,9 +101,9 @@ class StreamingSpec extends SparkSpec {
 
   test("watermarked append-mode windows emit only finalized windows") {
     val batchEv = Tables.events(spark, dir)
-    batchEv.write.mode("overwrite").parquet("/tmp/graft_stream_wm")
+    batchEv.write.mode("overwrite").parquet(tmpPath("graft_stream_wm"))
     val q = StreamOps.tumblingAggWatermarked(
-        spark.readStream.schema(batchEv.schema).parquet("/tmp/graft_stream_wm"),
+        spark.readStream.schema(batchEv.schema).parquet(tmpPath("graft_stream_wm")),
         "ts", "1 hour", "10 minutes", Seq(col("event_type")),
         Seq(count(lit(1)).as("n")))
       .writeStream.outputMode("append").format("memory")
@@ -124,9 +124,9 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
       .select(col("ts"), (col("event_id") % 100).as("k"))
-    ev.write.mode("overwrite").parquet("/tmp/graft_stream_dedup_in")
+    ev.write.mode("overwrite").parquet(tmpPath("graft_stream_dedup_in"))
     val stream = spark.readStream.schema(ev.schema)
-      .parquet("/tmp/graft_stream_dedup_in")
+      .parquet(tmpPath("graft_stream_dedup_in"))
     val q = StreamOps.streamingDedup(stream, "ts", "1 hour", Seq("k"))
       .writeStream.outputMode("append").format("memory")
       .queryName("dedup_out").start()
