@@ -119,12 +119,19 @@ object DedupOps {
     // branches AQE re-plans (and sometimes re-executes) per stage. This is
     // the phase structure a production LSH pipeline has anyway.
     sh.count(); sigs.count(); cand.count()
-    // Materialize the (tiny) verified-pair result, then release the big
-    // phase checkpoints — they must not accumulate in the cache across
-    // calls. The caller owns the returned cached frame.
+    // Materialize the (tiny) verified-pair result with a LINEAGE CUT
+    // (localCheckpoint — the single-JVM analog of checkpoint()), then
+    // release the big phase checkpoints. A plain persist here is a trap:
+    // Dataset.unpersist() runs with cascade=false, which RECOMPILES every
+    // cache entry whose plan contains the unpersisted one and DROPS its
+    // built buffers — so unpersisting sh/sigs/cand would silently
+    // invalidate a persisted result and the caller's next action would
+    // re-execute the whole un-checkpointed pipeline (measured 7× on the
+    // sf0.1 bench). After the cut the result has no plan dependency on
+    // the checkpoints; its blocks are reclaimed by the ContextCleaner
+    // once the caller drops the reference.
     val out = jaccardOnPairs(cand, sh).where(col("jaccard") >= threshold)
-      .persist(MEMORY_AND_DISK)
-    out.count()
+      .localCheckpoint(true)
     cand.unpersist(); sigs.unpersist(); sh.unpersist()
     out
   }
@@ -144,8 +151,9 @@ object DedupOps {
     * per shingle) — the standard exact-similarity-join shape at corpus
     * scale (rare-first ordering keeps hot shingles out of prefixes).
     *
-    * Cache ownership: the shingle checkpoint is released before returning;
-    * the caller owns the (tiny, cached) pair result. */
+    * Cache ownership: the shingle/prefix checkpoints are released before
+    * returning; the (tiny) pair result is lineage-cut so the release
+    * cannot invalidate it, and its blocks are ContextCleaner-reclaimed. */
   def ngramJaccardNearDups(shingles: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
@@ -165,14 +173,17 @@ object DedupOps {
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= col("sz") - floor(col("sz") * tNum / 100) + 1)
       .select("id", "h")
+      .persist(MEMORY_AND_DISK)
+    prefixes.count() // feeds BOTH sides of the candidate self-join
     val cand = prefixes.select(col("h"), col("id").as("id_a"))
       .join(prefixes.select(col("h"), col("id").as("id_b")), Seq("h"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+    // lineage cut before releasing checkpoints — see nearDupsOnShingles
+    // for why unpersist(cascade=false) would otherwise drop this result
     val out = jaccardOnPairs(cand, sh).where(col("jaccard") >= threshold)
-      .persist(MEMORY_AND_DISK)
-    out.count()
-    sh.unpersist()
+      .localCheckpoint(true)
+    prefixes.unpersist(); sh.unpersist()
     out
   }
 
@@ -184,12 +195,13 @@ object DedupOps {
     * diameter) rounds, and near-dup components are shallow by
     * construction. The per-round `count()` is the driver-side convergence
     * check (a justified phase barrier, same as the LSH checkpoints); each
-    * round's labels are persisted so lineage stays one round deep.
-    *
-    * Cache ownership: intermediates (edges, superseded label rounds) are
-    * released before returning; the returned labels frame stays cached
-    * (it was the convergence check's materialization) and the caller owns
-    * it — unpersist when done. */
+    * round's labels are LINEAGE-CUT via eager localCheckpoint (cluster
+    * analog: checkpoint() to reliable storage) — iterative plans must not
+    * grow one join deeper per round, and a persist-per-round scheme
+    * self-destructs because unpersisting round N−1 recompiles (and drops
+    * the buffers of) round N's cache entry, making round N+1 recompute
+    * the whole chain. Superseded rounds' blocks are reclaimed by the
+    * ContextCleaner once their driver references go out of scope. */
   def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -197,8 +209,8 @@ object DedupOps {
       .persist(MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
-      .persist(MEMORY_AND_DISK)
-    var changed = labels.count() // materialize; any nonzero starts the loop
+      .localCheckpoint(true)
+    var changed = labels.count() // any nonzero starts the loop
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
@@ -217,10 +229,9 @@ object DedupOps {
         .select(prop("id"),
           least(prop("cluster_id"), coalesce(col("jcl"), prop("cluster_id")))
             .as("cluster_id"))
-        .persist(MEMORY_AND_DISK)
+        .localCheckpoint(true)
       changed = updated.join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
         .where(col("cluster_id") =!= col("old")).count()
-      labels.unpersist()
       labels = updated
       iter += 1
     }

@@ -136,8 +136,9 @@ object SimilarityOps {
     * exactly like the reference-style MinHash band table in DedupOps.
     *
     * Cache ownership: the big intermediates (quantized vectors, band
-    * posting lists) are unpersisted before returning; only the tiny pair
-    * result stays cached, and the caller owns it (unpersist when done). */
+    * posting lists) are unpersisted before returning; the tiny pair
+    * result is lineage-cut (eager localCheckpoint) so the release cannot
+    * invalidate it, and its blocks are ContextCleaner-reclaimed. */
   def bandedNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                          bands: Int, planesPerBand: Int, threshold: Double,
                          dim: Int = 64): DataFrame = {
@@ -170,11 +171,12 @@ object SimilarityOps {
             sqrt(col("na").cast("double") * col("nb").cast("double"))))
       .where(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
-      // The rerank output is tiny (near-dup pairs); materialize it so the
-      // big intermediates can be released NOW instead of accumulating in
-      // the cache for the session lifetime.
-      .persist(MEMORY_AND_DISK)
-    pairs.count()
+      // The rerank output is tiny (near-dup pairs); materialize it WITH A
+      // LINEAGE CUT so the big intermediates can be released NOW — a plain
+      // persist would be invalidated by the unpersists below
+      // (cascade=false recompiles dependent cache entries and drops their
+      // buffers), silently re-running the whole pipeline on next use.
+      .localCheckpoint(true)
     posts.unpersist()
     v.unpersist()
     pairs
@@ -205,8 +207,10 @@ object SimilarityOps {
       val v = df.select(col(idCol).as(outId), quantize(col(vecCol)).as("v"))
         .withColumn("vn", norm2Q(col("v")))
       val scored = v.join(cent)
-        .withColumn("ccos", dotQ(col("v"), col("centv")).cast("double") /
-          sqrt(col("vn").cast("double") * col("centn").cast("double")))
+        .withColumn("ccos",
+          when(col("vn") === 0 || col("centn") === 0, lit(null))
+            .otherwise(dotQ(col("v"), col("centv")).cast("double") /
+              sqrt(col("vn").cast("double") * col("centn").cast("double"))))
       val w = Window.partitionBy(col(outId))
         .orderBy(col("ccos").desc, col("cid").asc)
       scored.withColumn("crn", row_number().over(w)).where(col("crn") <= probes)
@@ -253,8 +257,12 @@ object SimilarityOps {
       .select(col(idCol).as("id"), quantize(col(vecCol)).as("v"))
       .withColumn("vn", norm2Q(col("v")))
     val scored = v.join(cent)
-      .withColumn("ccos", dotQ(col("v"), col("centv")).cast("double") /
-        sqrt(col("vn").cast("double") * col("centn").cast("double")))
+      .withColumn("ccos",
+        // zero-norm guard (same as cosineQ): Spark's x/0 is NULL while
+        // DuckDB's is IEEE inf/NaN — make both sides agree on NULL
+        when(col("vn") === 0 || col("centn") === 0, lit(null))
+          .otherwise(dotQ(col("v"), col("centv")).cast("double") /
+            sqrt(col("vn").cast("double") * col("centn").cast("double"))))
     val w = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid").asc)
     val assigned = scored.withColumn("crn", row_number().over(w))
       .where(col("crn") === 1)

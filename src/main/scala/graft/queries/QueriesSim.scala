@@ -165,7 +165,9 @@ object QueriesSim {
              FROM c a JOIN cent ON TRUE JOIN c b ON b.vec_id = cid AND a.i = b.i
              GROUP BY a.vec_id, cid),
     ccos AS (SELECT v.vec_id, cid,
-                    CAST(dot AS DOUBLE)/sqrt(CAST(nv.n2 AS DOUBLE)*CAST(nc.n2 AS DOUBLE)) ccs
+                    CASE WHEN nv.n2 = 0 OR nc.n2 = 0 THEN NULL
+                         ELSE CAST(dot AS DOUBLE)/sqrt(CAST(nv.n2 AS DOUBLE)*CAST(nc.n2 AS DOUBLE))
+                    END ccs
              FROM cdot v JOIN nrm nv ON v.vec_id = nv.vec_id
                          JOIN nrm nc ON cid = nc.vec_id),
     assign AS (SELECT vec_id, cid cluster_id FROM (
@@ -215,7 +217,9 @@ object QueriesSim {
              FROM c a JOIN cent ON TRUE JOIN c b ON b.vec_id = cid AND a.i = b.i
              GROUP BY a.vec_id, cid),
     ccos AS (SELECT v.vec_id, cid,
-                    CAST(dot AS DOUBLE)/sqrt(CAST(nv.n2 AS DOUBLE)*CAST(nc.n2 AS DOUBLE)) ccs
+                    CASE WHEN nv.n2 = 0 OR nc.n2 = 0 THEN NULL
+                         ELSE CAST(dot AS DOUBLE)/sqrt(CAST(nv.n2 AS DOUBLE)*CAST(nc.n2 AS DOUBLE))
+                    END ccs
              FROM cdot v JOIN nrm nv ON v.vec_id = nv.vec_id
                          JOIN nrm nc ON cid = nc.vec_id),
     ranked AS (SELECT vec_id, cid,
@@ -315,7 +319,9 @@ object QueriesSim {
              FROM c a JOIN cent ON TRUE JOIN c b ON b.vec_id = cid AND a.i = b.i
              GROUP BY a.vec_id, cid),
     ccos AS (SELECT v.vec_id, cid,
-                    CAST(dot AS DOUBLE)/sqrt(CAST(nv.n2 AS DOUBLE)*CAST(nc.n2 AS DOUBLE)) ccs
+                    CASE WHEN nv.n2 = 0 OR nc.n2 = 0 THEN NULL
+                         ELSE CAST(dot AS DOUBLE)/sqrt(CAST(nv.n2 AS DOUBLE)*CAST(nc.n2 AS DOUBLE))
+                    END ccs
              FROM cdot v JOIN nrm nv ON v.vec_id = nv.vec_id
                          JOIN nrm nc ON cid = nc.vec_id),
     assign AS (SELECT vec_id, cid cluster_id FROM (
