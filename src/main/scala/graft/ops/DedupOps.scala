@@ -136,6 +136,40 @@ object DedupOps {
     out
   }
 
+  /** Sketch-accuracy audit: the MinHash Jaccard ESTIMATE (fraction of
+    * matching signature components — E[est] = J by the minwise property)
+    * next to the EXACT Jaccard, for every LSH candidate pair. This is the
+    * query a pipeline owner runs before trusting the sketch at 100 TB:
+    * it quantifies the k=16 estimator's error on real candidates (and the
+    * same plan with a bigger k is the tuning loop). Same phase structure
+    * as [[nearDupsOnShingles]]; the signature join adds one broadcast-size
+    * hash join per side over the tiny candidate set. */
+  def minhashEstimateVsExact(shingles: DataFrame, bands: Int, rows: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val k = MinhashAB.size
+    val sh   = shingles.persist(MEMORY_AND_DISK)
+    val sigs = minhashSignatures(sh).persist(MEMORY_AND_DISK)
+    val cand = lshCandidates(sigs, bands, rows).persist(MEMORY_AND_DISK)
+    sh.count(); sigs.count(); cand.count()
+    val sa = sigs.select(col("id").as("id_a") +:
+      (0 until k).map(i => col(s"mh$i").as(s"a$i")): _*)
+    val sb = sigs.select(col("id").as("id_b") +:
+      (0 until k).map(i => col(s"mh$i").as(s"b$i")): _*)
+    val matches = (0 until k)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val est = cand.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (matches.cast("double") / lit(k.toDouble)).as("est_jaccard"))
+    val exact = jaccardOnPairs(cand, sh).select("id_a", "id_b", "jaccard")
+    // lineage cut before releasing checkpoints — see nearDupsOnShingles
+    val out = est.join(exact, Seq("id_a", "id_b"))
+      .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
+      .localCheckpoint(true)
+    cand.unpersist(); sigs.unpersist(); sh.unpersist()
+    out
+  }
+
   /** Exact n-gram Jaccard near-dup pairs via prefix filtering (the
     * AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08):
     * order every document's shingles by global rarity (document frequency

@@ -418,6 +418,242 @@ object QueriesText {
     SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM bits ORDER BY doc_id"""
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1 shape):
+    * duplicate-word fraction, most-frequent-word fraction, and
+    * most-frequent-bigram fraction per document — the filters that drop
+    * boilerplate/spam before training. All counts are integers; each
+    * fraction is one final division, so the oracle compares exactly. */
+  def qRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val par  = docs.sparkSession.sparkContext.defaultParallelism
+    val wstats = docs.repartition(par)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("wc"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_word"))
+    val ws = split(col("text"), " ")
+    val bigrams = transform(
+      sequence(lit(1), greatest(size(ws) - 1, lit(1))),
+      i => concat(element_at(ws, i), lit(" "),
+        coalesce(try_element_at(ws, i + 1), lit(""))))
+    val bstats = docs.repartition(par)
+      .select(col("doc_id"), explode(bigrams).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("nb"), max(col("c")).as("top_bigram"))
+    wstats.join(bstats, Seq("doc_id"))
+      .select(col("doc_id"), col("wc"), col("n_distinct"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("wc").cast("double"))
+          .as("dup_word_frac"),
+        col("top_word"),
+        (col("top_word").cast("double") / col("wc").cast("double"))
+          .as("top_word_frac"),
+        col("top_bigram"),
+        (col("top_bigram").cast("double") / col("nb").cast("double"))
+          .as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  val qRepetitionOracle: String = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+    wx AS (SELECT doc_id, unnest(ws) w FROM w),
+    wcnt AS (SELECT doc_id, w, count(*) c FROM wx GROUP BY 1, 2),
+    wst AS (SELECT doc_id, CAST(sum(c) AS BIGINT) wc,
+                   count(*) n_distinct, CAST(max(c) AS BIGINT) top_word
+            FROM wcnt GROUP BY 1),
+    bg AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws)-1,1)+1),
+                 i -> ws[CAST(i AS INT)] || ' '
+                      || COALESCE(ws[CAST(i AS INT)+1],''))) b FROM w),
+    bcnt AS (SELECT doc_id, b, count(*) c FROM bg GROUP BY 1, 2),
+    bst AS (SELECT doc_id, CAST(sum(c) AS BIGINT) nb,
+                   CAST(max(c) AS BIGINT) top_bigram
+            FROM bcnt GROUP BY 1)
+    SELECT doc_id, wc, n_distinct,
+           1.0 - CAST(n_distinct AS DOUBLE) / CAST(wc AS DOUBLE) AS dup_word_frac,
+           top_word,
+           CAST(top_word AS DOUBLE) / CAST(wc AS DOUBLE) AS top_word_frac,
+           top_bigram,
+           CAST(top_bigram AS DOUBLE) / CAST(nb AS DOUBLE) AS top_bigram_frac
+    FROM wst JOIN bst USING (doc_id) ORDER BY doc_id"""
+
+  // ---- BM25 (Robertson/Spärck Jones) over a fixed query-term set ----
+  /** Rational idf variant `(N − df + 0.5)/(df + 0.5)` — same ranking
+    * monotonicity as the usual ln() form for df < N/2, chosen because
+    * JVM ln and libm ln can differ in the last ulp (the engine/oracle
+    * hash-match would be flaky; see q_tfidf's rational scoring). */
+  val Bm25Terms = Seq("data", "table", "scan")
+  val Bm25K1    = 1.2
+  val Bm25B     = 0.75
+
+  /** BM25 top-10 documents per query term: tf-idf with document-length
+    * normalization — the retrieval baseline a data-curation stack uses
+    * for corpus search / relevance dedup. One explode + two hash-aggs +
+    * broadcast joins of tiny (df, corpus-stats) sides. */
+  def qBm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val corpus = broadcast(dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl")))
+    val dfreq = tf.where(col("term").isin(Bm25Terms: _*))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val tfd = col("tf").cast("double")
+    // operand order mirrors the oracle SQL token-for-token (double ops are
+    // deterministic only under identical association)
+    val norm = tfd * lit(Bm25K1 + 1) /
+      (tfd + lit(Bm25K1) * (lit(1 - Bm25B) +
+        lit(Bm25B) * (col("dl").cast("double") / avgdl)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("score").desc, col("doc_id").asc)
+    tf.where(col("term").isin(Bm25Terms: _*))
+      .join(dl, Seq("doc_id")).join(broadcast(dfreq), Seq("term"))
+      .crossJoin(corpus)
+      .withColumn("score", idf * norm)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 10)
+      .select("term", "rk", "doc_id", "tf", "dl", "df", "score")
+      .orderBy("term", "rk")
+  }
+
+  val qBm25Oracle: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) tf FROM t GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) dl FROM tf GROUP BY 1),
+    corpus AS (SELECT count(*) n_docs, CAST(sum(dl) AS BIGINT) sum_dl FROM dl),
+    df AS (SELECT term, count(*) df FROM tf WHERE term IN ($terms) GROUP BY 1),
+    s AS (SELECT term, tf.doc_id, tf, dl, df,
+            ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+             (CAST(df AS DOUBLE) + 0.5))
+            * (CAST(tf AS DOUBLE) * ($Bm25K1 + 1) /
+               (CAST(tf AS DOUBLE) + $Bm25K1 * ((1 - $Bm25B) + $Bm25B *
+                 (CAST(dl AS DOUBLE) /
+                  (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) score
+          FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN corpus),
+    r AS (SELECT *, CAST(row_number() OVER (PARTITION BY term
+                           ORDER BY score DESC, doc_id) AS BIGINT) rk FROM s)
+    SELECT term, rk, doc_id, tf, dl, df, score
+    FROM r WHERE rk <= 10 ORDER BY term, rk"""
+  }
+
+  /** MinHash estimate vs exact Jaccard on every LSH candidate pair — the
+    * sketch-accuracy audit (see DedupOps.minhashEstimateVsExact). */
+  def qMinhashEst(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.minhashEstimateVsExact(
+        DedupOps.wordShingleHashes(Tables.documents(spark, dir), "doc_id", "text"),
+        Bands, Rows)
+      .orderBy("id_a", "id_b")
+
+  val qMinhashEstOracle: String = {
+    val mhs = MinhashAB.indices.map(minhashExprSql).mkString(", ")
+    val bandKeys = (0 until Bands).map { b =>
+      val key = (0 until Rows).map(r => s"CAST(mh${b * Rows + r} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT id, $b AS band, $key AS bkey FROM sigs"
+    }.mkString("\n      UNION ALL\n      ")
+    val matchSum = MinhashAB.indices
+      .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""
+    WITH $shingleCte,
+    sigs AS (SELECT id, $mhs FROM h GROUP BY id),
+    banded AS (
+      $bandKeys),
+    cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+             FROM banded x JOIN banded y
+               ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id),
+    est AS (SELECT id_a, id_b,
+                   CAST($matchSum AS DOUBLE) / ${MinhashAB.size}.0 est_jaccard
+            FROM cand JOIN sigs a ON id_a = a.id JOIN sigs b ON id_b = b.id),
+    sz AS (SELECT id, count(*) AS sz FROM h GROUP BY id),
+    inter AS (SELECT id_a, id_b, count(*) AS inter
+              FROM cand JOIN h sa ON id_a = sa.id
+                        JOIN h sb ON id_b = sb.id AND sa.h = sb.h
+              GROUP BY id_a, id_b),
+    j AS (SELECT cand.id_a, cand.id_b,
+                 CAST(COALESCE(inter, 0) AS DOUBLE) /
+                   CAST(x.sz + y.sz - COALESCE(inter, 0) AS DOUBLE) AS jaccard
+          FROM cand LEFT JOIN inter USING (id_a, id_b)
+                    JOIN sz x ON cand.id_a = x.id
+                    JOIN sz y ON cand.id_b = y.id)
+    SELECT e.id_a, e.id_b, est_jaccard, jaccard,
+           abs(est_jaccard - jaccard) AS abs_err
+    FROM est e JOIN j USING (id_a, id_b) ORDER BY id_a, id_b"""
+  }
+
+  /** Broadcast-blocklist content filter: per document, how many blocked
+    * terms appear (non-overlapping whole-word occurrences) and whether
+    * the doc is excluded — the URL/phrase-blocklist pass of a curation
+    * pipeline. The terms side is a broadcast relation, not N hardcoded
+    * columns, so the same plan carries a million-entry blocklist. */
+  val Blocklist = Seq("slow", "error", "drop")
+
+  def qBlocklist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val terms  = broadcast(Blocklist.toDF("term"))
+    val needle = concat(lit(" "), col("term"), lit(" "))
+    val n = ((length(padded) -
+      length(call_function("replace", padded, needle, lit("")))) /
+      (length(col("term")) + lit(2))).cast("long")
+    Tables.documents(spark, dir).crossJoin(terms)
+      .select(col("doc_id"), n.as("n"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("n") > 0, 1L).otherwise(0L)).as("terms_hit"),
+        sum(col("n")).as("total_hits"))
+      .withColumn("blocked", col("total_hits") > 0)
+      .orderBy("doc_id")
+  }
+
+  val qBlocklistOracle: String = {
+    val vals = Blocklist.map(t => s"('$t')").mkString(", ")
+    s"""
+    WITH t(term) AS (VALUES $vals),
+    x AS (SELECT doc_id, term,
+            CAST((length($paddedSql) -
+                  length(replace($paddedSql, ' ' || term || ' ', '')))
+                 / (length(term) + 2) AS BIGINT) n
+          FROM documents CROSS JOIN t)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) terms_hit,
+           CAST(sum(n) AS BIGINT) total_hits,
+           CAST(sum(n) AS BIGINT) > 0 AS blocked
+    FROM x GROUP BY doc_id ORDER BY doc_id"""
+  }
+
+  /** Weighted per-source sampling ("data mixing"): every training corpus
+    * is a weighted blend of sources; the keep decision is a pure
+    * content-independent hash (reproducible across engines and reruns,
+    * unlike RNG sampling), with per-source rates derived deterministically
+    * here (in production they come from the mixing recipe). */
+  def qMix(spark: SparkSession, dir: String): DataFrame = {
+    val rate = md5Hash32(col("source")) % 60 + 20
+    val bkt  = md5Hash32(concat(lit("mix7_"), col("doc_id").cast("string"))) % 100
+    Tables.documents(spark, dir)
+      .withColumn("keep", bkt < rate)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("chars_kept"))
+      .orderBy("source")
+  }
+
+  val qMixOracle: String = """
+    WITH b AS (SELECT source, n_chars,
+                 ('0x'||substr(md5(source),1,8))::BIGINT % 60 + 20 AS rate,
+                 ('0x'||substr(md5('mix7_' || CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 AS bkt
+               FROM documents)
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN bkt < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN bkt < rate THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+    FROM b GROUP BY source ORDER BY source"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_text_stats", qTextStats, Some(qTextStatsOracle)),
     QueryDef("q_quality", qQuality, Some(qQualityOracle)),
@@ -431,5 +667,10 @@ object QueriesText {
     QueryDef("q_split", qSplit, Some(qSplitOracle)),
     QueryDef("q_dedup_clusters", qDedupClusters, Some(qDedupClustersOracle)),
     QueryDef("q_normalize", qNormalize, Some(qNormalizeOracle)),
-    QueryDef("q_simhash", qSimhash, Some(qSimhashOracle)))
+    QueryDef("q_simhash", qSimhash, Some(qSimhashOracle)),
+    QueryDef("q_repetition", qRepetition, Some(qRepetitionOracle)),
+    QueryDef("q_bm25", qBm25, Some(qBm25Oracle)),
+    QueryDef("q_minhash_est", qMinhashEst, Some(qMinhashEstOracle)),
+    QueryDef("q_blocklist", qBlocklist, Some(qBlocklistOracle)),
+    QueryDef("q_mix", qMix, Some(qMixOracle)))
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.streaming.StreamOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Pack E — event-time windowing over `events` (SURVEY.md §2.5 streaming
@@ -111,9 +111,55 @@ object QueriesTime {
            count(DISTINCT h) AS nd_hour
     FROM e GROUP BY y, m, d, dow_mon0, day_start ORDER BY y, m, d"""
 
+  /** Ordered conversion funnel signup → view → purchase per user: stage N
+    * counts users whose first stage-N event occurs at-or-after their
+    * first stage-(N−1) completion, plus the summed conversion lag in
+    * microseconds (integer-exact across engines). Each stage is one
+    * filtered scan + a per-user min — the funnel never materializes event
+    * sequences, so it scales as three hash-aggs keyed by user. */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val s1 = e.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val s2 = e.where(col("event_type") === "view").join(s1, Seq("user_id"))
+      .where(col("ts") >= col("t1"))
+      .groupBy(col("user_id"), col("t1")).agg(min(col("ts")).as("t2"))
+    val s3 = e.where(col("event_type") === "purchase").join(s2, Seq("user_id"))
+      .where(col("ts") >= col("t2"))
+      .groupBy(col("user_id"), col("t2")).agg(min(col("ts")).as("t3"))
+    def row(stage: Long, name: String, df: DataFrame, lag: Column) =
+      df.agg(count(lit(1)).as("users"), coalesce(lag, lit(0L)).as("lag_us_sum"))
+        .select(lit(stage).as("stage"), lit(name).as("event_type"),
+          col("users"), col("lag_us_sum"))
+    row(1L, "signup", s1, sum(lit(0L)))
+      .unionByName(row(2L, "view", s2,
+        sum(unix_micros(col("t2")) - unix_micros(col("t1")))))
+      .unionByName(row(3L, "purchase", s3,
+        sum(unix_micros(col("t3")) - unix_micros(col("t2")))))
+      .orderBy("stage")
+  }
+
+  val qFunnelOracle: String = """
+    WITH s1 AS (SELECT user_id, min(ts) t1 FROM events
+                WHERE event_type = 'signup' GROUP BY 1),
+    s2 AS (SELECT e.user_id, t1, min(ts) t2 FROM events e JOIN s1 USING (user_id)
+           WHERE event_type = 'view' AND ts >= t1 GROUP BY 1, 2),
+    s3 AS (SELECT e.user_id, t2, min(ts) t3 FROM events e JOIN s2 USING (user_id)
+           WHERE event_type = 'purchase' AND ts >= t2 GROUP BY 1, 2)
+    SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS event_type,
+           count(*) AS users, CAST(0 AS BIGINT) AS lag_us_sum FROM s1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'view', count(*),
+           CAST(COALESCE(sum(epoch_us(t2) - epoch_us(t1)), 0) AS BIGINT) FROM s2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'purchase', count(*),
+           CAST(COALESCE(sum(epoch_us(t3) - epoch_us(t2)), 0) AS BIGINT) FROM s3
+    ORDER BY stage"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_window_tumbling", qTumbling, Some(qTumblingOracle)),
     QueryDef("q_window_sliding", qSliding, Some(qSlidingOracle)),
     QueryDef("q_session_window", qSession, Some(qSessionOracle)),
-    QueryDef("q_datetime", qDatetime, Some(qDatetimeOracle)))
+    QueryDef("q_datetime", qDatetime, Some(qDatetimeOracle)),
+    QueryDef("q_funnel", qFunnel, Some(qFunnelOracle)))
 }

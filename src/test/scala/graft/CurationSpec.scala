@@ -1,0 +1,119 @@
+package graft
+
+import graft.ops.DedupOps
+import graft.queries.QueriesText
+import org.apache.spark.sql.functions._
+
+/** Round-4 curation operators: sketch-accuracy audit, funnel, repetition
+  * signals, BM25 ranking, blocklist filter, weighted source mixing.
+  * Crafted-input exactness where the logic is injectable; independent
+  * driver-side replay or internal-consistency invariants where the query
+  * is bound to the fixture tables (the DuckDB oracle is the primary
+  * correctness gate for those). */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat"), // near dup
+    (3L, "completely different content here entirely")
+  ).toDF("doc_id", "text")
+
+  test("minhashEstimateVsExact: est is the matching-component fraction; dup pair -> (1,1,0)") {
+    val sh  = DedupOps.shingleHashes(docs, "doc_id", "text", 5)
+    val got = DedupOps.minhashEstimateVsExact(sh, 4, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got((0L, 1L)) == ((1.0, 1.0, 0.0)))
+    val sigs = DedupOps.minhashSignatures(sh).collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(r.getLong)).toMap
+    got.foreach { case ((a, b), (est, j, err)) =>
+      val frac = sigs(a).zip(sigs(b)).count { case (x, y) => x == y } / 16.0
+      assert(est == frac, s"($a,$b): est $est != component fraction $frac")
+      assert(err == math.abs(est - j))
+    }
+  }
+
+  test("funnel matches a driver-side replay of first-at-or-after semantics") {
+    val got = SparkEntry.queries("q_funnel")(spark, dir).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val byUser = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    var n1, n2, n3, l2, l3 = 0L
+    def first(es: Array[(Long, String, Long)], t: String, lo: Long): Option[Long] = {
+      val hits = es.collect { case (_, `t`, us) if us >= lo => us }
+      if (hits.isEmpty) None else Some(hits.min)
+    }
+    byUser.values.foreach { es =>
+      first(es, "signup", Long.MinValue).foreach { t1 =>
+        n1 += 1
+        first(es, "view", t1).foreach { t2 =>
+          n2 += 1; l2 += t2 - t1
+          first(es, "purchase", t2).foreach { t3 => n3 += 1; l3 += t3 - t2 }
+        }
+      }
+    }
+    assert(got("signup") == ((n1, 0L)))
+    assert(got("view") == ((n2, l2)))
+    assert(got("purchase") == ((n3, l3)))
+  }
+
+  test("repetition fractions are internally consistent and bounded") {
+    val rows = SparkEntry.queries("q_repetition")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (wc, nd, dupF) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      val (topW, topWF)  = (r.getLong(4), r.getDouble(5))
+      val (topB, topBF)  = (r.getLong(6), r.getDouble(7))
+      assert(nd <= wc && topW <= wc && topB <= wc)
+      assert(dupF == 1.0 - nd.toDouble / wc.toDouble)
+      assert(topWF == topW.toDouble / wc.toDouble)
+      assert(topBF >= 0.0 && topBF <= 1.0)
+    }
+  }
+
+  test("bm25: <=10 ranked rows per term, scores non-increasing, ties doc_id-broken") {
+    val byTerm = SparkEntry.queries("q_bm25")(spark, dir).collect()
+      .groupBy(_.getString(0))
+    assert(byTerm.keySet == QueriesText.Bm25Terms.toSet)
+    byTerm.values.foreach { rows =>
+      assert(rows.length <= 10)
+      val ordered = rows.sortBy(_.getLong(1))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          val (sa, sb) = (a.getDouble(6), b.getDouble(6))
+          assert(sa > sb || (sa == sb && a.getLong(2) < b.getLong(2)))
+        case _ =>
+      }
+    }
+  }
+
+  test("blocklist: blocked == (total_hits > 0), terms_hit bounded by list size") {
+    val rows = SparkEntry.queries("q_blocklist")(spark, dir).collect()
+    assert(rows.length == Tables.documents(spark, dir).count())
+    rows.foreach { r =>
+      val (hit, tot, blocked) = (r.getLong(1), r.getLong(2), r.getBoolean(3))
+      assert(hit <= QueriesText.Blocklist.size && hit <= tot)
+      assert(blocked == (tot > 0))
+    }
+    assert(rows.exists(_.getBoolean(3)), "fixture should contain blocked docs")
+    assert(rows.exists(!_.getBoolean(3)), "fixture should contain clean docs")
+  }
+
+  test("mix: kept counts bounded and non-trivial; deterministic across runs") {
+    val a = SparkEntry.queries("q_mix")(spark, dir).collect()
+    val b = SparkEntry.queries("q_mix")(spark, dir).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    a.foreach { r =>
+      val (n, kept) = (r.getLong(1), r.getLong(2))
+      assert(kept <= n)
+    }
+    val (tot, kept) = (a.map(_.getLong(1)).sum, a.map(_.getLong(2)).sum)
+    assert(kept > 0 && kept < tot, s"mix rates should be partial: $kept/$tot")
+  }
+}

@@ -27,7 +27,9 @@ class EntrySpec extends SparkSpec {
       "q_take_upcast", "q_frame_sample", "q_kahan_sum",
       "q_cut", "q_qcut", "q_rolling", "q_pivot", "q_melt",
       "q_dedup_clusters", "q_normalize", "q_embed_lsh_probe",
-      "q_asof_dir", "q_datetime", "q_rollup", "q_corr", "q_embed_ivf_probe")
+      "q_asof_dir", "q_datetime", "q_rollup", "q_corr", "q_embed_ivf_probe",
+      "q_funnel", "q_repetition", "q_bm25", "q_minhash_est", "q_blocklist",
+      "q_mix")
     val missing = mustHave.filterNot(qs.contains)
     assert(missing.isEmpty, s"missing: $missing")
   }
