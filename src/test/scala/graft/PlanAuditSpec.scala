@@ -67,4 +67,29 @@ class PlanAuditSpec extends SparkSpec {
   test("q_factorize: no window operator (distributed code assignment)") {
     assert(!plan("q_factorize").contains("Window"))
   }
+
+  test("q_funnel: stage joins broadcast the per-user mins; never cartesian") {
+    val p = plan("q_funnel")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_bm25: tiny df/corpus sides broadcast; top-10 filter becomes WindowGroupLimit") {
+    val p = plan("q_bm25")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_blocklist: broadcast term relation, no shuffle join, <=2 exchanges") {
+    val p = plan("q_blocklist")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(count(p, "Exchange") <= 2, p) // doc agg + output orderBy
+  }
+
+  test("q_mix: pure scan + one agg shuffle, no joins") {
+    val p = plan("q_mix")
+    assert(!p.contains("Join"), p)
+    assert(count(p, "Exchange") <= 2, p) // source agg + output orderBy
+  }
 }
