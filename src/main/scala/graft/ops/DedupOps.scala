@@ -118,7 +118,9 @@ object DedupOps {
     // against small cached relations instead of one deep lazy DAG whose
     // branches AQE re-plans (and sometimes re-executes) per stage. This is
     // the phase structure a production LSH pipeline has anyway.
-    sh.count(); sigs.count(); cand.count()
+    // (sigs.count() populates sh's cache in the same pass — an explicit
+    // sh.count() would be one redundant full scan of the shingle set.)
+    sigs.count(); cand.count()
     // Materialize the (tiny) verified-pair result with a LINEAGE CUT
     // (localCheckpoint — the single-JVM analog of checkpoint()), then
     // release the big phase checkpoints. A plain persist here is a trap:
@@ -150,7 +152,7 @@ object DedupOps {
     val sh   = shingles.persist(MEMORY_AND_DISK)
     val sigs = minhashSignatures(sh).persist(MEMORY_AND_DISK)
     val cand = lshCandidates(sigs, bands, rows).persist(MEMORY_AND_DISK)
-    sh.count(); sigs.count(); cand.count()
+    sigs.count(); cand.count() // sigs pass populates sh's cache too
     val sa = sigs.select(col("id").as("id_a") +:
       (0 until k).map(i => col(s"mh$i").as(s"a$i")): _*)
     val sb = sigs.select(col("id").as("id_b") +:
