@@ -627,6 +627,48 @@ object QueriesText {
     FROM x GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  /** Edit-distance rerank of the LSH candidate pairs: levenshtein over
+    * the first 40 characters — the fuzzy-key verification step (both
+    * engines implement the standard Wagner–Fischer DP, so the integer
+    * distances compare exactly). Candidates come from the band join only;
+    * the quadratic-per-pair DP never runs on the full corpus product. */
+  def qEditDist(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sigs = DedupOps.minhashSignatures(
+      DedupOps.wordShingleHashes(docs, "doc_id", "text"))
+    val cand = DedupOps.lshCandidates(sigs, Bands, Rows)
+    val t = docs.select(col("doc_id"), substring(col("text"), 1, 40).as("prefix"))
+    cand
+      .join(t.select(col("doc_id").as("id_a"), col("prefix").as("pa")), Seq("id_a"))
+      .join(t.select(col("doc_id").as("id_b"), col("prefix").as("pb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("pa"), col("pb")).cast("long").as("edit_dist"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val qEditDistOracle: String = {
+    val mhs = MinhashAB.indices.map(minhashExprSql).mkString(", ")
+    val bandKeys = (0 until Bands).map { b =>
+      val key = (0 until Rows).map(r => s"CAST(mh${b * Rows + r} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT id, $b AS band, $key AS bkey FROM sigs"
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+    WITH $shingleCte,
+    sigs AS (SELECT id, $mhs FROM h GROUP BY id),
+    banded AS (
+      $bandKeys),
+    cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+             FROM banded x JOIN banded y
+               ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id)
+    SELECT c.id_a, c.id_b,
+           CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS BIGINT)
+             AS edit_dist
+    FROM cand c JOIN documents a ON c.id_a = a.doc_id
+                JOIN documents b ON c.id_b = b.doc_id
+    ORDER BY id_a, id_b"""
+  }
+
   /** Weighted per-source sampling ("data mixing"): every training corpus
     * is a weighted blend of sources; the keep decision is a pure
     * content-independent hash (reproducible across engines and reruns,
@@ -672,5 +714,6 @@ object QueriesText {
     QueryDef("q_bm25", qBm25, Some(qBm25Oracle)),
     QueryDef("q_minhash_est", qMinhashEst, Some(qMinhashEstOracle)),
     QueryDef("q_blocklist", qBlocklist, Some(qBlocklistOracle)),
-    QueryDef("q_mix", qMix, Some(qMixOracle)))
+    QueryDef("q_mix", qMix, Some(qMixOracle)),
+    QueryDef("q_editdist", qEditDist, Some(qEditDistOracle)))
 }

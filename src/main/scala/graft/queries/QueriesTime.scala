@@ -156,10 +156,34 @@ object QueriesTime {
            CAST(COALESCE(sum(epoch_us(t3) - epoch_us(t2)), 0) AS BIGINT) FROM s3
     ORDER BY stage"""
 
+  /** Fixed-width value histogram (bucket = 25.00 currency units): the
+    * distribution pass of feature analysis / outlier triage. Bucketing is
+    * integer division on exact cents (`c div 2500`), so bucket edges have
+    * no float-boundary ambiguity between engines; one hash-agg. */
+  def qHist(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("c", round(col("value") * 100).cast("long"))
+      .withColumn("bucket", expr("c div 2500"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        (sum(col("c")).cast("double") / 100.0).as("sum_value"),
+        (min(col("c")).cast("double") / 100.0).as("min_value"),
+        (max(col("c")).cast("double") / 100.0).as("max_value"))
+      .orderBy("bucket")
+
+  val qHistOracle: String = """
+    WITH e AS (SELECT CAST(round(value*100) AS BIGINT) c FROM events)
+    SELECT c // 2500 AS bucket, count(*) AS n,
+           CAST(sum(c) AS DOUBLE)/100.0 AS sum_value,
+           CAST(min(c) AS DOUBLE)/100.0 AS min_value,
+           CAST(max(c) AS DOUBLE)/100.0 AS max_value
+    FROM e GROUP BY 1 ORDER BY bucket"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_window_tumbling", qTumbling, Some(qTumblingOracle)),
     QueryDef("q_window_sliding", qSliding, Some(qSlidingOracle)),
     QueryDef("q_session_window", qSession, Some(qSessionOracle)),
     QueryDef("q_datetime", qDatetime, Some(qDatetimeOracle)),
-    QueryDef("q_funnel", qFunnel, Some(qFunnelOracle)))
+    QueryDef("q_funnel", qFunnel, Some(qFunnelOracle)),
+    QueryDef("q_hist", qHist, Some(qHistOracle)))
 }

@@ -372,6 +372,52 @@ object QueriesWindow {
            CASE WHEN cnt = 5 THEN rmax END AS roll_max
     FROM w ORDER BY event_id"""
 
+  /** Windowed EWMA (pandas `ewm(adjust=True)` numerator/denominator shape,
+    * bounded to the trailing 10 observations) per user over event time.
+    * α = 1/2 is chosen deliberately: every weight (1−α)^k = 2^−k is an
+    * exact power of two, so each weighted term is an exact multiple of
+    * 2^−9·cent (16-bit cents + 9 shifted bits ≪ 53-bit mantissa) and the
+    * numerator/denominator sums are bit-identical in any engine under any
+    * accumulation order — the same determinism trick as the integer-cents
+    * running sums, extended to fractional weights. */
+  def qEwma(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("c", round(col("value") * 100).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("event_id"))
+    def weight(k: Int): Double = math.pow(0.5, k) // exact 2^-k
+    val terms = (1 until 10).map { k =>
+      val lv = lag(col("c"), k).over(w)
+      (when(lv.isNotNull, lv.cast("double") * lit(weight(k))).otherwise(lit(0.0)),
+        when(lv.isNotNull, lit(weight(k))).otherwise(lit(0.0)))
+    }
+    val num = (col("c").cast("double") +: terms.map(_._1)).reduce(_ + _)
+    val den = (lit(1.0) +: terms.map(_._2)).reduce(_ + _)
+    ev.select(col("event_id"), col("user_id"),
+        ((num / den) / lit(100.0)).as("ewma"))
+      .orderBy("event_id")
+  }
+
+  val qEwmaOracle: String = {
+    def weight(k: Int): String =
+      java.math.BigDecimal.valueOf(math.pow(0.5, k)).toPlainString
+    val lags = (1 until 10).map(k => s"lag(c, $k) OVER w l$k").mkString(",\n                 ")
+    val num = ("CAST(c AS DOUBLE)" +: (1 until 10).map(k =>
+      s"CASE WHEN l$k IS NOT NULL THEN CAST(l$k AS DOUBLE) * ${weight(k)} ELSE 0.0 END"))
+      .mkString(" + ")
+    val den = ("1.0" +: (1 until 10).map(k =>
+      s"CASE WHEN l$k IS NOT NULL THEN ${weight(k)} ELSE 0.0 END"))
+      .mkString(" + ")
+    s"""
+    WITH e AS (SELECT event_id, user_id, CAST(round(value*100) AS BIGINT) c
+               FROM events),
+    l AS (SELECT event_id, user_id, c,
+                 $lags
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+    SELECT event_id, user_id, (($num) / ($den)) / 100.0 AS ewma
+    FROM l ORDER BY event_id"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_cumsum", qCumsum, Some(qCumsumOracle)),
     QueryDef("q_diff_pct", qDiffPct, Some(qDiffPctOracle)),
@@ -382,5 +428,6 @@ object QueriesWindow {
     QueryDef("q_rank", qRank, Some(qRankOracle)),
     QueryDef("q_cut", qCut, Some(qCutOracle)),
     QueryDef("q_qcut", qQcut, Some(qQcutOracle)),
-    QueryDef("q_rolling", qRolling, Some(qRollingOracle)))
+    QueryDef("q_rolling", qRolling, Some(qRollingOracle)),
+    QueryDef("q_ewma", qEwma, Some(qEwmaOracle)))
 }
