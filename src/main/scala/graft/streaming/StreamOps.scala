@@ -136,6 +136,58 @@ object StreamOps {
     }
   }
 
+  /** Streaming conversion funnel (signup → view → purchase) as a per-user
+    * state machine on transformWithState — the unbounded-stream analog of
+    * the batch q_funnel: `ValueState` holds the first completion time of
+    * each stage (3 longs per user; RocksDB-backed at scale), and a row
+    * advances the machine when its predecessor stage is complete and its
+    * timestamp is at-or-after that completion. Emits one row per stage
+    * advancement: (user_id, stage, ts_us, lag_us).
+    *
+    * Batch parity assumes in-order delivery per user within the watermark
+    * horizon (rows inside a micro-batch are ordered here; late data that
+    * would back-date a stage is the trade-off every streaming funnel
+    * makes — the batch query remains the reconciliation path). */
+  class FunnelProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String, Long), (Long, Int, Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+    @transient private var st: ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("funnel",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong), TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, String, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Int, Long, Long)] = {
+      var (t1, t2, t3) = if (st.exists()) st.get() else (-1L, -1L, -1L)
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Long)]()
+      rows.toSeq.sortBy(_._3).foreach { case (_, tpe, ts) =>
+        if (t1 < 0 && tpe == "signup") {
+          t1 = ts; out += ((key, 1, ts, 0L))
+        } else if (t1 >= 0 && t2 < 0 && tpe == "view" && ts >= t1) {
+          t2 = ts; out += ((key, 2, ts, ts - t1))
+        } else if (t2 >= 0 && t3 < 0 && tpe == "purchase" && ts >= t2) {
+          t3 = ts; out += ((key, 3, ts, ts - t2))
+        }
+      }
+      st.update((t1, t2, t3))
+      out.iterator
+    }
+  }
+
+  /** [[FunnelProcessor]] over (user_id, event_type, ts_us) rows. */
+  def streamingFunnel(ds: org.apache.spark.sql.Dataset[(Long, String, Long)])
+      : org.apache.spark.sql.Dataset[(Long, Int, Long, Long)] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    ds.groupByKey(_._1)
+      .transformWithState(new FunnelProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
   /** [[statefulCumsum]] on the transformWithState API. */
   def statefulCumsumTws(ds: org.apache.spark.sql.Dataset[(Long, Long, Double)])
       : org.apache.spark.sql.Dataset[(Long, Long, Double)] = {

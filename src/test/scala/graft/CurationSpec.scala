@@ -105,6 +105,56 @@ class CurationSpec extends SparkSpec {
     assert(rows.exists(!_.getBoolean(3)), "fixture should contain clean docs")
   }
 
+  test("streaming funnel (transformWithState) matches a driver-side state-machine replay") {
+    import org.apache.spark.sql.functions.unix_micros
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val expected = ev.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.flatMap { case (u, es) =>
+        var t1, t2, t3 = -1L
+        es.sortBy(_._3).flatMap { case (_, tpe, ts) =>
+          if (t1 < 0 && tpe == "signup") { t1 = ts; Some((u, 1, ts, 0L)) }
+          else if (t1 >= 0 && t2 < 0 && tpe == "view" && ts >= t1) {
+            t2 = ts; Some((u, 2, ts, ts - t1))
+          } else if (t2 >= 0 && t3 < 0 && tpe == "purchase" && ts >= t2) {
+            t3 = ts; Some((u, 3, ts, ts - t2))
+          } else None
+        }
+      }.toSet
+    ev.as[(Long, String, Long)].write.mode("overwrite")
+      .parquet(tmpPath("graft_funnel_in"))
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = spark.readStream.schema(ev.schema)
+      .parquet(tmpPath("graft_funnel_in")).as[(Long, String, Long)]
+    val q = graft.streaming.StreamOps.streamingFunnel(stream)
+      .toDF("user_id", "stage", "ts_us", "lag_us")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("funnel_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == expected)
+      // and the stage totals agree with the declared batch query
+      val batch = SparkEntry.queries("q_funnel")(spark, dir).collect()
+        .map(r => r.getLong(0).toInt -> ((r.getLong(2), r.getLong(3)))).toMap
+      (1 to 3).foreach { s =>
+        val stage = got.filter(_._2 == s)
+        assert(batch(s) == ((stage.size.toLong, stage.toSeq.map(_._4).sum)),
+          s"stage $s")
+      }
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("mix: kept counts bounded and non-trivial; deterministic across runs") {
     val a = SparkEntry.queries("q_mix")(spark, dir).collect()
     val b = SparkEntry.queries("q_mix")(spark, dir).collect()
