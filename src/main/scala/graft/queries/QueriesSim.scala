@@ -142,6 +142,80 @@ object QueriesSim {
     FROM r WHERE rk <= $K ORDER BY query_id, rk"""
   }
 
+  /** ANN recall audit: recall@K of the multi-probe LSH path against the
+    * exact brute-force top-k, per query — the acceptance gate every ANN
+    * index must pass before replacing exact search at scale (the same
+    * audit role q_minhash_est plays for the MinHash sketch). Integer hit
+    * counts + one division → engine-exact. */
+  def qAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val qs  = emb.where(col("vec_id") % QueryMod === 0)
+    val exact = SimilarityOps.bruteForceTopK(qs, emb, "vec_id", "embedding", K)
+      .select("query_id", "neighbor_id")
+    val approx = SimilarityOps.lshTopKMultiProbe(qs, emb, "vec_id", "embedding",
+        K, ProbePlanes)
+      .select("query_id", "neighbor_id")
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    qs.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("hits"))
+      .select(col("query_id"), col("hits"),
+        (col("hits").cast("double") / lit(K.toDouble)).as("recall"))
+      .orderBy("query_id")
+  }
+
+  val qAnnRecallOracle: String = {
+    def signSql(p: Int) =
+      s"((('0x'||substr(md5('plane${p}_' || CAST(i-1 AS VARCHAR)),1,8))::BIGINT % 2) * 2 - 1)"
+    val planeSums = (0 until ProbePlanes)
+      .map(p => s"sum(xi * ${signSql(p)}) sp$p").mkString(",\n                 ")
+    val bucket = (0 until ProbePlanes)
+      .map(p => s"CASE WHEN sp$p > 0 THEN ${1L << p} ELSE 0 END")
+      .mkString(" + ")
+    s"""
+    WITH u AS (SELECT vec_id, generate_subscripts(embedding,1) i, unnest(embedding) x
+               FROM embeddings),
+    c AS (SELECT vec_id, i, $quantSql xi FROM u),
+    nrm AS (SELECT vec_id, sum(xi*xi) n2 FROM c GROUP BY vec_id),
+    dx AS (SELECT q.vec_id qid, c2.vec_id nid, sum(q.xi*c2.xi) dot
+           FROM c q JOIN c c2 ON q.i = c2.i
+           WHERE q.vec_id % $QueryMod = 0 AND q.vec_id <> c2.vec_id
+           GROUP BY 1, 2),
+    sx AS (SELECT qid, nid,
+                  CAST(dot AS DOUBLE)/sqrt(CAST(nq.n2 AS DOUBLE)*CAST(nc.n2 AS DOUBLE)) cos_sim
+           FROM dx JOIN nrm nq ON qid = nq.vec_id JOIN nrm nc ON nid = nc.vec_id),
+    ex AS (SELECT qid query_id, nid neighbor_id FROM (
+             SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                      ORDER BY cos_sim DESC, nid) rk FROM sx) WHERE rk <= $K),
+    pl AS (SELECT vec_id,
+                 $planeSums
+           FROM c GROUP BY vec_id),
+    bk AS (SELECT vec_id, CAST($bucket AS BIGINT) bucket FROM pl),
+    cand AS (SELECT qb.vec_id qid, cb.vec_id nid
+             FROM bk qb JOIN bk cb
+               ON qb.vec_id % $QueryMod = 0 AND qb.vec_id <> cb.vec_id
+               AND bit_count(xor(qb.bucket, cb.bucket)) <= 1),
+    da AS (SELECT qid, nid, sum(q.xi*c2.xi) dot
+           FROM cand JOIN c q ON qid = q.vec_id
+                     JOIN c c2 ON nid = c2.vec_id AND q.i = c2.i
+           GROUP BY qid, nid),
+    sa AS (SELECT qid, nid,
+                  CAST(dot AS DOUBLE)/sqrt(CAST(nq.n2 AS DOUBLE)*CAST(nc.n2 AS DOUBLE)) cos_sim
+           FROM da JOIN nrm nq ON qid = nq.vec_id JOIN nrm nc ON nid = nc.vec_id),
+    ap AS (SELECT qid query_id, nid neighbor_id FROM (
+             SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                      ORDER BY cos_sim DESC, nid) rk FROM sa) WHERE rk <= $K),
+    hits AS (SELECT query_id, count(*) hits
+             FROM ex JOIN ap USING (query_id, neighbor_id) GROUP BY 1)
+    SELECT q.vec_id AS query_id,
+           CAST(COALESCE(hits, 0) AS BIGINT) AS hits,
+           CAST(COALESCE(hits, 0) AS DOUBLE) / ${K}.0 AS recall
+    FROM embeddings q LEFT JOIN hits ON q.vec_id = hits.query_id
+    WHERE q.vec_id % $QueryMod = 0
+    ORDER BY query_id"""
+  }
+
   val IvfMod = 25 // vec_id % IvfMod == IvfRem → centroid
   val IvfRem = 7
 
@@ -342,5 +416,6 @@ object QueriesSim {
     QueryDef("q_embed_ivf", qEmbedIvf, Some(qEmbedIvfOracle)),
     QueryDef("q_embed_ivf_probe", qEmbedIvfProbe, Some(qEmbedIvfProbeOracle)),
     QueryDef("q_embed_neardup", qEmbedNearDup, Some(qEmbedNearDupOracle)),
-    QueryDef("q_kmeans_iter", qKmeansIter, Some(qKmeansIterOracle)))
+    QueryDef("q_kmeans_iter", qKmeansIter, Some(qKmeansIterOracle)),
+    QueryDef("q_ann_recall", qAnnRecall, Some(qAnnRecallOracle)))
 }

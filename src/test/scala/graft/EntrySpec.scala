@@ -29,7 +29,7 @@ class EntrySpec extends SparkSpec {
       "q_dedup_clusters", "q_normalize", "q_embed_lsh_probe",
       "q_asof_dir", "q_datetime", "q_rollup", "q_corr", "q_embed_ivf_probe",
       "q_funnel", "q_repetition", "q_bm25", "q_minhash_est", "q_blocklist",
-      "q_mix", "q_ewma", "q_editdist", "q_hist")
+      "q_mix", "q_ewma", "q_editdist", "q_hist", "q_ann_recall")
     val missing = mustHave.filterNot(qs.contains)
     assert(missing.isEmpty, s"missing: $missing")
   }
