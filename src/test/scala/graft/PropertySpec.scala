@@ -105,6 +105,35 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("prefix-filtered similarity join equals the naive all-pairs join") {
+    // the PPJoin-style bound must never drop a true pair: on random tiny
+    // corpora the prefix-filtered result has to match the exhaustive
+    // all-pairs exact-Jaccard join bit for bit
+    import graft.ops.DedupOps
+    val vocab = Vector("the", "quick", "brown", "fox", "data", "row",
+      "scan", "query", "table", "merge")
+    val corpusGen: Gen[List[(Long, String)]] =
+      Gen.choose(3, 7).flatMap { n =>
+        Gen.sequence[List[(Long, String)], (Long, String)]((0 until n).toList.map { id =>
+          Gen.choose(3, 9).flatMap(len =>
+            Gen.listOfN(len, Gen.oneOf(vocab)).map(ws => (id.toLong, ws.mkString(" "))))
+        })
+      }
+    check(Prop.forAll(corpusGen, Gen.oneOf(0.3, 0.5, 0.6, 0.8)) { (docs, t) =>
+      val df = docs.toDF("doc_id", "text")
+      val sh = DedupOps.wordShingleHashes(df, "doc_id", "text")
+      val filtered = DedupOps.ngramJaccardNearDups(sh, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5))).toSet
+      val ids = docs.map(_._1)
+      val allPairs = (for { a <- ids; b <- ids if a < b } yield (a, b))
+        .toDF("id_a", "id_b")
+      val naive = DedupOps.jaccardOnPairs(allPairs, sh)
+        .where(col("jaccard") >= t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5))).toSet
+      filtered == naive
+    })
+  }
+
   test("rank(first) is a permutation of 1..n_nonnull per group") {
     check(Prop.forAll(rowsGen) { rows =>
       val df = rows.zipWithIndex
