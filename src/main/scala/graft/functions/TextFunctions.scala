@@ -63,6 +63,21 @@ object TextFunctions {
     min((hashCol * lit(a) + lit(b)) % lit(P32))
   }
 
+  /** Per-row MinHash signature (array of k mins) computed entirely inside
+    * array expressions — no explode, no shuffle, one row in → one row
+    * out. This is the streaming-friendly formulation of
+    * minhashSignatures: a batch pipeline amortizes the explode across a
+    * hash-agg, but a stream wants the signature before any keying so
+    * state can shard by band bucket. Interpreted HOF lambdas are
+    * acceptable here (per-doc cost is O(shingles·k) either way). */
+  def rowMinhashSig(text: Column): Column = {
+    val hs = array_distinct(transform(wordShingles3(text),
+      s => conv(substring(md5(s), 1, 8), 16, 10).cast("long")))
+    array(MinhashAB.map { case (a, b) =>
+      array_min(transform(hs, h => (h * lit(a) + lit(b)) % lit(P32)))
+    }: _*)
+  }
+
   /** Non-overlapping occurrence count of literal `needle` in `hay` via the
     * replace-length trick — pure integer arithmetic, identical in any SQL
     * engine: `(len(h) − len(replace(h, needle, ''))) / len(needle)`. */

@@ -188,6 +188,77 @@ object StreamOps {
       .transformWithState(new FunnelProcessor, TimeMode.None(), OutputMode.Append())
   }
 
+  /** One (doc, signature) posting-list member held in band-bucket state. */
+  case class SigMember(id: Long, sig: Seq[Long])
+
+  /** Streaming MinHash near-dup detection: each arriving document is
+    * banded (per-row signature, no shuffle agg — TextFunctions
+    * .rowMinhashSig); state shards by (band, bucket-key) exactly like the
+    * batch LSH posting lists, and a new member emits one candidate pair
+    * per existing bucket member whose full-signature agreement (the
+    * MinHash Jaccard estimate) clears the threshold. Output is
+    * (id_a, id_b, est_jaccard) with id_a < id_b; a pair sharing several
+    * buckets emits once per bucket — deduplicate downstream (the batch
+    * path's `distinct()`), or feed the exact-Jaccard rerank which is
+    * idempotent per pair.
+    *
+    * The candidate SET is arrival-order-independent (every earlier member
+    * is in state when a later one arrives), which is what lets the spec
+    * compare stream output against the batch LSH candidates exactly.
+    * State per bucket is its posting list — bound it with a TTL in
+    * production (matching the dedup horizon), same knob as
+    * [[streamingDedup]]'s watermark. */
+  class NearDupProcessor(simThreshold: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long, Seq[Long]), (Long, Long, Double)] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TTLConfig}
+    @transient private var members: ListState[SigMember] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[SigMember]("members",
+        org.apache.spark.sql.Encoders.product[SigMember], TTLConfig.NONE)
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long, Seq[Long])],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Double)] = {
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+      rows.toSeq.sortBy(_._2).foreach { case (_, id, sig) =>
+        val seen = members.get()
+        while (seen.hasNext) {
+          val m = seen.next()
+          if (m.id != id) {
+            val matches = m.sig.iterator.zip(sig.iterator).count { case (a, b) => a == b }
+            val est = matches.toDouble / sig.size.toDouble
+            if (est >= simThreshold)
+              out += ((math.min(m.id, id), math.max(m.id, id), est))
+          }
+        }
+        members.appendValue(SigMember(id, sig))
+      }
+      out.iterator
+    }
+  }
+
+  /** [[NearDupProcessor]] over (id, text) rows: band the per-row
+    * signature, key by (band, bucket), scan bucket state. */
+  def streamingNearDup(ds: org.apache.spark.sql.Dataset[(Long, String)],
+                       bands: Int, rows: Int, simThreshold: Double)
+      : org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    import ds.sparkSession.implicits._
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val banded = ds.toDF("id", "text")
+      .withColumn("sig", TextFunctions.rowMinhashSig(col("text")))
+      .select(col("id"), col("sig"), explode(array((0 until bands).map { b =>
+        concat_ws("_", lit(b) +: (0 until rows).map(r =>
+          element_at(col("sig"), b * rows + r + 1)): _*)
+      }: _*)).as("bucket"))
+      .select(col("bucket"), col("id"), col("sig"))
+      .as[(String, Long, Seq[Long])]
+    banded.groupByKey(_._1)
+      .transformWithState(new NearDupProcessor(simThreshold),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** [[statefulCumsum]] on the transformWithState API. */
   def statefulCumsumTws(ds: org.apache.spark.sql.Dataset[(Long, Long, Double)])
       : org.apache.spark.sql.Dataset[(Long, Long, Double)] = {

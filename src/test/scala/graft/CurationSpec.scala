@@ -155,6 +155,47 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("streaming near-dup: per-row sigs == batch sigs; candidates == batch LSH set") {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val sh   = DedupOps.wordShingleHashes(docs, "doc_id", "text")
+    val sigs = DedupOps.minhashSignatures(sh).collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(r.getLong).toVector).toMap
+    val rowSigs = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.rowMinhashSig(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    assert(rowSigs == sigs, "per-row signature formulation must equal the hash-agg one")
+    val t = 0.6
+    val expected = DedupOps.lshCandidates(DedupOps.minhashSignatures(sh), 4, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .map { case (a, b) =>
+        val est = sigs(a).zip(sigs(b)).count { case (x, y) => x == y }.toDouble / 16.0
+        (a, b, est)
+      }.filter(_._3 >= t).toSet
+    docs.as[(Long, String)].write.mode("overwrite").parquet(tmpPath("graft_snd_in"))
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(tmpPath("graft_snd_in")).as[(Long, String)]
+    val q = graft.streaming.StreamOps.streamingNearDup(stream, 4, 4, t)
+      .toDF("id_a", "id_b", "est")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("snd_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("snd_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expected)
+      assert(got.nonEmpty, "fixture should contain near-dup candidates")
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("mix: kept counts bounded and non-trivial; deterministic across runs") {
     val a = SparkEntry.queries("q_mix")(spark, dir).collect()
     val b = SparkEntry.queries("q_mix")(spark, dir).collect()
