@@ -280,6 +280,39 @@ object DedupOps {
     labels
   }
 
+  /** Benchmark-decontamination report: for each candidate document (those
+    * NOT matching `benchPred`), how many of its distinct word-3-gram
+    * shingles also occur anywhere in the benchmark set (`benchPred`
+    * docs). The contamination pass every eval-aware training pipeline
+    * runs before a data release (n-gram overlap is the standard test-set
+    * leakage check — GPT-3 App. C / PaLM-style 8-gram screens; 3-grams
+    * here to match the pipeline's existing shingle machinery).
+    *
+    * Scale story: the benchmark gram set is small (eval suites are MBs,
+    * not TBs) → broadcast semi-join against it; candidate totals are one
+    * hash-agg on the already-distinct shingle pairs. The shingle subtree
+    * feeds three consumers (bench set, totals, overlaps) through the SAME
+    * distinct — its exchange is identical in every branch, so Catalyst's
+    * ReuseExchange materializes the corpus-sized shuffle once (no persist
+    * needed; unlike the multi-ACTION LSH phases, this is one action).
+    * Returns one row per candidate doc: (doc_id, n_grams, n_shared,
+    * contam_ratio, contaminated). */
+  def contaminationReport(df: DataFrame, idCol: String, textCol: String,
+                          benchPred: Column): DataFrame = {
+    val sh = wordShingleHashes(df, idCol, textCol)
+    val bench = sh.where(benchPred).select(col("h")).distinct()
+    val cand  = sh.where(!benchPred)
+    val tot = cand.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+    val shared = cand.join(broadcast(bench), Seq("h"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
+    tot.join(shared, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)).cast("double") /
+          col("n_grams").cast("double")).as("contam_ratio"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** SimHash signature (first `bits` bits, LSB-first) from word-level
     * 32-bit hashes: bit b set iff Σ_words (±1 for bit b of word hash) > 0.
     * Hamming-near signatures → near-dup docs (Charikar 2002; used by

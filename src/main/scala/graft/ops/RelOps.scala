@@ -69,6 +69,40 @@ object RelOps {
       .select(leftCols.map(col) :+ col(as): _*)
   }
 
+  /** Floor division that stays on integers (SQL `div` truncates toward
+    * zero, which misaligns bins for negative ordinates). */
+  private def fdiv(c: Column, w: Long): Column =
+    ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+
+  /** Binned range join: every (point, range) pair sharing `keys` with
+    * `lo <= point <= hi` (inclusive both ends). Ordinates are integral
+    * (e.g. epoch microseconds via `unix_micros`).
+    *
+    * Scale story: the naive formulation — equi-join on `keys` with the
+    * range predicate as a residual (or a pure theta-join when `keys` is
+    * empty) — degenerates into a per-key cross product whenever a key is
+    * hot, and a BroadcastNestedLoopJoin when no equality key exists.
+    * Binning makes the ordinate part of the join key: a point falls in
+    * exactly one `binWidth` bucket, a range is exploded over the buckets
+    * it overlaps (ranges ≈ binWidth → ≤ 2 copies), and the join becomes
+    * an ordinary shuffled equi-join on (keys, bin) that AQE can
+    * skew-split. Each qualifying pair meets exactly once — in the point's
+    * single bin — so no post-join dedup is needed. Pick `binWidth` near
+    * the typical range span: range-side blowup is
+    * ceil(span/binWidth) + 1 copies.
+    */
+  def rangeJoin(points: DataFrame, pointCol: String,
+                ranges: DataFrame, loCol: String, hiCol: String,
+                keys: Seq[String], binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val p = points.withColumn("__bin", fdiv(col(pointCol), binWidth))
+    val r = ranges.withColumn("__bin",
+      explode(sequence(fdiv(col(loCol), binWidth), fdiv(col(hiCol), binWidth))))
+    p.join(r, keys :+ "__bin")
+      .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__bin")
+  }
+
   /** Skew-resistant grouped aggregation by key salting: phase 1 aggregates
     * on (key, salt) so a hot key's rows spread over `buckets` reducers;
     * phase 2 combines the partials per key. Only usable for aggregations

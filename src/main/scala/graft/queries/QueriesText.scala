@@ -188,6 +188,30 @@ object QueriesText {
     FROM h GROUP BY id ORDER BY doc_id"""
   }
 
+  /** Benchmark decontamination: every 17th document plays the held-out
+    * eval set; each remaining (candidate) doc reports how many of its
+    * distinct word-3-gram shingles also occur in ANY benchmark doc, plus
+    * the contamination ratio and flag. Broadcast semi-join against the
+    * (small) benchmark gram set — see
+    * [[graft.ops.DedupOps.contaminationReport]] for the scale argument. */
+  def qContam(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.contaminationReport(Tables.documents(spark, dir), "doc_id", "text",
+        col("id") % 17 === 0)
+      .orderBy("doc_id")
+
+  val qContamOracle: String = s"""
+    WITH $shingleCte,
+    bench AS (SELECT DISTINCT h.h FROM h WHERE id % 17 = 0),
+    cand AS (SELECT * FROM h WHERE id % 17 <> 0),
+    tot AS (SELECT id, count(*) AS n_grams FROM cand GROUP BY 1),
+    ov AS (SELECT id, count(*) AS n_shared FROM cand JOIN bench USING (h) GROUP BY 1)
+    SELECT tot.id AS doc_id, n_grams,
+           CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+           CAST(COALESCE(n_shared, 0) AS DOUBLE) / CAST(n_grams AS DOUBLE)
+             AS contam_ratio,
+           COALESCE(n_shared, 0) > 0 AS contaminated
+    FROM tot LEFT JOIN ov ON tot.id = ov.id ORDER BY doc_id"""
+
   /** MinHash + LSH banding near-dup detection with exact-Jaccard
     * verification on candidates only (no all-pairs join). */
   def qNearDupLsh(spark: SparkSession, dir: String): DataFrame =
@@ -723,5 +747,6 @@ object QueriesText {
     QueryDef("q_minhash_est", qMinhashEst, Some(qMinhashEstOracle)),
     QueryDef("q_blocklist", qBlocklist, Some(qBlocklistOracle)),
     QueryDef("q_mix", qMix, Some(qMixOracle)),
-    QueryDef("q_editdist", qEditDist, Some(qEditDistOracle)))
+    QueryDef("q_editdist", qEditDist, Some(qEditDistOracle)),
+    QueryDef("q_contam", qContam, Some(qContamOracle)))
 }

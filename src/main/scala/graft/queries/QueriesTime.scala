@@ -179,11 +179,56 @@ object QueriesTime {
            CAST(max(c) AS DOUBLE)/100.0 AS max_value
     FROM e GROUP BY 1 ORDER BY bucket"""
 
+  /** Attribution range join (batch analog of the streaming interval join,
+    * and the batch "range join" operator itself): each purchase event is
+    * credited with the view events of the same user inside the trailing
+    * 30-minute attribution window [purchase − 30 min, purchase]. Executes
+    * via [[graft.ops.RelOps.rangeJoin]] — the ordinate is binned into the
+    * join key so the plan is a plain shuffled equi-join on
+    * (user_id, bin), never a per-key cross product. Microsecond integer
+    * arithmetic end-to-end; view cents summed exactly. */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val winUs = 30L * 60 * 1000000
+    val e = Tables.events(spark, dir)
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"))
+      .withColumn("lo_us", col("purchase_us") - lit(winUs))
+      .withColumn("hi_us", col("purchase_us"))
+    val views = e.where(col("event_type") === "view")
+      .select(col("user_id"), unix_micros(col("ts")).as("v_us"),
+        round(col("value") * 100).cast("long").as("c"))
+    val per = graft.ops.RelOps
+      .rangeJoin(views, "v_us", purchases, "lo_us", "hi_us", Seq("user_id"), winUs)
+      .groupBy("purchase_id")
+      .agg(count(lit(1)).as("n_views"), sum(col("c")).as("sc"))
+    purchases.join(per, Seq("purchase_id"), "left")
+      .select(col("purchase_id"), col("user_id"), col("purchase_us"),
+        coalesce(col("n_views"), lit(0L)).as("n_views"),
+        (coalesce(col("sc"), lit(0L)).cast("double") / 100.0).as("view_value"))
+      .orderBy("purchase_id")
+  }
+
+  val qRangeJoinOracle: String = """
+    WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS purchase_us
+               FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, epoch_us(ts) AS v_us, CAST(round(value*100) AS BIGINT) c
+          FROM events WHERE event_type = 'view'),
+    j AS (SELECT purchase_id, count(*) AS n, sum(c) AS sc
+          FROM p JOIN v ON p.user_id = v.user_id
+           AND v.v_us >= p.purchase_us - 1800000000 AND v.v_us <= p.purchase_us
+          GROUP BY 1)
+    SELECT purchase_id, user_id, purchase_us,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_views,
+           CAST(COALESCE(sc, 0) AS DOUBLE)/100.0 AS view_value
+    FROM p LEFT JOIN j USING (purchase_id) ORDER BY purchase_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_window_tumbling", qTumbling, Some(qTumblingOracle)),
     QueryDef("q_window_sliding", qSliding, Some(qSlidingOracle)),
     QueryDef("q_session_window", qSession, Some(qSessionOracle)),
     QueryDef("q_datetime", qDatetime, Some(qDatetimeOracle)),
     QueryDef("q_funnel", qFunnel, Some(qFunnelOracle)),
-    QueryDef("q_hist", qHist, Some(qHistOracle)))
+    QueryDef("q_hist", qHist, Some(qHistOracle)),
+    QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinOracle)))
 }

@@ -372,6 +372,52 @@ object QueriesWindow {
            CASE WHEN cnt = 5 THEN rmax END AS roll_max
     FROM w ORDER BY event_id"""
 
+  /** Rolling median (pandas `rolling(5).median()` / `rolling(4).median()`)
+    * per user over the event-id order — the order-statistic companion to
+    * q_rolling's sum/mean/min/max, which no built-in frame aggregate
+    * covers. The frame is materialized as a sorted constant-width array
+    * (`array_sort(collect_list)` over the running frame): O(w log w) per
+    * row with w fixed at 5, so state stays constant-size at any data
+    * scale — this is NOT the unbounded-group collect anti-pattern. The
+    * 5-row median is the middle element (exact int cents); the 4-row
+    * median averages the two middle values ((a+b)/2 on ints ≤ 2^52 is
+    * exact in binary, matching DuckDB's windowed `median`). Partial
+    * frames are nulled out (min_periods = window), mirroring q_rolling. */
+  def qRollMedian(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w5 = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(-4, Window.currentRow)
+    val w4 = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(-3, Window.currentRow)
+    val s5 = array_sort(collect_list(col("c")).over(w5))
+    val s4 = array_sort(collect_list(col("c")).over(w4))
+    Tables.events(spark, dir)
+      .withColumn("c", round(col("value") * 100).cast("long"))
+      .select(col("event_id"), col("user_id"),
+        when(count(lit(1)).over(w5) === 5,
+          element_at(s5, 3).cast("double") / 100.0).as("med5"),
+        when(count(lit(1)).over(w4) === 4,
+          (element_at(s4, 2) + element_at(s4, 3)).cast("double") / 2.0 / 100.0)
+          .as("med4"))
+      .orderBy("event_id")
+  }
+
+  val qRollMedianOracle: String = """
+    WITH e AS (SELECT event_id, user_id,
+                      CAST(round(value*100) AS BIGINT) c FROM events),
+    w AS (SELECT event_id, user_id,
+                 median(c) OVER w5 m5, count(*) OVER w5 n5,
+                 median(c) OVER w4 m4, count(*) OVER w4 n4
+          FROM e
+          WINDOW w5 AS (PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+                 w4 AS (PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
+    SELECT event_id, user_id,
+           CASE WHEN n5 = 5 THEN CAST(m5 AS DOUBLE)/100.0 END AS med5,
+           CASE WHEN n4 = 4 THEN CAST(m4 AS DOUBLE)/100.0 END AS med4
+    FROM w ORDER BY event_id"""
+
   /** Windowed EWMA (pandas `ewm(adjust=True)` numerator/denominator shape,
     * bounded to the trailing 10 observations) per user over event time.
     * α = 1/2 is chosen deliberately: every weight (1−α)^k = 2^−k is an
@@ -429,5 +475,6 @@ object QueriesWindow {
     QueryDef("q_cut", qCut, Some(qCutOracle)),
     QueryDef("q_qcut", qQcut, Some(qQcutOracle)),
     QueryDef("q_rolling", qRolling, Some(qRollingOracle)),
+    QueryDef("q_roll_median", qRollMedian, Some(qRollMedianOracle)),
     QueryDef("q_ewma", qEwma, Some(qEwmaOracle)))
 }

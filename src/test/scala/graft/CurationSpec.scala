@@ -196,6 +196,22 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("contamination: benchmark docs excluded, ratios bounded, flag consistent") {
+    val rows = SparkEntry.queries("q_contam")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, nGrams, nShared) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val (ratio, flag) = (r.getDouble(3), r.getBoolean(4))
+      assert(id % 17 != 0, "benchmark docs must not appear as candidates")
+      assert(nGrams > 0 && nShared >= 0 && nShared <= nGrams)
+      assert(math.abs(ratio - nShared.toDouble / nGrams.toDouble) == 0.0)
+      assert(flag == (nShared > 0))
+    }
+    // the shared-vocabulary fixture must actually exhibit contamination,
+    // and clean docs must exist too or the query proves nothing
+    assert(rows.exists(_.getBoolean(4)))
+  }
+
   test("mix: kept counts bounded and non-trivial; deterministic across runs") {
     val a = SparkEntry.queries("q_mix")(spark, dir).collect()
     val b = SparkEntry.queries("q_mix")(spark, dir).collect()

@@ -92,4 +92,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
     assert(count(p, "Exchange") <= 2, p) // source agg + output orderBy
   }
+
+  test("q_range_join: binned equi-join — never a nested-loop/cartesian plan") {
+    val p = plan("q_range_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the attribution join itself must be an equality join on (user, bin)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q_contam: benchmark gram set broadcast; shingle shuffle reused, not recomputed") {
+    val p = plan("q_contam")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // three consumers of the shingle distinct must share one exchange —
+    // AQE performs the reuse at runtime, so run the query and inspect the
+    // FINAL adaptive plan (the pre-execution plan shows plain exchanges)
+    val df = SparkEntry.queries("q_contam")(spark, dir)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    assert(fin.contains("ReusedExchange"), fin)
+  }
 }

@@ -102,6 +102,27 @@ class RelTakeSpec extends SparkSpec {
     assert(near.toSeq == Seq(1.0, 2.0, 3.0))
   }
 
+  test("rangeJoin == naive theta join, incl. boundary points and bin-spanning ranges") {
+    // ranges deliberately span 0, 1, 2 and 3 bins at binWidth=10, with
+    // points exactly on lo/hi boundaries and on bin edges
+    val points = Seq((1L, "k1", 10L), (2L, "k1", 19L), (3L, "k1", 20L),
+        (4L, "k1", 35L), (5L, "k2", 10L), (6L, "k1", 9L))
+      .toDF("pid", "k", "t")
+    val ranges = Seq((100L, "k1", 10L, 20L), (101L, "k1", 15L, 44L),
+        (102L, "k1", 21L, 21L), (103L, "k2", 0L, 9L), (104L, "k1", 36L, 38L))
+      .toDF("rid", "k", "lo", "hi")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairs(RelOps.rangeJoin(points, "t", ranges, "lo", "hi", Seq("k"), 10L))
+    val naive = pairs(points.join(ranges, Seq("k"))
+      .where(col("t") >= col("lo") && col("t") <= col("hi")))
+    assert(got == naive)
+    assert(got == Set((1L, 100L), (2L, 100L), (2L, 101L), (3L, 100L), (3L, 101L), (4L, 101L)))
+    // binning must also produce each pair exactly once (no dedup in the op)
+    val cnt = RelOps.rangeJoin(points, "t", ranges, "lo", "hi", Seq("k"), 10L).count()
+    assert(cnt == got.size.toLong)
+  }
+
   test("topKPerGroup keeps k rows per group in order") {
     val df = Seq(("x", 1.0), ("x", 3.0), ("x", 2.0), ("y", 9.0)).toDF("g", "v")
     val got = RelOps.topKPerGroup(df, Seq("g"), Seq(col("v").desc), 2)
