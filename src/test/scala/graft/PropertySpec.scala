@@ -134,6 +134,45 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("rangeJoin == naive theta join for random intervals and bin widths") {
+    // completeness + exactly-once: binning must neither drop a qualifying
+    // (point, range) pair (bin-boundary/off-by-one hazards) nor emit one
+    // twice (a range covering a point's bin more than once is impossible,
+    // but the property pins it). Negative ordinates included — they are
+    // where truncating division would misalign bins.
+    import graft.ops.RelOps
+    val pointsGen: Gen[List[(Long, Long, Long)]] = // (pid, key, t)
+      Gen.choose(1, 25).flatMap { n =>
+        Gen.sequence[List[(Long, Long, Long)], (Long, Long, Long)](
+          (0 until n).toList.map { pid =>
+            for { k <- Gen.choose(0L, 2L); t <- Gen.choose(-40L, 40L) }
+              yield (pid.toLong, k, t)
+          })
+      }
+    val rangesGen: Gen[List[(Long, Long, Long, Long)]] = // (rid, key, lo, hi)
+      Gen.choose(1, 15).flatMap { n =>
+        Gen.sequence[List[(Long, Long, Long, Long)], (Long, Long, Long, Long)](
+          (0 until n).toList.map { rid =>
+            for {
+              k <- Gen.choose(0L, 2L); lo <- Gen.choose(-40L, 40L)
+              span <- Gen.choose(0L, 25L)
+            } yield (rid.toLong, k, lo, lo + span)
+          })
+      }
+    check(Prop.forAll(pointsGen, rangesGen, Gen.oneOf(1L, 3L, 7L, 10L)) {
+      (ps, rs, w) =>
+        val points = ps.toDF("pid", "k", "t")
+        val ranges = rs.toDF("rid", "k", "lo", "hi")
+        val got = RelOps.rangeJoin(points, "t", ranges, "lo", "hi", Seq("k"), w)
+          .select("pid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+        val naive = for {
+          (pid, pk, t) <- ps; (rid, rk, lo, hi) <- rs
+          if pk == rk && t >= lo && t <= hi
+        } yield (pid, rid)
+        got.length == naive.length && got.toSet == naive.toSet
+    })
+  }
+
   test("rank(first) is a permutation of 1..n_nonnull per group") {
     check(Prop.forAll(rowsGen) { rows =>
       val df = rows.zipWithIndex
