@@ -127,6 +127,37 @@ object WindowOps {
       .drop("__rn", "__run", "__fill", "__dist")
   }
 
+  /** Per-group LINEAR interpolation of interior nulls (pandas
+    * `interpolate(method='linear')` over the row position): a null at
+    * position x between the nearest non-null neighbors (px, py) and
+    * (nx, ny) becomes `py + (ny − py) · (x − px)/(nx − px)`. Leading and
+    * trailing nulls (missing a neighbor on either side) stay null —
+    * interpolation, not extrapolation; pair with [[ffill]]/[[bfill]] for
+    * the edges. Output column `out` is DoubleType.
+    *
+    * Two streaming window passes (nearest non-null behind via a running
+    * `last ignore nulls`, nearest ahead via `first ignore nulls` over the
+    * following frame) — no self-join, state is one struct per direction,
+    * so arbitrarily long null runs cost O(1) memory per row at any group
+    * size. */
+  def interpolateLinear(df: DataFrame, out: String, v: Column,
+                        keys: Seq[Column], ord: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(ord: _*)
+    val prevW = w.rowsBetween(Window.unboundedPreceding, -1)
+    val nextW = w.rowsBetween(1, Window.unboundedFollowing)
+    val known = when(v.isNotNull, struct(col("__x").as("x"), v.as("y")))
+    val withPos = df.withColumn("__x", row_number().over(w))
+    val p = last(known, ignoreNulls = true).over(prevW)
+    val n = first(known, ignoreNulls = true).over(nextW)
+    val frac = (col("__x") - p.getField("x")) / (n.getField("x") - p.getField("x"))
+    withPos
+      .withColumn(out,
+        when(v.isNotNull, v.cast("double"))
+          .when(p.isNotNull && n.isNotNull,
+            p.getField("y") + (n.getField("y") - p.getField("y")) * frac))
+      .drop("__x")
+  }
+
   /** Grouped rank with pandas tie-breaking methods — completes the
     * reference's `group_rank` stub (`/root/reference/src/lib.rs:1259-1274`)
     * per its declared signature (ties_method, ascending, pct, na_option).

@@ -223,6 +223,57 @@ object QueriesTime {
            CAST(COALESCE(sc, 0) AS DOUBLE)/100.0 AS view_value
     FROM p LEFT JOIN j USING (purchase_id) ORDER BY purchase_id"""
 
+  /** Resample to a fixed hourly grid with gap-filling (pandas
+    * `resample('1H')` + `asfreq` + ffill): the hourly spine spans
+    * [min, max] event hour per event_type, empty buckets appear with
+    * n = 0 / null sum, and `sum_ffill` carries the last seen bucket sum
+    * forward across gaps. The spine is GENERATED (sequence over the
+    * global [lo, hi] hour range cross-joined with the tiny distinct-type
+    * relation), never shuffled at corpus width: spine rows =
+    * span/width · |types| regardless of event count, and the left join
+    * back to the hourly agg is an equi-join AQE handles. */
+  def qResample(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("c", round(col("value") * 100).cast("long"))
+      .withColumn("h", expr("unix_timestamp(ts) div 3600") * 3600)
+    val agg = e.groupBy("event_type", "h")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+    val bounds = e.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+    val spine = e.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), lit(3600L))).as("h"))
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    spine.join(agg, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h").as("bucket_start"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        (col("sc").cast("double") / 100.0).as("sum_value"),
+        (last(col("sc"), ignoreNulls = true).over(wf).cast("double") / 100.0)
+          .as("sum_ffill"))
+      .orderBy("event_type", "bucket_start")
+  }
+
+  val qResampleOracle: String = """
+    WITH e AS (SELECT event_type,
+                      CAST(floor(epoch(ts)) AS BIGINT) // 3600 * 3600 AS h,
+                      CAST(round(value*100) AS BIGINT) c FROM events),
+    a AS (SELECT event_type, h, count(*) AS n, sum(c) AS sc FROM e GROUP BY 1, 2),
+    b AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+    s AS (SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS h
+          FROM (SELECT DISTINCT event_type FROM e), b),
+    j AS (SELECT s.event_type, s.h, a.n, a.sc
+          FROM s LEFT JOIN a ON s.event_type = a.event_type AND s.h = a.h)
+    SELECT event_type, h AS bucket_start,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n,
+           CAST(sc AS DOUBLE)/100.0 AS sum_value,
+           CAST(last_value(sc IGNORE NULLS) OVER (
+                  PARTITION BY event_type ORDER BY h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE)/100.0 AS sum_ffill
+    FROM j ORDER BY event_type, bucket_start"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_window_tumbling", qTumbling, Some(qTumblingOracle)),
     QueryDef("q_window_sliding", qSliding, Some(qSlidingOracle)),
@@ -230,5 +281,6 @@ object QueriesTime {
     QueryDef("q_datetime", qDatetime, Some(qDatetimeOracle)),
     QueryDef("q_funnel", qFunnel, Some(qFunnelOracle)),
     QueryDef("q_hist", qHist, Some(qHistOracle)),
-    QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinOracle)))
+    QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinOracle)),
+    QueryDef("q_resample", qResample, Some(qResampleOracle)))
 }

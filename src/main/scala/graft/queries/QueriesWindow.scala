@@ -372,6 +372,56 @@ object QueriesWindow {
            CASE WHEN cnt = 5 THEN rmax END AS roll_max
     FROM w ORDER BY event_id"""
 
+  /** Linear interpolation of interior missing values (pandas
+    * `interpolate(method='linear')`), completing the fill family
+    * (ffill/bfill in q_fill). Every 7th event's value is masked out
+    * deterministically, then reconstructed per user from the nearest
+    * non-null neighbors over the event-id order; leading/trailing gaps
+    * stay null (no extrapolation). Exact-parity arithmetic: neighbors are
+    * integer cents and both engines evaluate the identical
+    * `py + (ny−py)·((x−px)/(nx−px))` double expression, then one final
+    * /100 — bit-equal results. */
+  def qInterp(spark: SparkSession, dir: String): DataFrame = {
+    val masked = Tables.events(spark, dir)
+      .withColumn("c", when(col("event_id") % 7 =!= 0,
+        round(col("value") * 100).cast("long")))
+    graft.ops.WindowOps
+      .interpolateLinear(masked, "ci", col("c"), Seq(col("user_id")), Seq(col("event_id")))
+      .select(col("event_id"), col("user_id"),
+        (col("c").cast("double") / 100.0).as("value_masked"),
+        (col("ci") / 100.0).as("value_interp"))
+      .orderBy("event_id")
+  }
+
+  val qInterpOracle: String = """
+    WITH e AS (SELECT event_id, user_id,
+                      CASE WHEN event_id % 7 <> 0
+                           THEN CAST(round(value*100) AS BIGINT) END c
+               FROM events),
+    x AS (SELECT event_id, user_id, c,
+                 row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS x,
+                 CASE WHEN c IS NOT NULL THEN
+                   row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+                 END AS xm
+          FROM e),
+    r AS (SELECT event_id, user_id, c, x,
+                 last_value(xm IGNORE NULLS) OVER wp AS px,
+                 last_value(c  IGNORE NULLS) OVER wp AS py,
+                 first_value(xm IGNORE NULLS) OVER wn AS nx,
+                 first_value(c  IGNORE NULLS) OVER wn AS ny
+          FROM x
+          WINDOW wp AS (PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 wn AS (PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+    SELECT event_id, user_id,
+           CAST(c AS DOUBLE)/100.0 AS value_masked,
+           CASE WHEN c IS NOT NULL THEN CAST(c AS DOUBLE)/100.0
+                WHEN px IS NOT NULL AND nx IS NOT NULL
+                THEN (py + (ny - py) * ((x - px) / (nx - px)))/100.0
+           END AS value_interp
+    FROM r ORDER BY event_id"""
+
   /** Rolling median (pandas `rolling(5).median()` / `rolling(4).median()`)
     * per user over the event-id order — the order-statistic companion to
     * q_rolling's sum/mean/min/max, which no built-in frame aggregate
@@ -476,5 +526,6 @@ object QueriesWindow {
     QueryDef("q_qcut", qQcut, Some(qQcutOracle)),
     QueryDef("q_rolling", qRolling, Some(qRollingOracle)),
     QueryDef("q_roll_median", qRollMedian, Some(qRollMedianOracle)),
+    QueryDef("q_interp", qInterp, Some(qInterpOracle)),
     QueryDef("q_ewma", qEwma, Some(qEwmaOracle)))
 }

@@ -105,6 +105,25 @@ class WindowOpsSpec extends SparkSpec {
     assert(got(4L) == ((4.0, 4.0, 4.0, 3.0, 1.0)))
   }
 
+  test("interpolateLinear: interior gaps filled, edges and all-null groups stay null") {
+    // group 0: 10, _, _, 40  -> gap of 2 interpolates to 20, 30
+    // group 1: _, 5, _       -> leading + trailing nulls stay null
+    // group 2: _, _          -> all null stays null
+    val rows = Seq(
+      (0L, 1L, Some(10L)), (0L, 2L, None), (0L, 3L, None), (0L, 4L, Some(40L)),
+      (1L, 1L, None), (1L, 2L, Some(5L)), (1L, 3L, None),
+      (2L, 1L, None), (2L, 2L, None))
+    val df = rows.toDF("g", "pos", "v")
+    val got = WindowOps.interpolateLinear(df, "vi", col("v"), Seq(col("g")), Seq(col("pos")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got == Map(
+      (0L, 1L) -> Some(10.0), (0L, 2L) -> Some(20.0), (0L, 3L) -> Some(30.0),
+      (0L, 4L) -> Some(40.0),
+      (1L, 1L) -> None, (1L, 2L) -> Some(5.0), (1L, 3L) -> None,
+      (2L, 1L) -> None, (2L, 2L) -> None))
+  }
+
   test("rank na_option keep vs bottom") {
     val rows = Seq((0L, 1L, Some(10.0)), (0L, 2L, None), (0L, 3L, Some(5.0)))
     val df   = rows.toDF("g", "pos", "v")
