@@ -54,6 +54,29 @@ object MultimodalOps {
           lit(everyMs))).as("ts_ms"))
       .withColumn("frame_idx", (col("ts_ms") / everyMs).cast("long"))
 
+  /** Patch-grid plan for image payloads: one row per `patch`×`patch` tile
+    * of the (width, height) raster — the ViT/CLIP patch-extraction
+    * plumbing (image → 16×16 patch sequence) as pure Catalyst: a 2-D
+    * `explode(sequence)` over the tile grid, edge tiles clamped to the
+    * image border. The actual pixel crop would decode in a later
+    * batch-shaped pass like [[decodeFeatures]]; this plan gives it the
+    * (media, tile, offsets, clamped dims) work-list without any UDF.
+    * Zero-area images yield zero rows. */
+  def patchGridPlan(df: DataFrame, patch: Int): DataFrame = {
+    val nx = expr(s"(width + ${patch - 1}) div $patch")
+    val ny = expr(s"(height + ${patch - 1}) div $patch")
+    df.select(col("media_id"), col("width"), col("height"))
+      .where(col("width") > 0 && col("height") > 0)
+      .withColumn("px", explode(sequence(lit(0), (nx - 1).cast("int"))))
+      .withColumn("py", explode(sequence(lit(0), (ny - 1).cast("int"))))
+      .select(col("media_id"),
+        col("px").cast("long").as("px"), col("py").cast("long").as("py"),
+        (col("px") * patch).cast("long").as("x0"),
+        (col("py") * patch).cast("long").as("y0"),
+        least(lit(patch), col("width") - col("px") * patch).cast("long").as("pw"),
+        least(lit(patch), col("height") - col("py") * patch).cast("long").as("ph"))
+  }
+
   /** Build a MediaRow dataset from any table with an id + string column —
     * fixture adapter used by specs (documents.text bytes stand in for real
     * media payloads). */

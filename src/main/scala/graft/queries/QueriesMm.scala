@@ -37,6 +37,33 @@ object QueriesMm {
     SELECT media_id, ts_ms, ts_ms // $FrameEveryMs AS frame_idx
     FROM f ORDER BY media_id, ts_ms"""
 
+  val PatchPx = 16
+
+  /** ViT-style patch grid: one row per 16×16 tile with edge clamping. */
+  def qPatchGrid(spark: SparkSession, dir: String): DataFrame = {
+    val media = MultimodalOps.fromStrings(spark,
+      Tables.documents(spark, dir), "doc_id", "text").toDF()
+    MultimodalOps.patchGridPlan(media, PatchPx)
+      .orderBy("media_id", "py", "px")
+  }
+
+  val qPatchGridOracle: String = s"""
+    WITH m AS (SELECT doc_id media_id, length(text) % 640 w, length(text) % 480 h
+               FROM documents
+               WHERE length(text) % 640 > 0 AND length(text) % 480 > 0),
+    g AS (SELECT media_id, w, h,
+                 unnest(generate_series(0, (w + ${PatchPx - 1}) // $PatchPx - 1)) px
+          FROM m),
+    g2 AS (SELECT media_id, w, h, px,
+                  unnest(generate_series(0, (h + ${PatchPx - 1}) // $PatchPx - 1)) py
+           FROM g)
+    SELECT media_id, CAST(px AS BIGINT) px, CAST(py AS BIGINT) py,
+           CAST(px * $PatchPx AS BIGINT) x0, CAST(py * $PatchPx AS BIGINT) y0,
+           CAST(least($PatchPx, w - px * $PatchPx) AS BIGINT) pw,
+           CAST(least($PatchPx, h - py * $PatchPx) AS BIGINT) ph
+    FROM g2 ORDER BY media_id, py, px"""
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q_frame_sample", qFrameSample, Some(qFrameSampleOracle)))
+    QueryDef("q_frame_sample", qFrameSample, Some(qFrameSampleOracle)),
+    QueryDef("q_patch_grid", qPatchGrid, Some(qPatchGridOracle)))
 }
