@@ -468,6 +468,58 @@ object QueriesWindow {
            CASE WHEN n4 = 4 THEN CAST(m4 AS DOUBLE)/100.0 END AS med4
     FROM w ORDER BY event_id"""
 
+  /** Rolling lag-1 autocorrelation (pandas
+    * `rolling(5).corr(series.shift(1))`) per user: the sample correlation
+    * of (value, previous value) over the trailing 5-row frame — the
+    * change-point / trend-shift signal of monitoring pipelines. All five
+    * power sums (Σx, Σy, Σx², Σy², Σxy) accumulate as exact integer
+    * cents, so the only float work is the final textual formula
+    * `(nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²))` — identical in both
+    * engines, bit-exact. Windows with any missing lag (first row of a
+    * user) or zero variance yield null. One shuffle + one sort; the power
+    * sums stream over running frames. */
+  def qRollCorr(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val w5 = wu.rowsBetween(-4, Window.currentRow)
+    val x = round(col("value") * 100).cast("long")
+    val e = Tables.events(spark, dir)
+      .withColumn("x", x).withColumn("y", lag(col("x"), 1).over(wu))
+    val cy  = count(col("y")).over(w5)
+    val sx  = sum(col("x")).over(w5); val sy = sum(col("y")).over(w5)
+    val sxx = sum(col("x") * col("x")).over(w5)
+    val syy = sum(col("y") * col("y")).over(w5)
+    val sxy = sum(col("x") * col("y")).over(w5)
+    val vx = lit(5) * sxx - sx * sx
+    val vy = lit(5) * syy - sy * sy
+    e.select(col("event_id"), col("user_id"),
+        when(cy === 5 && vx > 0 && vy > 0,
+          (lit(5) * sxy - sx * sy).cast("double") /
+            (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+          .as("roll_corr"))
+      .orderBy("event_id")
+  }
+
+  val qRollCorrOracle: String = """
+    WITH e AS (SELECT event_id, user_id,
+                      CAST(round(value*100) AS BIGINT) x FROM events),
+    l AS (SELECT event_id, user_id, x,
+                 lag(x) OVER (PARTITION BY user_id ORDER BY event_id) y FROM e),
+    w AS (SELECT event_id, user_id, count(y) OVER win cy,
+                 sum(x) OVER win sx, sum(y) OVER win sy,
+                 sum(x*x) OVER win sxx, sum(y*y) OVER win syy,
+                 sum(x*y) OVER win sxy
+          FROM l
+          WINDOW win AS (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+    SELECT event_id, user_id,
+           CASE WHEN cy = 5 AND (5*sxx - sx*sx) > 0 AND (5*syy - sy*sy) > 0
+                THEN CAST(5*sxy - sx*sy AS DOUBLE) /
+                     (sqrt(CAST(5*sxx - sx*sx AS DOUBLE)) *
+                      sqrt(CAST(5*syy - sy*sy AS DOUBLE)))
+           END AS roll_corr
+    FROM w ORDER BY event_id"""
+
   /** Windowed EWMA (pandas `ewm(adjust=True)` numerator/denominator shape,
     * bounded to the trailing 10 observations) per user over event time.
     * α = 1/2 is chosen deliberately: every weight (1−α)^k = 2^−k is an
@@ -527,5 +579,6 @@ object QueriesWindow {
     QueryDef("q_rolling", qRolling, Some(qRollingOracle)),
     QueryDef("q_roll_median", qRollMedian, Some(qRollMedianOracle)),
     QueryDef("q_interp", qInterp, Some(qInterpOracle)),
+    QueryDef("q_roll_corr", qRollCorr, Some(qRollCorrOracle)),
     QueryDef("q_ewma", qEwma, Some(qEwmaOracle)))
 }
