@@ -230,6 +230,89 @@ object QueriesAgg {
            min(value) AS low, max_by(value, event_id) AS close, count(*) AS n
     FROM events GROUP BY user_id ORDER BY user_id"""
 
+  /** Grouped weighted mean (pandas `np.average(values, weights=…)` per
+    * group): Σ(wᵢ·vᵢ)/Σwᵢ with price in exact integer cents and integer
+    * quantity weights — both sums accumulate exactly in any order, the
+    * single final division is the only float op (same determinism recipe
+    * as the plain cents sums). */
+  def qWeightedMean(spark: SparkSession, dir: String): DataFrame = {
+    val pc = round(col("l_extendedprice") * 100).cast("long")
+    Tables.lineitem(spark, dir)
+      .withColumn("pc", pc)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(col("pc") * col("l_quantity").cast("long")).as("wsum"),
+        sum(col("l_quantity").cast("long")).as("w"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        (col("wsum").cast("double") / col("w").cast("double") / 100.0)
+          .as("wavg_price"),
+        col("w").as("total_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val qWeightedMeanOracle: String = """
+    WITH e AS (SELECT l_returnflag, l_linestatus,
+                      CAST(round(l_extendedprice*100) AS BIGINT) pc,
+                      CAST(l_quantity AS BIGINT) q FROM lineitem)
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(pc*q) AS DOUBLE) / CAST(sum(q) AS DOUBLE) / 100.0
+             AS wavg_price,
+           CAST(sum(q) AS BIGINT) AS total_qty
+    FROM e GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Winsorization (pandas `clip(lower=q05, upper=q95)` per group — the
+    * standard outlier treatment before model features): per-returnflag
+    * p05/p95 of extended price via the engine's exact linear-interp
+    * quantile kernel, broadcast back (3 rows), and each row clipped with
+    * clip-direction flags. Quantile parity with DuckDB is the same
+    * identical-formula argument q_quantile establishes; the clip itself
+    * is pure comparisons on bit-identical doubles. */
+  def qWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val bounds = QuantileOps
+      .groupedQuantiles(li, Seq("l_returnflag"), "l_extendedprice", Seq(0.05, 0.95))
+      .groupBy("l_returnflag")
+      .agg(max(when(col("q") === 0.05, col("linear"))).as("lo"),
+        max(when(col("q") === 0.95, col("linear"))).as("hi"))
+    li.join(broadcast(bounds), Seq("l_returnflag"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_extendedprice"),
+        least(greatest(col("l_extendedprice"), col("lo")), col("hi"))
+          .as("price_wins"),
+        (col("l_extendedprice") < col("lo")).as("clip_lo"),
+        (col("l_extendedprice") > col("hi")).as("clip_hi"))
+      .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+  }
+
+  val qWinsorizeOracle: String = """
+    WITH nn AS (SELECT l_returnflag, l_extendedprice v,
+                       CAST(row_number() OVER (PARTITION BY l_returnflag
+                                               ORDER BY l_extendedprice) AS BIGINT) - 1 rn,
+                       count(*) OVER (PARTITION BY l_returnflag) n
+                FROM lineitem WHERE l_extendedprice IS NOT NULL),
+    e AS (SELECT nn.*, q FROM nn CROSS JOIN
+            (VALUES (CAST(0.05 AS DOUBLE)), (CAST(0.95 AS DOUBLE))) t(q)),
+    g AS (SELECT l_returnflag, q,
+                 max(CASE WHEN rn = CAST(floor(q*(n-1)) AS BIGINT) THEN v END) lov,
+                 max(CASE WHEN rn = CAST(floor(q*(n-1)) AS BIGINT) + 1 THEN v END) hiv,
+                 max(q*(n-1) - floor(q*(n-1))) f
+          FROM e
+          WHERE rn = CAST(floor(q*(n-1)) AS BIGINT)
+             OR rn = CAST(floor(q*(n-1)) AS BIGINT) + 1
+          GROUP BY l_returnflag, q),
+    lin AS (SELECT l_returnflag, q,
+                   CASE WHEN f = 0 THEN lov ELSE lov + (hiv - lov)*f END lin
+            FROM g),
+    b AS (SELECT l_returnflag,
+                 max(CASE WHEN q = 0.05 THEN lin END) lo,
+                 max(CASE WHEN q = 0.95 THEN lin END) hi
+          FROM lin GROUP BY 1)
+    SELECT l_orderkey, l_linenumber, l.l_returnflag, l_extendedprice,
+           least(greatest(l_extendedprice, lo), hi) AS price_wins,
+           l_extendedprice < lo AS clip_lo,
+           l_extendedprice > hi AS clip_hi
+    FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+    ORDER BY l_orderkey, l_linenumber, l_extendedprice"""
+
   /** group_quantile, all five interpolation modes (`src/groupby.rs:1532-1660`). */
   val quantileQs = Seq(0.0, 0.25, 0.5, 0.513, 0.75, 1.0)
 
@@ -240,7 +323,9 @@ object QueriesAgg {
       .orderBy(col("l_returnflag"), col("l_linestatus"), col("q"))
 
   val qQuantileOracle: String = {
-    val qsVals = quantileQs.map(q => s"($q)").mkString(",")
+    // CAST: DuckDB types bare VALUES decimals as DECIMAL, which keeps
+    // q*(n-1) exact and diverges from Spark's double arithmetic by an ulp
+    val qsVals = quantileQs.map(q => s"(CAST($q AS DOUBLE))").mkString(",")
     val idx    = "CAST(floor(q*(n-1)) AS BIGINT)"
     s"""
     WITH nn AS (
@@ -579,6 +664,8 @@ object QueriesAgg {
     QueryDef("q_first_last_nth", qFirstLastNth, Some(qFirstLastNthOracle)),
     QueryDef("q_ohlc", qOhlc, Some(qOhlcOracle)),
     QueryDef("q_quantile", qQuantile, Some(qQuantileOracle)),
+    QueryDef("q_weighted_mean", qWeightedMean, Some(qWeightedMeanOracle)),
+    QueryDef("q_winsorize", qWinsorize, Some(qWinsorizeOracle)),
     QueryDef("q_median", qMedian, Some(qMedianOracle)),
     QueryDef("q_anyall", qAnyAll, Some(qAnyAllOracle)),
     QueryDef("q_count_distinct", qCountDistinct, Some(qCountDistinctOracle)),
