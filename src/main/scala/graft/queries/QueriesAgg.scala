@@ -230,6 +230,114 @@ object QueriesAgg {
            min(value) AS low, max_by(value, event_id) AS close, count(*) AS n
     FROM events GROUP BY user_id ORDER BY user_id"""
 
+  /** Grouped `describe()` (the pandas summary staple): count, mean, std,
+    * min, p25/p50/p75, max per group in one result. Mean/std come from
+    * exact integer power sums (l_quantity is integer-valued), quartiles
+    * from the engine's linear-interp quantile kernel; the two small agg
+    * sides (6 groups each) join trivially. */
+  def qDescribe(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val v  = col("l_quantity")
+    val base = li.groupBy("l_returnflag", "l_linestatus").agg(
+      count(v).as("n"),
+      (sum(v).cast("double") / count(v).cast("double")).as("mean"),
+      GroupedOps.stdExact(v, 1).as("std"),
+      min(v).as("min_v"),
+      max(v).as("max_v"))
+    val qs = QuantileOps
+      .groupedQuantiles(li, Seq("l_returnflag", "l_linestatus"), "l_quantity",
+        Seq(0.25, 0.5, 0.75))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(max(when(col("q") === 0.25, col("linear"))).as("p25"),
+        max(when(col("q") === 0.5, col("linear"))).as("p50"),
+        max(when(col("q") === 0.75, col("linear"))).as("p75"))
+    base.join(qs, Seq("l_returnflag", "l_linestatus"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("n"), col("mean"),
+        col("std"), col("min_v"), col("p25"), col("p50"), col("p75"),
+        col("max_v"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val qDescribeOracle: String = {
+    val n  = "CAST(count(l_quantity) AS DOUBLE)"
+    val s1 = "CAST(sum(l_quantity) AS DOUBLE)"
+    val s2 = "CAST(sum(l_quantity*l_quantity) AS DOUBLE)"
+    val varD = s"CASE WHEN $n - 1 <= 0 THEN NULL ELSE ($s2 - $s1*$s1/$n)/($n - 1) END"
+    s"""
+    WITH base AS (
+      SELECT l_returnflag, l_linestatus, count(l_quantity) AS n,
+             $s1/$n AS mean, sqrt($varD) AS std,
+             min(l_quantity) AS min_v, max(l_quantity) AS max_v
+      FROM lineitem GROUP BY 1, 2),
+    nn AS (SELECT l_returnflag, l_linestatus, l_quantity v,
+                  CAST(row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+                                          ORDER BY l_quantity) AS BIGINT) - 1 rn,
+                  count(*) OVER (PARTITION BY l_returnflag, l_linestatus) n
+           FROM lineitem WHERE l_quantity IS NOT NULL),
+    e AS (SELECT nn.*, q FROM nn CROSS JOIN
+            (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+                    (CAST(0.75 AS DOUBLE))) t(q)),
+    g AS (SELECT l_returnflag, l_linestatus, q,
+                 max(CASE WHEN rn = CAST(floor(q*(n-1)) AS BIGINT) THEN v END) lov,
+                 max(CASE WHEN rn = CAST(floor(q*(n-1)) AS BIGINT) + 1 THEN v END) hiv,
+                 max(q*(n-1) - floor(q*(n-1))) f
+          FROM e
+          WHERE rn = CAST(floor(q*(n-1)) AS BIGINT)
+             OR rn = CAST(floor(q*(n-1)) AS BIGINT) + 1
+          GROUP BY 1, 2, 3),
+    lin AS (SELECT l_returnflag, l_linestatus, q,
+                   CASE WHEN f = 0 THEN lov ELSE lov + (hiv - lov)*f END lin
+            FROM g),
+    p AS (SELECT l_returnflag, l_linestatus,
+                 max(CASE WHEN q = 0.25 THEN lin END) p25,
+                 max(CASE WHEN q = 0.5  THEN lin END) p50,
+                 max(CASE WHEN q = 0.75 THEN lin END) p75
+          FROM lin GROUP BY 1, 2)
+    SELECT base.l_returnflag, base.l_linestatus, n, mean, std, min_v,
+           p25, p50, p75, max_v
+    FROM base JOIN p ON base.l_returnflag = p.l_returnflag
+                    AND base.l_linestatus = p.l_linestatus
+    ORDER BY base.l_returnflag, base.l_linestatus"""
+  }
+
+  /** Full-outer merge with origin indicator (pandas
+    * `merge(how='outer', indicator=True)`): a third of the customers
+    * joined against the per-customer order rollup — matched rows tag
+    * `both`, unmatched left `left_only`, unmatched right `right_only`,
+    * and the unmatched sides keep their nulls (pandas NaN semantics). */
+  def qMergeIndicator(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .where(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val o = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("tc"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_acctbal"), col("n_orders"),
+        (col("tc").cast("double") / 100.0).as("total_price"),
+        when(col("c_custkey").isNotNull && col("o_custkey").isNotNull, "both")
+          .when(col("c_custkey").isNotNull, "left_only")
+          .otherwise("right_only").as("merge_origin"))
+      .orderBy("custkey")
+  }
+
+  val qMergeIndicatorOracle: String = """
+    WITH c AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 = 0),
+    o AS (SELECT o_custkey, count(*) AS n_orders,
+                 sum(CAST(round(o_totalprice*100) AS BIGINT)) AS tc
+          FROM orders GROUP BY 1)
+    SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_acctbal,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(tc AS DOUBLE)/100.0 AS total_price,
+           CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 'both'
+                WHEN c_custkey IS NOT NULL THEN 'left_only'
+                ELSE 'right_only' END AS merge_origin
+    FROM c FULL JOIN o ON c_custkey = o_custkey
+    ORDER BY custkey"""
+
   /** Grouped weighted mean (pandas `np.average(values, weights=…)` per
     * group): Σ(wᵢ·vᵢ)/Σwᵢ with price in exact integer cents and integer
     * quantity weights — both sums accumulate exactly in any order, the
@@ -665,6 +773,8 @@ object QueriesAgg {
     QueryDef("q_ohlc", qOhlc, Some(qOhlcOracle)),
     QueryDef("q_quantile", qQuantile, Some(qQuantileOracle)),
     QueryDef("q_weighted_mean", qWeightedMean, Some(qWeightedMeanOracle)),
+    QueryDef("q_describe", qDescribe, Some(qDescribeOracle)),
+    QueryDef("q_merge_indicator", qMergeIndicator, Some(qMergeIndicatorOracle)),
     QueryDef("q_winsorize", qWinsorize, Some(qWinsorizeOracle)),
     QueryDef("q_median", qMedian, Some(qMedianOracle)),
     QueryDef("q_anyall", qAnyAll, Some(qAnyAllOracle)),
