@@ -300,6 +300,52 @@ object QueriesAgg {
     ORDER BY base.l_returnflag, base.l_linestatus"""
   }
 
+  /** Per-group feature scaling (sklearn StandardScaler / MinMaxScaler,
+    * pandas `(x - mean)/std` transform): z-score and min-max of the
+    * event value within its event_type. Group stats come from exact
+    * integer-cents power sums (one hash-agg, broadcast back over the
+    * fact); each row's scale is then a single identical double formula
+    * in both engines. Degenerate groups (zero variance / constant) yield
+    * null scales rather than ±inf. */
+  def qScale(spark: SparkSession, dir: String): DataFrame = {
+    val xc = round(col("value") * 100).cast("long")
+    val e  = Tables.events(spark, dir).withColumn("xc", xc)
+    val stats = e.groupBy("event_type").agg(
+      count(col("xc")).as("n"),
+      sum(col("xc")).as("s1"), sum(col("xc") * col("xc")).as("s2"),
+      min(col("xc")).as("mn"), max(col("xc")).as("mx"))
+    val n  = col("n").cast("double")
+    val s1 = col("s1").cast("double"); val s2 = col("s2").cast("double")
+    val mean = s1 / n
+    val varD = (s2 - s1 * s1 / n) / (n - 1.0)
+    e.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_id"), col("event_type"),
+        when(col("n") > 1 && varD > 0,
+          (col("xc").cast("double") - mean) / sqrt(varD)).as("z"),
+        when(col("mx") > col("mn"),
+          (col("xc") - col("mn")).cast("double") /
+            (col("mx") - col("mn")).cast("double")).as("mm"))
+      .orderBy("event_id")
+  }
+
+  val qScaleOracle: String = """
+    WITH e AS (SELECT event_id, event_type,
+                      CAST(round(value*100) AS BIGINT) xc FROM events),
+    s AS (SELECT event_type, count(xc) AS n,
+                 CAST(sum(xc) AS DOUBLE) s1, CAST(sum(xc*xc) AS DOUBLE) s2,
+                 min(xc) mn, max(xc) mx
+          FROM e GROUP BY 1)
+    SELECT event_id, e.event_type,
+           CASE WHEN n > 1 AND (s2 - s1*s1/CAST(n AS DOUBLE))/(CAST(n AS DOUBLE) - 1.0) > 0
+                THEN (CAST(xc AS DOUBLE) - s1/CAST(n AS DOUBLE)) /
+                     sqrt((s2 - s1*s1/CAST(n AS DOUBLE))/(CAST(n AS DOUBLE) - 1.0))
+           END AS z,
+           CASE WHEN mx > mn
+                THEN CAST(xc - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE)
+           END AS mm
+    FROM e JOIN s ON e.event_type = s.event_type
+    ORDER BY event_id"""
+
   /** Full-outer merge with origin indicator (pandas
     * `merge(how='outer', indicator=True)`): a third of the customers
     * joined against the per-customer order rollup — matched rows tag
@@ -775,6 +821,7 @@ object QueriesAgg {
     QueryDef("q_weighted_mean", qWeightedMean, Some(qWeightedMeanOracle)),
     QueryDef("q_describe", qDescribe, Some(qDescribeOracle)),
     QueryDef("q_merge_indicator", qMergeIndicator, Some(qMergeIndicatorOracle)),
+    QueryDef("q_scale", qScale, Some(qScaleOracle)),
     QueryDef("q_winsorize", qWinsorize, Some(qWinsorizeOracle)),
     QueryDef("q_median", qMedian, Some(qMedianOracle)),
     QueryDef("q_anyall", qAnyAll, Some(qAnyAllOracle)),
