@@ -134,6 +134,40 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("interpolateLinear == in-memory replay on random null patterns") {
+    import graft.ops.WindowOps
+    check(Prop.forAll(rowsGen) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((g, v), i) => (i.toLong, g, v.map(_.toLong)) }
+        .toDF("pos", "g", "v")
+      val got = WindowOps
+        .interpolateLinear(df, "vi", col("v"), Seq(col("g")), Seq(col("pos")))
+        .collect().map(r => (r.getLong(1), r.getLong(0)) ->
+          (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+      val expected = rows.zipWithIndex.map { case ((g, v), i) => (g, i.toLong, v) }
+        .groupBy(_._1).flatMap { case (g, grp) =>
+          val ordered = grp.sortBy(_._2)
+          val known = ordered.zipWithIndex.collect {
+            case ((_, _, Some(v)), idx) => (idx, v.toLong)
+          }
+          ordered.zipWithIndex.map { case ((_, pos, v), idx) =>
+            (g, pos) -> (v match {
+              case Some(x) => Some(x.toDouble)
+              case None =>
+                val prev = known.filter(_._1 < idx).lastOption
+                val next = known.find(_._1 > idx)
+                (prev, next) match {
+                  case (Some((px, py)), Some((nx, ny))) =>
+                    Some(py + (ny - py) * ((idx - px).toDouble / (nx - px).toDouble))
+                  case _ => None
+                }
+            })
+          }
+        }
+      got == expected
+    })
+  }
+
   test("rangeJoin == naive theta join for random intervals and bin widths") {
     // completeness + exactly-once: binning must neither drop a qualifying
     // (point, range) pair (bin-boundary/off-by-one hazards) nor emit one

@@ -123,6 +123,15 @@ class RelTakeSpec extends SparkSpec {
     assert(cnt == got.size.toLong)
   }
 
+  test("rangeJoin with no keys: global intervals join on the bin alone") {
+    val points = Seq((1L, 5L), (2L, 25L), (3L, -7L)).toDF("pid", "t")
+    val ranges = Seq((100L, 0L, 10L), (101L, -10L, -1L), (102L, 20L, 30L))
+      .toDF("rid", "lo", "hi")
+    val got = RelOps.rangeJoin(points, "t", ranges, "lo", "hi", Seq.empty, 8L)
+      .select("pid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 100L), (2L, 102L), (3L, 101L)))
+  }
+
   test("topKPerGroup keeps k rows per group in order") {
     val df = Seq(("x", 1.0), ("x", 3.0), ("x", 2.0), ("y", 9.0)).toDF("g", "v")
     val got = RelOps.topKPerGroup(df, Seq("g"), Seq(col("v").desc), 2)
