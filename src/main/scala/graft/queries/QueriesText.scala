@@ -343,6 +343,34 @@ object QueriesText {
            CAST(sum(n_chars) AS BIGINT) AS chars
     FROM b GROUP BY 1, 2 ORDER BY lang, split"""
 
+  /** Deterministic stratified sample (pandas
+    * `groupby('source').sample(n=k, random_state=…)`, the inspection /
+    * eval-subset draw of a curation pipeline): exactly k docs per source,
+    * ranked by a salted md5 of the doc id — reproducible across engines
+    * and runs, uniform in expectation, and one window shuffle
+    * (WindowGroupLimit keeps only k rows per group per partition before
+    * it, so the sample never materializes the corpus). */
+  def qSampleK(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val rk = md5Hash32(concat(lit("sample42_"), col("doc_id").cast("string")))
+    graft.ops.RelOps.topKPerGroup(
+        Tables.documents(spark, dir).withColumn("rkh", rk),
+        Seq("source"), Seq(col("rkh").asc, col("doc_id").asc), k)
+      .select(col("source"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("source", "rk")
+  }
+
+  val qSampleKOracle: String = """
+    WITH h AS (SELECT source, doc_id, lang, n_chars,
+                      ('0x' || substr(md5('sample42_' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS rkh
+               FROM documents),
+    r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+                                            ORDER BY rkh, doc_id) AS BIGINT) rk
+          FROM h)
+    SELECT source, rk, doc_id, lang, n_chars
+    FROM r WHERE rk <= 5 ORDER BY source, rk"""
+
   /** Text normalization (the cleaning pass that precedes dedup in an LLM
     * data pipeline): lowercase, strip non-alphanumerics, collapse runs of
     * spaces, trim — then digest + post-normalization stats. Pure codegen
@@ -748,5 +776,6 @@ object QueriesText {
     QueryDef("q_blocklist", qBlocklist, Some(qBlocklistOracle)),
     QueryDef("q_mix", qMix, Some(qMixOracle)),
     QueryDef("q_editdist", qEditDist, Some(qEditDistOracle)),
-    QueryDef("q_contam", qContam, Some(qContamOracle)))
+    QueryDef("q_contam", qContam, Some(qContamOracle)),
+    QueryDef("q_sample_k", qSampleK, Some(qSampleKOracle)))
 }
