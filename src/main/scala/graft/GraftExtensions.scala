@@ -11,8 +11,11 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * functions on every session, cluster-wide — the supported alternative to
   * per-session `GraftFunctions.register`.
   *
-  * No custom Rule/Strategy is injected: reference parity needs none
-  * (SURVEY.md §4.1-§4.2) — all operators lower to built-in Catalyst plans.
+  * Reference parity needs no custom Rule/Strategy (SURVEY.md §4.1-§4.2) —
+  * all operators lower to built-in Catalyst plans. One OPT-IN optimizer
+  * rule is injected beyond parity: [[graft.plans.RangeJoinBinRule]]
+  * rewrites pure range-predicate joins into the binned equi-join shape
+  * (active only when `spark.graft.rangeJoin.binWidth` is set).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -24,5 +27,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dotq"),
       new ExpressionInfo(classOf[DotProductQ].getName, "dotq"),
       exprs => DotProductQ(exprs(0), exprs(1))))
+    e.injectOptimizerRule(_ => new graft.plans.RangeJoinBinRule)
   }
 }

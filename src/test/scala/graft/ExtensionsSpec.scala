@@ -30,4 +30,43 @@ class ExtensionsSpec extends SparkSpec {
       SparkSession.setDefaultSession(spark)
     }
   }
+
+  test("RangeJoinBinRule: pure range join becomes a binned equi-join when enabled") {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import s2.implicits._
+      Seq((1L, 5L), (2L, 25L), (3L, -7L), (4L, 11L)).toDF("pid", "t")
+        .createOrReplaceTempView("rj_points")
+      Seq((100L, 0L, 10L), (101L, -10L, -1L), (102L, 20L, 30L), (103L, 11L, 11L))
+        .toDF("rid", "lo", "hi").createOrReplaceTempView("rj_ranges")
+      val sql = """SELECT pid, rid FROM rj_points p JOIN rj_ranges r
+                   ON p.t >= r.lo AND p.t <= r.hi"""
+      val expected = Set((1L, 100L), (2L, 102L), (3L, 101L), (4L, 103L))
+
+      // rule off (conf unset): correct, but a nested-loop plan
+      val off = s2.sql(sql)
+      assert(off.collect().map(x => (x.getLong(0), x.getLong(1))).toSet == expected)
+      assert(off.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+
+      // rule on: same rows, equality join on the bin, no nested loop
+      s2.conf.set("spark.graft.rangeJoin.binWidth", "8")
+      try {
+        val on = s2.sql(sql)
+        assert(on.collect().map(x => (x.getLong(0), x.getLong(1))).toSet == expected)
+        val p = on.queryExecution.executedPlan.toString
+        assert(!p.contains("BroadcastNestedLoopJoin"), p)
+        assert(!p.contains("CartesianProduct"), p)
+        assert(p.contains("__pbin") && p.contains("__rbin"), p)
+      } finally s2.conf.unset("spark.graft.rangeJoin.binWidth")
+    } finally {
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
 }
