@@ -106,36 +106,23 @@ object DedupOps {
     // Every intermediate feeds ≥2 downstream plan branches (shingles →
     // signatures + intersection counts + set sizes; signatures → both
     // sides of the band self-join; candidates → intersection + final
-    // join), so persist each one: without this the explode+md5+distinct
-    // runs 4× and the 16-way minhash agg 4× inside one action. At cluster
-    // scale this is checkpoint / exchange-reuse; in one JVM,
-    // MEMORY_AND_DISK is the analog.
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val sh   = shingles.persist(MEMORY_AND_DISK)
-    val sigs = minhashSignatures(sh).persist(MEMORY_AND_DISK)
-    val cand = lshCandidates(sigs, bands, rows).persist(MEMORY_AND_DISK)
-    // Eagerly materialize the checkpoints: downstream consumers then plan
-    // against small cached relations instead of one deep lazy DAG whose
-    // branches AQE re-plans (and sometimes re-executes) per stage. This is
-    // the phase structure a production LSH pipeline has anyway.
-    // (sigs.count() populates sh's cache in the same pass — an explicit
-    // sh.count() would be one redundant full scan of the shingle set.)
-    sigs.count(); cand.count()
-    // Materialize the (tiny) verified-pair result with a LINEAGE CUT
-    // (localCheckpoint — the single-JVM analog of checkpoint()), then
-    // release the big phase checkpoints. A plain persist here is a trap:
-    // Dataset.unpersist() runs with cascade=false, which RECOMPILES every
-    // cache entry whose plan contains the unpersisted one and DROPS its
-    // built buffers — so unpersisting sh/sigs/cand would silently
-    // invalidate a persisted result and the caller's next action would
-    // re-execute the whole un-checkpointed pipeline (measured 7× on the
-    // sf0.1 bench). After the cut the result has no plan dependency on
-    // the checkpoints; its blocks are reclaimed by the ContextCleaner
-    // once the caller drops the reference.
-    val out = jaccardOnPairs(cand, sh).where(col("jaccard") >= threshold)
+    // join). Each phase is materialized with an eager LINEAGE CUT
+    // (localCheckpoint — the single-JVM analog of checkpoint() to
+    // reliable storage on a cluster): the downstream plan then references
+    // the phase result as a LEAF scan, so no consumer can ever re-execute
+    // the phase computation. A persist()+count() scheme leaves the full
+    // lineage in every dependent plan — a cache-entry recompile (any
+    // unpersist, cascade=false), block eviction, or AQE re-plan of a
+    // branch silently re-runs the whole explode+md5+distinct pipeline,
+    // once per consuming branch (measured 7–20× on the sf0.1 bench: 3 s
+    // → 24–63 s). With the cut, that failure mode is unexpressible.
+    // Checkpoint blocks are reclaimed by the ContextCleaner once the
+    // driver references go out of scope.
+    val sh   = shingles.localCheckpoint(true)
+    val sigs = minhashSignatures(sh).localCheckpoint(true)
+    val cand = lshCandidates(sigs, bands, rows).localCheckpoint(true)
+    jaccardOnPairs(cand, sh).where(col("jaccard") >= threshold)
       .localCheckpoint(true)
-    cand.unpersist(); sigs.unpersist(); sh.unpersist()
-    out
   }
 
   /** Sketch-accuracy audit: the MinHash Jaccard ESTIMATE (fraction of
@@ -147,12 +134,12 @@ object DedupOps {
     * as [[nearDupsOnShingles]]; the signature join adds one broadcast-size
     * hash join per side over the tiny candidate set. */
   def minhashEstimateVsExact(shingles: DataFrame, bands: Int, rows: Int): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val k = MinhashAB.size
-    val sh   = shingles.persist(MEMORY_AND_DISK)
-    val sigs = minhashSignatures(sh).persist(MEMORY_AND_DISK)
-    val cand = lshCandidates(sigs, bands, rows).persist(MEMORY_AND_DISK)
-    sigs.count(); cand.count() // sigs pass populates sh's cache too
+    // eager lineage cuts per phase — see nearDupsOnShingles for why
+    // persist()+count() is not recompute-proof
+    val sh   = shingles.localCheckpoint(true)
+    val sigs = minhashSignatures(sh).localCheckpoint(true)
+    val cand = lshCandidates(sigs, bands, rows).localCheckpoint(true)
     val sa = sigs.select(col("id").as("id_a") +:
       (0 until k).map(i => col(s"mh$i").as(s"a$i")): _*)
     val sb = sigs.select(col("id").as("id_b") +:
@@ -164,12 +151,9 @@ object DedupOps {
       .select(col("id_a"), col("id_b"),
         (matches.cast("double") / lit(k.toDouble)).as("est_jaccard"))
     val exact = jaccardOnPairs(cand, sh).select("id_a", "id_b", "jaccard")
-    // lineage cut before releasing checkpoints — see nearDupsOnShingles
-    val out = est.join(exact, Seq("id_a", "id_b"))
+    est.join(exact, Seq("id_a", "id_b"))
       .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
       .localCheckpoint(true)
-    cand.unpersist(); sigs.unpersist(); sh.unpersist()
-    out
   }
 
   /** Exact n-gram Jaccard near-dup pairs via prefix filtering (the
@@ -191,15 +175,15 @@ object DedupOps {
     * returning; the (tiny) pair result is lineage-cut so the release
     * cannot invalidate it, and its blocks are ContextCleaner-reclaimed. */
   def ngramJaccardNearDups(shingles: DataFrame, threshold: Double): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     // integer threshold arithmetic (t·|d| via ⌊sz·num/100⌋) so the prefix
     // bound is engine-exact; num/100 rounds t DOWN — a smaller effective
     // threshold lengthens the prefix, which only adds candidates (rounding
     // up could shorten it below the bound and silently drop true pairs)
     val tNum = math.floor(threshold * 100).toLong
-    val sh = shingles.persist(MEMORY_AND_DISK)
-    sh.count() // phase barrier: shingles feed freq, prefixes, and the rerank
+    // eager lineage cut per phase — see nearDupsOnShingles: shingles feed
+    // freq, prefixes, and the rerank; prefixes feed both self-join sides
+    val sh = shingles.localCheckpoint(true)
     val freq = sh.groupBy(col("h")).agg(count(lit(1)).as("dfreq"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("dfreq").asc, col("h").asc)
@@ -209,18 +193,13 @@ object DedupOps {
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= col("sz") - floor(col("sz") * tNum / 100) + 1)
       .select("id", "h")
-      .persist(MEMORY_AND_DISK)
-    prefixes.count() // feeds BOTH sides of the candidate self-join
+      .localCheckpoint(true)
     val cand = prefixes.select(col("h"), col("id").as("id_a"))
       .join(prefixes.select(col("h"), col("id").as("id_b")), Seq("h"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // lineage cut before releasing checkpoints — see nearDupsOnShingles
-    // for why unpersist(cascade=false) would otherwise drop this result
-    val out = jaccardOnPairs(cand, sh).where(col("jaccard") >= threshold)
+    jaccardOnPairs(cand, sh).where(col("jaccard") >= threshold)
       .localCheckpoint(true)
-    prefixes.unpersist(); sh.unpersist()
-    out
   }
 
   /** Connected components over near-dup pairs → (id, cluster_id = minimum
@@ -239,10 +218,11 @@ object DedupOps {
     * the whole chain. Superseded rounds' blocks are reclaimed by the
     * ContextCleaner once their driver references go out of scope. */
   def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // eager lineage cut (not persist): every round's neighbor join scans
+    // edges as a leaf, and no cache recompile can re-run the pair pipeline
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist(MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
       .localCheckpoint(true)
@@ -271,7 +251,6 @@ object DedupOps {
       labels = updated
       iter += 1
     }
-    edges.unpersist()
     // fail loudly rather than return a partially-propagated clustering:
     // the oracle computes the full closure, and a silent cap would
     // mis-cluster at scale

@@ -142,27 +142,27 @@ object SimilarityOps {
   def bandedNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                          bands: Int, planesPerBand: Int, threshold: Double,
                          dim: Int = 64): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // v feeds three plan branches (signatures + both rerank sides) and
-    // posts feeds both sides of the self-join — persist so the quantize/
-    // norm pass and the bands·planes dot products run once, not 3–4×
-    // (same phase-checkpoint structure as the MinHash pipeline in
-    // DedupOps.nearDupsOnShingles)
+    // posts feeds both sides of the self-join — materialize each phase
+    // with an eager LINEAGE CUT (localCheckpoint; cluster analog:
+    // checkpoint() to reliable storage) so every consumer plans against a
+    // LEAF scan and no re-plan/recompile path can re-run the quantize or
+    // the bands·planes dot products (same phase structure and rationale
+    // as DedupOps.nearDupsOnShingles; blocks are ContextCleaner-reclaimed)
     val v = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"), quantize(col(vecCol)).as("v"))
       .withColumn("n2", norm2Q(col("v")))
-      .persist(MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val posts = v.select(col("id"),
         posexplode(array((0 until bands).map(b =>
           bandSig(col("v"), b, planesPerBand, dim)): _*)).as(Seq("band", "sig")))
-      .persist(MEMORY_AND_DISK)
-    posts.count() // eager phase barrier (materializes v too)
+      .localCheckpoint(true)
     val cand = posts.select(col("band"), col("sig"), col("id").as("id_a"))
       .join(posts.select(col("band"), col("sig"), col("id").as("id_b")),
         Seq("band", "sig"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val pairs = cand
+    cand
       .join(v.select(col("id").as("id_a"), col("v").as("va"), col("n2").as("na")), Seq("id_a"))
       .join(v.select(col("id").as("id_b"), col("v").as("vb"), col("n2").as("nb")), Seq("id_b"))
       .withColumn("cos_sim",
@@ -171,15 +171,7 @@ object SimilarityOps {
             sqrt(col("na").cast("double") * col("nb").cast("double"))))
       .where(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
-      // The rerank output is tiny (near-dup pairs); materialize it WITH A
-      // LINEAGE CUT so the big intermediates can be released NOW — a plain
-      // persist would be invalidated by the unpersists below
-      // (cascade=false recompiles dependent cache entries and drops their
-      // buffers), silently re-running the whole pipeline on next use.
       .localCheckpoint(true)
-    posts.unpersist()
-    v.unpersist()
-    pairs
   }
 
   /** IVF (inverted-file) approximate top-k: corpus vectors are assigned to

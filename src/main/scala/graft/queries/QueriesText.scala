@@ -685,25 +685,21 @@ object QueriesText {
     * distances compare exactly). Candidates come from the band join only;
     * the quadratic-per-pair DP never runs on the full corpus product. */
   def qEditDist(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val docs = Tables.documents(spark, dir)
-    // signatures feed all 2·bands branches of the band self-join — same
-    // phase checkpoint as DedupOps.nearDupsOnShingles (without it the
-    // shingle+minhash pipeline executes once per branch)
+    // signatures feed all 2·bands branches of the band self-join — eager
+    // lineage cut per phase, same rationale as DedupOps.nearDupsOnShingles
+    // (without it the shingle+minhash pipeline executes once per branch)
     val sigs = DedupOps.minhashSignatures(
         DedupOps.wordShingleHashes(docs, "doc_id", "text"))
-      .persist(MEMORY_AND_DISK)
-    sigs.count()
+      .localCheckpoint(true)
     val cand = DedupOps.lshCandidates(sigs, Bands, Rows)
     val t = docs.select(col("doc_id"), substring(col("text"), 1, 40).as("prefix"))
-    val out = cand
+    cand
       .join(t.select(col("doc_id").as("id_a"), col("prefix").as("pa")), Seq("id_a"))
       .join(t.select(col("doc_id").as("id_b"), col("prefix").as("pb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         levenshtein(col("pa"), col("pb")).cast("long").as("edit_dist"))
-      .localCheckpoint(true) // lineage cut before releasing the checkpoint
-    sigs.unpersist()
-    out.orderBy("id_a", "id_b")
+      .orderBy("id_a", "id_b")
   }
 
   val qEditDistOracle: String = {
