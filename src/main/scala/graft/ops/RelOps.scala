@@ -1,8 +1,10 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Relational building blocks beyond plain joins: as-of join and top-k per
   * group. These are capabilities a user of the reference gets from pandas
@@ -70,9 +72,15 @@ object RelOps {
   }
 
   /** Floor division that stays on integers (SQL `div` truncates toward
-    * zero, which misaligns bins for negative ordinates). */
-  private def fdiv(c: Column, w: Long): Column =
-    ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+    * zero, which misaligns bins for negative ordinates). The numerator is
+    * an exact multiple of `w`, and the division is integral
+    * (`IntegralDivide`), never a double round-trip — double division is
+    * only exact below 2^53 and silently mis-bins epoch-nanosecond-sized
+    * ordinates. */
+  def fdiv(c: Column, w: Long): Column = {
+    val el = ColumnBridge.expression((c - pmod(c, lit(w))).cast("long"))
+    ColumnBridge.column(new IntegralDivide(el, Literal(w)))
+  }
 
   /** Binned range join: every (point, range) pair sharing `keys` with
     * `lo <= point <= hi` (inclusive both ends). Ordinates are integral

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.LongType
 
 /** Injected optimizer rule (`SparkSessionExtensions.injectOptimizerRule`)
   * that rewrites an INNER join whose only cross-side condition on some
@@ -38,13 +38,18 @@ class RangeJoinBinRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val w = conf.getConfString(ConfKey, "")
     if (w.isEmpty) plan
-    else {
-      val width = w.toLong
-      require(width > 0, s"$ConfKey must be positive, got $width")
-      plan.transformUp {
-        case j @ Join(l, r, Inner, Some(cond), _) if !alreadyBinned(cond) =>
-          tryRewrite(j, l, r, cond, width).getOrElse(j)
-      }
+    else w.toLongOption.filter(_ > 0) match {
+      case None =>
+        // A malformed conf must not take down every query in the session:
+        // name the offending key, skip the rewrite.
+        logWarning(s"$ConfKey='$w' is not a positive long; " +
+          "range-join binning disabled for this plan")
+        plan
+      case Some(width) =>
+        plan.transformUp {
+          case j @ Join(l, r, Inner, Some(cond), _) if !alreadyBinned(cond) =>
+            tryRewrite(j, l, r, cond, width).getOrElse(j)
+        }
     }
   }
 
@@ -60,12 +65,14 @@ class RangeJoinBinRule extends Rule[LogicalPlan] {
     case other     => Seq(other)
   }
 
-  /** floordiv(e, w) on a long-cast ordinate: (e − pmod(e, w)) / w, exact
-    * for any sign (pmod is the non-negative remainder). */
+  /** floordiv(e, w) on a long-cast ordinate: (e − pmod(e, w)) div w, exact
+    * for any sign (pmod is the non-negative remainder) and any magnitude —
+    * the division is integral, not a double round-trip (doubles are only
+    * exact below 2^53; epoch-nanosecond ordinates exceed that). */
   private def binOf(e: Expression, w: Long): Expression = {
     val el = Cast(e, LongType)
     val pm = Pmod(el, Literal(w))
-    Cast(Divide(Cast(Subtract(el, pm), DoubleType), Literal(w.toDouble)), LongType)
+    new IntegralDivide(Subtract(el, pm), Literal(w))
   }
 
   /** (point, bound, pointOnLeft) for one comparison if it is a cross-side
@@ -115,9 +122,18 @@ class RangeJoinBinRule extends Rule[LogicalPlan] {
       val pointProj = Project(pointPlan.output :+ pbinAlias, pointPlan)
       // bound side: explode bins overlapped by [lo, hi]
       val rbin = AttributeReference("__rbin", LongType, nullable = false)()
+      // Guard inverted/dirty intervals (lo > hi): Sequence with step=1
+      // throws on descending boundaries. Clamping the stop to
+      // greatest(binLo, binHi) emits ≥1 bin instead; the residual range
+      // predicates (p >= lo AND p <= hi, unsatisfiable when lo > hi)
+      // already filter every spurious pair.
+      val binLo = binOf(lo.bound, w)
+      // timeZoneId must be stamped: a TimeZoneAwareExpression with None is
+      // never `resolved`, and optimizer plan validation rejects the rewrite.
       val gen = Generate(
-        Explode(new Sequence(binOf(lo.bound, w), binOf(hi.bound, w),
-          Some(Literal(1L)), None)),
+        Explode(new Sequence(binLo,
+          Greatest(Seq(binLo, binOf(hi.bound, w))),
+          Some(Literal(1L)), Some(conf.sessionLocalTimeZone))),
         unrequiredChildIndex = Nil, outer = false, qualifier = None,
         generatorOutput = Seq(rbin), child = boundPlan)
       val newCond = (EqualTo(pbinAlias.toAttribute, rbin) +: conjs).reduce(And)

@@ -158,12 +158,13 @@ object QueriesTime {
 
   /** Fixed-width value histogram (bucket = 25.00 currency units): the
     * distribution pass of feature analysis / outlier triage. Bucketing is
-    * integer division on exact cents (`c div 2500`), so bucket edges have
-    * no float-boundary ambiguity between engines; one hash-agg. */
+    * integer FLOOR division on exact cents (`fdiv(c, 2500)` — matches
+    * DuckDB `//` for negative cents too), so bucket edges have no
+    * float-boundary ambiguity between engines; one hash-agg. */
   def qHist(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .withColumn("c", round(col("value") * 100).cast("long"))
-      .withColumn("bucket", expr("c div 2500"))
+      .withColumn("bucket", graft.ops.RelOps.fdiv(col("c"), 2500L))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
         (sum(col("c")).cast("double") / 100.0).as("sum_value"),
@@ -235,7 +236,8 @@ object QueriesTime {
   def qResample(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
       .withColumn("c", round(col("value") * 100).cast("long"))
-      .withColumn("h", expr("unix_timestamp(ts) div 3600") * 3600)
+      .withColumn("h",
+        graft.ops.RelOps.fdiv(unix_timestamp(col("ts")), 3600L) * 3600)
     val agg = e.groupBy("event_type", "h")
       .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
     val bounds = e.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))

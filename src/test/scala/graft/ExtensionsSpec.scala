@@ -63,6 +63,35 @@ class ExtensionsSpec extends SparkSpec {
         assert(!p.contains("BroadcastNestedLoopJoin"), p)
         assert(!p.contains("CartesianProduct"), p)
         assert(p.contains("__pbin") && p.contains("__rbin"), p)
+
+        // inverted/dirty interval (lo > hi): no runtime Sequence failure,
+        // the row simply matches nothing (clamped bin range + residual)
+        Seq((200L, 30L, 20L), (201L, 0L, 10L))
+          .toDF("rid", "lo", "hi").createOrReplaceTempView("rj_dirty")
+        val dirty = s2.sql("""SELECT pid, rid FROM rj_points p JOIN rj_dirty r
+                              ON p.t >= r.lo AND p.t <= r.hi""")
+        assert(dirty.collect().map(x => (x.getLong(0), x.getLong(1))).toSet ==
+          Set((1L, 201L)))
+
+        // ordinates beyond 2^53 (epoch-ns scale): integral bin math stays
+        // exact where a double round-trip would mis-bin
+        val big = 1L << 60
+        Seq((1L, big + 3L), (2L, big + 13L)).toDF("pid", "t")
+          .createOrReplaceTempView("rj_big_p")
+        Seq((300L, big, big + 7L)).toDF("rid", "lo", "hi")
+          .createOrReplaceTempView("rj_big_r")
+        val bigRows = s2.sql("""SELECT pid, rid FROM rj_big_p p JOIN rj_big_r r
+                                ON p.t >= r.lo AND p.t <= r.hi""")
+        assert(bigRows.collect().map(x => (x.getLong(0), x.getLong(1))).toSet ==
+          Set((1L, 300L)))
+      } finally s2.conf.unset("spark.graft.rangeJoin.binWidth")
+
+      // malformed conf: the rule logs and no-ops instead of throwing for
+      // every query in the session
+      s2.conf.set("spark.graft.rangeJoin.binWidth", "not-a-number")
+      try {
+        val off2 = s2.sql(sql)
+        assert(off2.collect().map(x => (x.getLong(0), x.getLong(1))).toSet == expected)
       } finally s2.conf.unset("spark.graft.rangeJoin.binWidth")
     } finally {
       SparkSession.setActiveSession(spark)
