@@ -111,6 +111,34 @@ object RelOps {
       .drop("__bin")
   }
 
+  /** Binned interval-OVERLAP join: every (left, right) interval pair
+    * sharing `keys` with `llo <= rhi AND rlo <= lhi` (inclusive overlap —
+    * the interval-interval generalization of [[rangeJoin]]'s
+    * point-in-range). Both sides explode over the bins their interval
+    * touches and join on (keys, bin), so the plan is an ordinary shuffled
+    * equi-join AQE can size and skew-split — never a per-key cross
+    * product. An overlapping pair shares every bin of
+    * [max(llo,rlo), min(lhi,rhi)]; keeping only the FIRST shared bin
+    * (`bin == greatest(fdiv(llo), fdiv(rlo))`) emits each qualifying pair
+    * exactly once with no post-join distinct. Per-row blowup is
+    * ceil(span/binWidth)+1 copies on each side — pick `binWidth` near the
+    * typical interval span.
+    */
+  def overlapJoin(left: DataFrame, lloCol: String, lhiCol: String,
+                  right: DataFrame, rloCol: String, rhiCol: String,
+                  keys: Seq[String], binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val l = left.withColumn("__bin",
+      explode(sequence(fdiv(col(lloCol), binWidth), fdiv(col(lhiCol), binWidth))))
+    val r = right.withColumn("__bin",
+      explode(sequence(fdiv(col(rloCol), binWidth), fdiv(col(rhiCol), binWidth))))
+    l.join(r, keys :+ "__bin")
+      .where(col(lloCol) <= col(rhiCol) && col(rloCol) <= col(lhiCol) &&
+        col("__bin") === greatest(fdiv(col(lloCol), binWidth),
+          fdiv(col(rloCol), binWidth)))
+      .drop("__bin")
+  }
+
   /** Skew-resistant grouped aggregation by key salting: phase 1 aggregates
     * on (key, salt) so a hot key's rows spread over `buckets` reducers;
     * phase 2 combines the partials per key. Only usable for aggregations

@@ -752,6 +752,97 @@ object QueriesText {
            CAST(sum(CASE WHEN bkt < rate THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
     FROM b GROUP BY source ORDER BY source"""
 
+  // ---- training-window chunking -------------------------------------
+  val ChunkSize   = 32
+  val ChunkStride = 24
+
+  /** Sliding-window token chunking (context-window packing for LLM
+    * training): each document's whitespace tokens are cut into
+    * ChunkSize-token windows advancing by ChunkStride (overlap =
+    * size − stride), the final window clamped at the document end. Pure
+    * per-row Catalyst (split → sequence → explode → slice), so the plan
+    * is a projection + generate that scales linearly with corpus bytes —
+    * chunk count math is all integer, and chunk content is compared via
+    * md5 so the oracle row stays narrow. */
+  def qChunk(spark: SparkSession, dir: String): DataFrame = {
+    val nChunks = greatest(lit(0),
+      ((col("n_tok") - ChunkSize + (ChunkStride - 1)) / ChunkStride).cast("int"))
+    val start = col("chunk_id") * ChunkStride + 1
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("chunk_id", explode(sequence(lit(0), nChunks)))
+      .withColumn("chunk", slice(col("toks"), start, lit(ChunkSize)))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(col("chunk")).cast("long").as("chunk_tokens"),
+        md5(array_join(col("chunk"), " ")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val qChunkOracle: String = s"""
+    WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks,
+                      len(str_split(text, ' ')) AS n FROM documents),
+    k AS (SELECT doc_id, toks, n,
+                 unnest(generate_series(0,
+                   greatest(0, (n - $ChunkSize + ${ChunkStride - 1}) // $ChunkStride)))
+                   AS chunk_id
+          FROM t),
+    c AS (SELECT doc_id, chunk_id,
+                 toks[chunk_id*$ChunkStride + 1 :
+                      least(chunk_id*$ChunkStride + $ChunkSize, n)] AS chunk
+          FROM k)
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(chunk) AS BIGINT) AS chunk_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_hash
+    FROM c ORDER BY doc_id, chunk_id"""
+
+  // ---- PII redaction --------------------------------------------------
+  /** Email/phone patterns valid in BOTH Java regex (Spark) and RE2
+    * (DuckDB), greedy semantics identical on these shapes. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+1-555-[0-9]{4}"
+
+  /** PII detection + redaction: every document is augmented with a
+    * deterministic synthetic contact line (the fixture corpus carries no
+    * real PII), then emails and phone numbers are counted and masked with
+    * `<EMAIL>`/`<PHONE>` placeholders. One codegen'd projection —
+    * regexp_count + regexp_replace — per row; no shuffle at all until the
+    * driver-side ORDER BY. The redacted text is compared via md5. */
+  def qPii(spark: SparkSession, dir: String): DataFrame = {
+    val aug = concat(col("text"),
+      lit(" contact user"), col("doc_id"),
+      lit("@mail.example.com now or call +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    val redacted = regexp_replace(
+      regexp_replace(aug, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_count(aug, lit(EmailRe)).cast("long").as("n_email"),
+        regexp_count(aug, lit(PhoneRe)).cast("long").as("n_phone"),
+        md5(redacted).as("redacted_hash"),
+        length(redacted).cast("long").as("redacted_len"))
+      .orderBy("doc_id")
+  }
+
+  val qPiiOracle: String = """
+    WITH a AS (SELECT doc_id,
+        text || ' contact user' || CAST(doc_id AS VARCHAR)
+             || '@mail.example.com now or call +1-555-'
+             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+      FROM documents),
+    r AS (SELECT doc_id, aug,
+        regexp_replace(regexp_replace(aug,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS red
+      FROM a)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(aug,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+      CAST(len(regexp_extract_all(aug, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phone,
+      md5(red) AS redacted_hash,
+      CAST(length(red) AS BIGINT) AS redacted_len
+    FROM r ORDER BY doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_text_stats", qTextStats, Some(qTextStatsOracle)),
     QueryDef("q_quality", qQuality, Some(qQualityOracle)),
@@ -773,5 +864,7 @@ object QueriesText {
     QueryDef("q_mix", qMix, Some(qMixOracle)),
     QueryDef("q_editdist", qEditDist, Some(qEditDistOracle)),
     QueryDef("q_contam", qContam, Some(qContamOracle)),
-    QueryDef("q_sample_k", qSampleK, Some(qSampleKOracle)))
+    QueryDef("q_sample_k", qSampleK, Some(qSampleKOracle)),
+    QueryDef("q_chunk", qChunk, Some(qChunkOracle)),
+    QueryDef("q_pii", qPii, Some(qPiiOracle)))
 }

@@ -276,6 +276,119 @@ object QueriesTime {
                 AS DOUBLE)/100.0 AS sum_ffill
     FROM j ORDER BY event_type, bucket_start"""
 
+  /** Interval-overlap join (the interval-interval generalization of
+    * q_range_join): each view's 10-minute engagement interval
+    * [v, v+10 min] is paired with every same-user purchase consideration
+    * interval [p−5 min, p+5 min] it overlaps, with the exact overlap
+    * length in microseconds. Executes via [[graft.ops.RelOps.overlapJoin]]
+    * — both interval sets are exploded over the bins they touch and the
+    * join is a plain shuffled equi-join on (user_id, bin) with the
+    * first-shared-bin rule making every pair appear exactly once; no
+    * per-key cross product, no BNLJ, no post-join distinct. */
+  def qOverlapJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tenMinUs  = 10L * 60 * 1000000
+    val fiveMinUs = 5L * 60 * 1000000
+    val e = Tables.events(spark, dir)
+    val views = e.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        unix_micros(col("ts")).as("v_lo"))
+      .withColumn("v_hi", col("v_lo") + lit(tenMinUs))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        (unix_micros(col("ts")) - fiveMinUs).as("p_lo"),
+        (unix_micros(col("ts")) + fiveMinUs).as("p_hi"))
+    graft.ops.RelOps
+      .overlapJoin(views, "v_lo", "v_hi", purchases, "p_lo", "p_hi",
+        Seq("user_id"), tenMinUs)
+      .select(col("view_id"), col("purchase_id"), col("user_id"),
+        (least(col("v_hi"), col("p_hi")) -
+          greatest(col("v_lo"), col("p_lo"))).as("overlap_us"))
+      .orderBy("view_id", "purchase_id")
+  }
+
+  val qOverlapJoinOracle: String = """
+    WITH v AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS v_lo,
+                      epoch_us(ts) + 600000000 AS v_hi
+               FROM events WHERE event_type = 'view'),
+    p AS (SELECT event_id AS purchase_id, user_id,
+                 epoch_us(ts) - 300000000 AS p_lo,
+                 epoch_us(ts) + 300000000 AS p_hi
+          FROM events WHERE event_type = 'purchase')
+    SELECT view_id, purchase_id, v.user_id AS user_id,
+           least(v_hi, p_hi) - greatest(v_lo, p_lo) AS overlap_us
+    FROM v JOIN p ON v.user_id = p.user_id
+     AND v_lo <= p_hi AND p_lo <= v_hi
+    ORDER BY view_id, purchase_id"""
+
+  /** Weekly cohort retention: each user's cohort is their first active
+    * epoch-week; the matrix counts distinct active users per
+    * (cohort week, week offset). The per-user first-week aggregation and
+    * the events stream shuffle on the same key (user_id), so the join
+    * back is co-partitioned — no broadcast of a corpus-width relation,
+    * and week arithmetic is pure integer floor division (fdiv ≡ DuckDB
+    * `//`). The classic growth-analytics query every training-data /
+    * product pipeline runs over its event log. */
+  def qCohort(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("wk", graft.ops.RelOps.fdiv(unix_timestamp(col("ts")), 604800L))
+    val firstWk = e.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+    e.join(firstWk, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("cohort_wk", "week_offset")
+  }
+
+  val qCohortOracle: String = """
+    WITH e AS (SELECT user_id,
+                      CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk
+               FROM events),
+    f AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1)
+    SELECT cohort_wk, wk - cohort_wk AS week_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           count(*) AS n_events
+    FROM e JOIN f USING (user_id)
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Robust per-group outlier detection: median + MAD (median absolute
+    * deviation) per event_type, flagging |x − med| > 3·MAD. Both medians
+    * run on the distributed two-phase quantile kernel; deviations are
+    * kept in exact half-cent integers (|2c − 2·med| is integral because
+    * 2·median of integers is integral), so the flag comparison has no
+    * float-boundary ambiguity. Group stats are broadcast back — two sort
+    * phases and one hash-agg, no group buffering. */
+  def qMadOutlier(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("c", round(col("value") * 100).cast("long"))
+    val med = graft.ops.QuantileOps.groupedMedian(e, Seq("event_type"), "c", "med_c")
+    val dev = e.join(broadcast(med), "event_type")
+      .withColumn("d2", abs(lit(2L) * col("c") - (col("med_c") * 2).cast("long")))
+    val mad = graft.ops.QuantileOps.groupedMedian(dev, Seq("event_type"), "d2", "mad2")
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        (max(col("med_c")) / 100.0).as("med_value"),
+        (max(col("mad2")) / 200.0).as("mad_value"),
+        sum(when(col("d2") > lit(3.0) * col("mad2"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  val qMadOutlierOracle: String = """
+    WITH e AS (SELECT event_type, CAST(round(value*100) AS BIGINT) c FROM events),
+    m AS (SELECT event_type, CAST(median(c) AS DOUBLE) med_c FROM e GROUP BY 1),
+    d AS (SELECT e.event_type AS event_type, c,
+                 abs(2*c - CAST(2*med_c AS BIGINT)) AS d2, med_c
+          FROM e JOIN m USING (event_type)),
+    md AS (SELECT event_type, CAST(median(d2) AS DOUBLE) mad2 FROM d GROUP BY 1)
+    SELECT d.event_type AS event_type, count(*) AS n,
+           max(med_c)/100.0 AS med_value,
+           max(mad2)/200.0 AS mad_value,
+           CAST(sum(CASE WHEN d2 > 3.0*mad2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM d JOIN md USING (event_type)
+    GROUP BY 1 ORDER BY 1"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_window_tumbling", qTumbling, Some(qTumblingOracle)),
     QueryDef("q_window_sliding", qSliding, Some(qSlidingOracle)),
@@ -284,5 +397,8 @@ object QueriesTime {
     QueryDef("q_funnel", qFunnel, Some(qFunnelOracle)),
     QueryDef("q_hist", qHist, Some(qHistOracle)),
     QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinOracle)),
-    QueryDef("q_resample", qResample, Some(qResampleOracle)))
+    QueryDef("q_resample", qResample, Some(qResampleOracle)),
+    QueryDef("q_overlap_join", qOverlapJoin, Some(qOverlapJoinOracle)),
+    QueryDef("q_cohort", qCohort, Some(qCohortOracle)),
+    QueryDef("q_mad_outlier", qMadOutlier, Some(qMadOutlierOracle)))
 }

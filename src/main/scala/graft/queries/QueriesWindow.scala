@@ -566,6 +566,32 @@ object QueriesWindow {
     FROM l ORDER BY event_id"""
   }
 
+  /** Percentile-rank normalization per group (sklearn QuantileTransformer
+    * shape / pandas rank(pct=True) on the ECDF side): percent_rank
+    * ((rank−1)/(n−1)) and cume_dist per event_type over exact cents. Both
+    * are single-pass window functions over one sort; ties share a value
+    * so the output is deterministic without a tiebreaker, and the closed-
+    * form rational division on identical integer operands is bit-equal
+    * across engines. */
+  def qPctRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("c"))
+    Tables.events(spark, dir)
+      .withColumn("c", round(col("value") * 100).cast("long"))
+      .select(col("event_id"), col("event_type"), col("c"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy("event_id")
+  }
+
+  val qPctRankOracle: String = """
+    WITH e AS (SELECT event_id, event_type,
+                      CAST(round(value*100) AS BIGINT) AS c FROM events)
+    SELECT event_id, event_type, c,
+           percent_rank() OVER (PARTITION BY event_type ORDER BY c) AS pr,
+           cume_dist()    OVER (PARTITION BY event_type ORDER BY c) AS cd
+    FROM e ORDER BY event_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_cumsum", qCumsum, Some(qCumsumOracle)),
     QueryDef("q_diff_pct", qDiffPct, Some(qDiffPctOracle)),
@@ -580,5 +606,6 @@ object QueriesWindow {
     QueryDef("q_roll_median", qRollMedian, Some(qRollMedianOracle)),
     QueryDef("q_interp", qInterp, Some(qInterpOracle)),
     QueryDef("q_roll_corr", qRollCorr, Some(qRollCorrOracle)),
-    QueryDef("q_ewma", qEwma, Some(qEwmaOracle)))
+    QueryDef("q_ewma", qEwma, Some(qEwmaOracle)),
+    QueryDef("q_pct_rank", qPctRank, Some(qPctRankOracle)))
 }

@@ -207,6 +207,37 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("overlapJoin == naive theta join for random interval pairs") {
+    // completeness + exactly-once for the interval-interval form: the
+    // first-shared-bin rule (bin == max of the two start bins) must emit
+    // every overlapping pair exactly once, for touching endpoints,
+    // nested/identical intervals, and negative ordinates alike.
+    import graft.ops.RelOps
+    val ivGen: Gen[List[(Long, Long, Long, Long)]] = // (id, key, lo, hi)
+      Gen.choose(1, 15).flatMap { n =>
+        Gen.sequence[List[(Long, Long, Long, Long)], (Long, Long, Long, Long)](
+          (0 until n).toList.map { id =>
+            for {
+              k <- Gen.choose(0L, 2L); lo <- Gen.choose(-40L, 40L)
+              span <- Gen.choose(0L, 25L)
+            } yield (id.toLong, k, lo, lo + span)
+          })
+      }
+    check(Prop.forAll(ivGen, ivGen, Gen.oneOf(1L, 3L, 7L, 10L)) {
+      (ls, rs, w) =>
+        val lefts  = ls.toDF("lid", "k", "llo", "lhi")
+        val rights = rs.toDF("rid", "k", "rlo", "rhi")
+        val got = RelOps
+          .overlapJoin(lefts, "llo", "lhi", rights, "rlo", "rhi", Seq("k"), w)
+          .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+        val naive = for {
+          (lid, lk, llo, lhi) <- ls; (rid, rk, rlo, rhi) <- rs
+          if lk == rk && llo <= rhi && rlo <= lhi
+        } yield (lid, rid)
+        got.length == naive.length && got.toSet == naive.toSet
+    })
+  }
+
   test("rank(first) is a permutation of 1..n_nonnull per group") {
     check(Prop.forAll(rowsGen) { rows =>
       val df = rows.zipWithIndex
