@@ -801,6 +801,80 @@ object QueriesAgg {
         countDistinct(col("l_partkey")).as("exact_nd_part"))
       .orderBy("l_returnflag")
 
+  /** Per-group ordinary-least-squares fit (pandas/sklearn `fit` per
+    * group, SQL `regr_slope`/`regr_intercept` semantics, reimplemented
+    * over exact integer power sums like q_corr): one hash-agg produces
+    * the five sufficient statistics, the closed-form slope/intercept is
+    * computed in double with an identical formula on both engines. */
+  def qRegr(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), cents("l_quantity").as("xc"),
+        cents("l_extendedprice").as("yc"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum("xc").cast("double").as("sx"), sum("yc").cast("double").as("sy"),
+        sum(col("xc") * col("xc")).cast("double").as("sxx"),
+        sum(col("xc") * col("yc")).cast("double").as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+        (((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+          col("n")) / 100.0).as("intercept"))
+      .orderBy("l_returnflag")
+
+  val qRegrOracle: String = """
+    WITH c AS (SELECT l_returnflag,
+                      CAST(round(l_quantity*100) AS BIGINT) xc,
+                      CAST(round(l_extendedprice*100) AS BIGINT) yc
+               FROM lineitem),
+    s AS (SELECT l_returnflag, count(*) AS n,
+                 CAST(sum(xc) AS DOUBLE) sx, CAST(sum(yc) AS DOUBLE) sy,
+                 CAST(sum(xc*xc) AS DOUBLE) sxx, CAST(sum(xc*yc) AS DOUBLE) sxy
+          FROM c GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           (n*sxy - sx*sy)/(n*sxx - sx*sx) AS slope,
+           ((sy - ((n*sxy - sx*sy)/(n*sxx - sx*sx))*sx)/n)/100.0 AS intercept
+    FROM s ORDER BY l_returnflag"""
+
+  /** Iceberg / heavy-hitter aggregation: parts whose share of global
+    * quantity is ≥1.2× the mean part share — a scale-free threshold, so
+    * the query selects a stable fraction of groups at any SF. The
+    * comparison stays in exact integer space
+    * (`part_qc * n_parts * 5 >= total_qc * 6`), the global total is a
+    * broadcast scalar, and the candidate set comes from ONE hash-agg over
+    * the fact table — the classic a-priori iceberg shape with no second
+    * scan. */
+  def qIceberg(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), cents("l_quantity").as("qc"))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n"), sum("qc").as("part_qc"))
+    val tot = broadcast(per.agg(
+      sum("part_qc").as("total_qc"), count(lit(1)).as("n_parts")))
+    per.crossJoin(tot)
+      .where(col("part_qc") * col("n_parts") * 5 >= col("total_qc") * 6)
+      .select(col("l_partkey"), col("n"),
+        (col("part_qc").cast("double") / 100.0).as("part_qty"),
+        ((col("part_qc") * col("n_parts")).cast("double") /
+          col("total_qc").cast("double")).as("rel_share"))
+      .orderBy("l_partkey")
+  }
+
+  val qIcebergOracle: String = """
+    WITH c AS (SELECT l_partkey,
+                      CAST(round(l_quantity*100) AS BIGINT) qc FROM lineitem),
+    p AS (SELECT l_partkey, count(*) AS n,
+                 CAST(sum(qc) AS BIGINT) AS part_qc FROM c GROUP BY 1),
+    t AS (SELECT CAST(sum(part_qc) AS BIGINT) AS total_qc,
+                 count(*) AS n_parts FROM p)
+    SELECT l_partkey, n,
+           CAST(part_qc AS DOUBLE)/100.0 AS part_qty,
+           CAST(part_qc * n_parts AS DOUBLE)/CAST(total_qc AS DOUBLE) AS rel_share
+    FROM p CROSS JOIN t
+    WHERE part_qc * n_parts * 5 >= total_qc * 6
+    ORDER BY l_partkey"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q1_flagship", q1, Some(q1Oracle)),
     QueryDef("q_kahan_sum", qKahan, Some(qKahanOracle)),
@@ -826,5 +900,7 @@ object QueriesAgg {
     QueryDef("q_median", qMedian, Some(qMedianOracle)),
     QueryDef("q_anyall", qAnyAll, Some(qAnyAllOracle)),
     QueryDef("q_count_distinct", qCountDistinct, Some(qCountDistinctOracle)),
-    QueryDef("q_json", qJson, Some(qJsonOracle)))
+    QueryDef("q_json", qJson, Some(qJsonOracle)),
+    QueryDef("q_regr", qRegr, Some(qRegrOracle)),
+    QueryDef("q_iceberg", qIceberg, Some(qIcebergOracle)))
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops.{RelOps, TakeOps}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Pack C — positional gather / factorize (SURVEY.md §2.1, §2.5) and the
@@ -330,6 +330,59 @@ object QueriesRel {
       SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
     ORDER BY l_orderkey, l_linenumber, variable"""
 
+  /** Z-order (Morton) clustering key — the multi-dimensional data-layout
+    * primitive behind Delta/Iceberg `OPTIMIZE ZORDER BY`: interleaving the
+    * bits of two dimensions gives one sort key under which a range filter
+    * on EITHER dimension touches O(√buckets) of the file ranges instead of
+    * all of them. The 16-bit interleave is the classic magic-number bit
+    * spread — five mask/shift steps per dimension, pure codegen integer
+    * ops, identical arithmetic in DuckDB. Output: per-bucket occupancy
+    * (the file-skipping histogram a writer would use). */
+  def qZorder(spark: SparkSession, dir: String): DataFrame = {
+    def spread(v: Column): Column = {
+      val v0 = v.bitwiseAND(lit(65535L))
+      val v1 = v0.bitwiseOR(shiftleft(v0, 8)).bitwiseAND(lit(16711935L))
+      val v2 = v1.bitwiseOR(shiftleft(v1, 4)).bitwiseAND(lit(252645135L))
+      val v3 = v2.bitwiseOR(shiftleft(v2, 2)).bitwiseAND(lit(858993459L))
+      v3.bitwiseOR(shiftleft(v3, 1)).bitwiseAND(lit(1431655765L))
+    }
+    val z = spread(pmod(col("l_partkey"), lit(65536L)))
+      .bitwiseOR(shiftleft(spread(pmod(col("l_suppkey"), lit(65536L))), 1))
+    Tables.lineitem(spark, dir)
+      .withColumn("z", z)
+      .withColumn("zbucket", shiftright(col("z"), 14))
+      .groupBy("zbucket")
+      .agg(count(lit(1)).as("n"), min("z").as("min_z"), max("z").as("max_z"),
+        min("l_partkey").as("min_part"), max("l_partkey").as("max_part"))
+      .orderBy("zbucket")
+  }
+
+  val qZorderOracle: String = """
+    WITH s AS (
+      SELECT l_partkey, l_suppkey,
+             l_partkey % 65536 AS x0, l_suppkey % 65536 AS y0 FROM lineitem),
+    sx AS (SELECT l_partkey, l_suppkey, y0,
+                  ((x0 | (x0 << 8)) & 16711935) AS x1 FROM s),
+    sx2 AS (SELECT l_partkey, l_suppkey, y0,
+                   ((x1 | (x1 << 4)) & 252645135) AS x2 FROM sx),
+    sx3 AS (SELECT l_partkey, l_suppkey, y0,
+                   ((x2 | (x2 << 2)) & 858993459) AS x3 FROM sx2),
+    sx4 AS (SELECT l_partkey, l_suppkey, y0,
+                   ((x3 | (x3 << 1)) & 1431655765) AS xs FROM sx3),
+    sy AS (SELECT l_partkey, l_suppkey, xs,
+                  ((y0 | (y0 << 8)) & 16711935) AS y1 FROM sx4),
+    sy2 AS (SELECT l_partkey, l_suppkey, xs,
+                   ((y1 | (y1 << 4)) & 252645135) AS y2 FROM sy),
+    sy3 AS (SELECT l_partkey, l_suppkey, xs,
+                   ((y2 | (y2 << 2)) & 858993459) AS y3 FROM sy2),
+    sy4 AS (SELECT l_partkey, l_suppkey, xs,
+                   ((y3 | (y3 << 1)) & 1431655765) AS ys FROM sy3),
+    z AS (SELECT l_partkey, (xs | (ys << 1)) AS z FROM sy4)
+    SELECT z >> 14 AS zbucket, count(*) AS n,
+           CAST(min(z) AS BIGINT) AS min_z, CAST(max(z) AS BIGINT) AS max_z,
+           min(l_partkey) AS min_part, max(l_partkey) AS max_part
+    FROM z GROUP BY 1 ORDER BY 1"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_take", qTake, Some(qTakeOracle)),
     QueryDef("q_take_upcast", qTakeUpcast, Some(qTakeUpcastOracle)),
@@ -342,5 +395,6 @@ object QueriesRel {
     QueryDef("q_asof", qAsof, Some(qAsofOracle)),
     QueryDef("q_asof_dir", qAsofDir, Some(qAsofDirOracle)),
     QueryDef("q_pivot", qPivot, Some(qPivotOracle)),
-    QueryDef("q_melt", qMelt, Some(qMeltOracle)))
+    QueryDef("q_melt", qMelt, Some(qMeltOracle)),
+    QueryDef("q_zorder", qZorder, Some(qZorderOracle)))
 }

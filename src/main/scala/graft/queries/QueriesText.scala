@@ -843,6 +843,138 @@ object QueriesText {
       CAST(length(red) AS BIGINT) AS redacted_len
     FROM r ORDER BY doc_id"""
 
+  /** Corpus bigram vocabulary: top-20 word bigrams corpus-wide (the
+    * vocabulary-mining pass of tokenizer training / collocation
+    * analysis). Bigram expansion is a per-row Catalyst lambda (transform
+    * over the token index range, no join), the count is one hash-agg on
+    * the bigram key, and the global top-20 plans as TakeOrderedAndProject
+    * — per-partition heaps, never a full sort of the vocabulary. The
+    * (count desc, bigram asc) total order makes the cut deterministic. */
+  def qVocab(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = expr(
+      """transform(sequence(1, size(split(text, ' ')) - 1),
+           i -> concat(element_at(split(text, ' '), i), ' ',
+                       element_at(split(text, ' '), i + 1)))""")
+    Tables.documents(spark, dir)
+      .select(explode(bigrams).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+  }
+
+  val qVocabOracle: String = """
+    WITH t AS (SELECT str_split(text, ' ') AS toks FROM documents),
+    i AS (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t),
+    b AS (SELECT toks[i] || ' ' || toks[i + 1] AS bigram FROM i)
+    SELECT bigram, count(*) AS n FROM b
+    GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20"""
+
+  /** Unigram-LM rarity scoring (perplexity-proxy quality signal): corpus
+    * unigram counts, then each document scored by the mean rarity of its
+    * tokens. The per-token rarity is quantized to exact integer ppm
+    * (`(N*1e6) div c_w` — floor division on both engines) so the per-doc
+    * sum is order-independent integer arithmetic and the final mean is one
+    * identical double division; a float `log p` sum would hash-diverge by
+    * accumulation order. Shape: term-level tf (one shuffle on (doc,term)),
+    * vocab rollup from tf (shuffle on term, vocab-sized), broadcast the
+    * vocab back — at 100 TB the vocab join flips to shuffle automatically
+    * if it outgrows the broadcast threshold. */
+  def qDocLm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy("term").agg(sum("tf").as("cw"))
+    val nTotal = broadcast(vocab.agg(sum("cw").as("n_total")))
+    tf.join(broadcast(vocab), Seq("term")).crossJoin(nTotal)
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tok"),
+        sum(col("tf") * expr("(n_total * 1000000L) div cw")).as("rarity_ppm"))
+      .withColumn("rarity",
+        col("rarity_ppm").cast("double") / col("n_tok").cast("double") / 1e6)
+      .orderBy("doc_id")
+  }
+
+  val qDocLmOracle: String = """
+    WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term
+                 FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    v AS (SELECT term, sum(tf) AS cw FROM tf GROUP BY 1),
+    n AS (SELECT CAST(sum(cw) AS BIGINT) AS n_total FROM v),
+    s AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
+                 CAST(sum(tf * ((n_total * 1000000) // cw)) AS BIGINT) AS rarity_ppm
+          FROM tf JOIN v USING (term) CROSS JOIN n GROUP BY 1)
+    SELECT doc_id, n_tok, rarity_ppm,
+           CAST(rarity_ppm AS DOUBLE) / CAST(n_tok AS DOUBLE) / 1e6 AS rarity
+    FROM s ORDER BY doc_id"""
+
+  /** Sequence packing (training-batch assembly): documents fill a
+    * token-budget batch greedily in doc_id order within each source shard;
+    * a doc belongs to batch `floor(exclusive_prefix_tokens / budget)`.
+    * The running sum is a window PARTITIONED by source — no global
+    * unpartitioned window, so the sort distributes; rollup to per-batch
+    * stats is one hash-agg. */
+  def qPack(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 2000L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("batch_id", graft.ops.RelOps.fdiv(
+        sum(col("n_tok")).over(w) - col("n_tok"), budget))
+      .groupBy("source", "batch_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("source", "batch_id")
+  }
+
+  val qPackOracle: String = """
+    WITH t AS (SELECT source, doc_id,
+                      CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+               FROM documents),
+    b AS (SELECT source, doc_id, n_tok,
+                 (sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tok) // 2000
+                   AS batch_id
+          FROM t)
+    SELECT source, CAST(batch_id AS BIGINT) AS batch_id,
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM b GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Contingency table with lift (pandas crosstab + association signal):
+    * one hash-agg for the cells, then per-lang / per-source marginals
+    * rolled up FROM the cells (tiny aggregates, broadcast back) — the base
+    * table is scanned once. Lift `n*N/(row_n*col_n)` is one double
+    * division on exact integer products. */
+  def qContingency(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+    val rowTot = cells.groupBy("lang").agg(sum("n").as("row_n"))
+    val colTot = cells.groupBy("source").agg(sum("n").as("col_n"))
+    val total  = broadcast(cells.agg(sum("n").as("total_n")))
+    cells.join(broadcast(rowTot), Seq("lang"))
+      .join(broadcast(colTot), Seq("source")).crossJoin(total)
+      .withColumn("lift", (col("n") * col("total_n")).cast("double") /
+        (col("row_n") * col("col_n")).cast("double"))
+      .select("lang", "source", "n", "row_n", "col_n", "total_n", "lift")
+      .orderBy("lang", "source")
+  }
+
+  val qContingencyOracle: String = """
+    WITH c AS (SELECT lang, source, count(*) AS n
+               FROM documents GROUP BY 1, 2),
+    r AS (SELECT lang, CAST(sum(n) AS BIGINT) AS row_n FROM c GROUP BY 1),
+    k AS (SELECT source, CAST(sum(n) AS BIGINT) AS col_n FROM c GROUP BY 1),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total_n FROM c)
+    SELECT lang, source, n, row_n, col_n, total_n,
+           CAST(n * total_n AS DOUBLE) / CAST(row_n * col_n AS DOUBLE) AS lift
+    FROM c JOIN r USING (lang) JOIN k USING (source) CROSS JOIN t
+    ORDER BY lang, source"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_text_stats", qTextStats, Some(qTextStatsOracle)),
     QueryDef("q_quality", qQuality, Some(qQualityOracle)),
@@ -866,5 +998,9 @@ object QueriesText {
     QueryDef("q_contam", qContam, Some(qContamOracle)),
     QueryDef("q_sample_k", qSampleK, Some(qSampleKOracle)),
     QueryDef("q_chunk", qChunk, Some(qChunkOracle)),
-    QueryDef("q_pii", qPii, Some(qPiiOracle)))
+    QueryDef("q_pii", qPii, Some(qPiiOracle)),
+    QueryDef("q_vocab", qVocab, Some(qVocabOracle)),
+    QueryDef("q_doc_lm", qDocLm, Some(qDocLmOracle)),
+    QueryDef("q_pack", qPack, Some(qPackOracle)),
+    QueryDef("q_contingency", qContingency, Some(qContingencyOracle)))
 }

@@ -389,6 +389,49 @@ object QueriesTime {
     FROM d JOIN md USING (event_type)
     GROUP BY 1 ORDER BY 1"""
 
+  /** Gap-based sessionization (the lag/running-sum formulation): a new
+    * session starts when a user's inter-event gap exceeds 30 minutes;
+    * the running sum of new-session flags is the session id, then one
+    * hash-agg rolls sessions up to (n_events, start, end, duration).
+    * This is the scale-path alternative to native session_window
+    * (q_session_window): one window sort per user partition and one agg,
+    * no merging buffer, deterministic under ties via the (us, event_id)
+    * tiebreak. */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000000
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val run = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("new_sess",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(run))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val qSessionizeOracle: String = """
+    WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+    f AS (SELECT user_id, event_id, us,
+            CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w > 1800000000
+                 THEN 1 ELSE 0 END AS new_sess
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    s AS (SELECT user_id, us,
+            sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM f)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events, min(us) AS start_us, max(us) AS end_us,
+           max(us) - min(us) AS duration_us
+    FROM s GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_window_tumbling", qTumbling, Some(qTumblingOracle)),
     QueryDef("q_window_sliding", qSliding, Some(qSlidingOracle)),
@@ -400,5 +443,6 @@ object QueriesTime {
     QueryDef("q_resample", qResample, Some(qResampleOracle)),
     QueryDef("q_overlap_join", qOverlapJoin, Some(qOverlapJoinOracle)),
     QueryDef("q_cohort", qCohort, Some(qCohortOracle)),
-    QueryDef("q_mad_outlier", qMadOutlier, Some(qMadOutlierOracle)))
+    QueryDef("q_mad_outlier", qMadOutlier, Some(qMadOutlierOracle)),
+    QueryDef("q_sessionize", qSessionize, Some(qSessionizeOracle)))
 }

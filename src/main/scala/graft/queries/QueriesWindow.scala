@@ -592,6 +592,95 @@ object QueriesWindow {
            cume_dist()    OVER (PARTITION BY event_type ORDER BY c) AS cd
     FROM e ORDER BY event_id"""
 
+  /** Expanding (cumulative) statistics per user — pandas `.expanding()
+    * .mean()/.std()` etc: ONE partitioned window sort feeds all five
+    * outputs (prefix count / sum / sum-of-squares / min / max share the
+    * frame). The sample variance comes from the exact integer identity
+    * `n*S2 - S1^2` — cents and cents² prefix sums stay in bigint range
+    * (≤1e18 at sf0.1-per-user cardinality), so both engines divide the
+    * same exact integers and the doubles are bit-equal. */
+  def qExpanding(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.events(spark, dir)
+      .withColumn("c", round(col("value") * 100).cast("long"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("c")).over(w))
+      .withColumn("s2", sum(col("c") * col("c")).over(w))
+      .select(col("event_id"), col("user_id"), col("n").as("exp_n"),
+        (col("s1").cast("double") / col("n").cast("double") / 100.0).as("exp_mean"),
+        (min(col("c")).over(w).cast("double") / 100.0).as("exp_min"),
+        (max(col("c")).over(w).cast("double") / 100.0).as("exp_max"),
+        when(col("n") < 2, lit(null).cast("double")).otherwise(
+          sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+            (col("n") * (col("n") - 1)).cast("double")) / 100.0).as("exp_std"))
+      .orderBy("event_id")
+  }
+
+  val qExpandingOracle: String = """
+    WITH e AS (SELECT event_id, user_id,
+                      CAST(round(value*100) AS BIGINT) AS c FROM events),
+    p AS (SELECT event_id, user_id, c,
+                 CAST(count(*) OVER w AS BIGINT) AS n,
+                 CAST(sum(c)   OVER w AS BIGINT) AS s1,
+                 CAST(sum(c*c) OVER w AS BIGINT) AS s2,
+                 CAST(min(c)   OVER w AS BIGINT) AS mn,
+                 CAST(max(c)   OVER w AS BIGINT) AS mx
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                              ROWS UNBOUNDED PRECEDING))
+    SELECT event_id, user_id, n AS exp_n,
+           CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE)/100.0 AS exp_mean,
+           CAST(mn AS DOUBLE)/100.0 AS exp_min,
+           CAST(mx AS DOUBLE)/100.0 AS exp_max,
+           CASE WHEN n < 2 THEN NULL ELSE
+             sqrt(CAST(n*s2 - s1*s1 AS DOUBLE)/CAST(n*(n-1) AS DOUBLE))/100.0
+           END AS exp_std
+    FROM p ORDER BY event_id"""
+
+  /** Per-brand Pareto skyline: parts not dominated on (retailprice ↓,
+    * size ↑) by any same-brand part. Dominance is resolved with two RANGE
+    * frames over ONE price-ordered window pass — `m1` = best size among
+    * strictly-cheaper parts (RANGE … 1 PRECEDING), `m2` = best size among
+    * price-peers-or-cheaper (RANGE … CURRENT ROW, peers included) — so the
+    * skyline needs no self-join and no all-pairs compare. Partitioned by
+    * brand; the unpartitioned variant at scale is the classic
+    * skyline-of-skylines merge (per-partition skyline, then skyline of the
+    * union), which this per-group form is the building block of. */
+  def qSkyline(spark: SparkSession, dir: String): DataFrame = {
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p_brand")).orderBy(col("price_c"))
+      .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wPeer = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p_brand")).orderBy(col("price_c"))
+      .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.part(spark, dir)
+      .withColumn("price_c", round(col("p_retailprice") * 100).cast("long"))
+      .withColumn("m1", max(col("p_size")).over(wPrev))
+      .withColumn("m2", max(col("p_size")).over(wPeer))
+      .where(!(coalesce(col("m1") >= col("p_size"), lit(false)) ||
+        col("m2") > col("p_size")))
+      .select(col("p_brand"), col("p_partkey"), col("p_size").cast("long").as("p_size"),
+        (col("price_c").cast("double") / 100.0).as("price"))
+      .orderBy("p_brand", "p_partkey")
+  }
+
+  val qSkylineOracle: String = """
+    WITH c AS (SELECT p_brand, p_partkey, p_size,
+                      CAST(round(p_retailprice*100) AS BIGINT) AS price_c
+               FROM part),
+    m AS (SELECT p_brand, p_partkey, p_size, price_c,
+                 max(p_size) OVER (PARTITION BY p_brand ORDER BY price_c
+                                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1,
+                 max(p_size) OVER (PARTITION BY p_brand ORDER BY price_c
+                                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m2
+          FROM c)
+    SELECT p_brand, p_partkey, CAST(p_size AS BIGINT) AS p_size,
+           CAST(price_c AS DOUBLE)/100.0 AS price
+    FROM m
+    WHERE NOT (COALESCE(m1 >= p_size, false) OR m2 > p_size)
+    ORDER BY p_brand, p_partkey"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_cumsum", qCumsum, Some(qCumsumOracle)),
     QueryDef("q_diff_pct", qDiffPct, Some(qDiffPctOracle)),
@@ -607,5 +696,7 @@ object QueriesWindow {
     QueryDef("q_interp", qInterp, Some(qInterpOracle)),
     QueryDef("q_roll_corr", qRollCorr, Some(qRollCorrOracle)),
     QueryDef("q_ewma", qEwma, Some(qEwmaOracle)),
-    QueryDef("q_pct_rank", qPctRank, Some(qPctRankOracle)))
+    QueryDef("q_pct_rank", qPctRank, Some(qPctRankOracle)),
+    QueryDef("q_expanding", qExpanding, Some(qExpandingOracle)),
+    QueryDef("q_skyline", qSkyline, Some(qSkylineOracle)))
 }

@@ -102,6 +102,72 @@ class PlanAuditSpec extends SparkSpec {
       p.contains("ShuffledHashJoin"), p)
   }
 
+  test("q_overlap_join: binned equi-join — never a nested-loop/cartesian plan") {
+    val p = plan("q_overlap_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q_chunk / q_pii: pure scan + generate/projection, no joins, no pre-sort shuffle") {
+    Seq("q_chunk", "q_pii").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q:\n$p")
+      // only the output orderBy's range partitioning may shuffle
+      assert(count(p, "Exchange") <= 1, s"$q:\n$p")
+    }
+  }
+
+  test("r6 window queries: every window is partitioned (no single-task global sort)") {
+    Seq("q_sessionize", "q_pack", "q_expanding").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("Window"), s"$q:\n$p")
+      // Spark prints an unpartitioned window spec as
+      // "Window [...], [ord ASC ...]" with no partition list — every
+      // windowexec here must carry its partition columns
+      assert(!p.contains("SinglePartition"), s"$q:\n$p")
+    }
+  }
+
+  test("q_doc_lm / q_contingency: vocab/marginal joins broadcast, never cartesian over rows") {
+    Seq("q_doc_lm", "q_contingency").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+    }
+  }
+
+  test("q_iceberg: one fact-table agg, scalar total broadcast back") {
+    val p = plan("q_iceberg")
+    assert(!p.contains("CartesianProduct"), p)
+    // per-part agg shuffle (+ its reuse feeding the scalar total's
+    // single-partition agg) + output orderBy; AQE dedups the reuse at run
+    assert(count(p, "Exchange") <= 4, p)
+  }
+
+  test("q_zorder / q_regr: scan + hash-agg, no joins") {
+    Seq("q_zorder", "q_regr").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q:\n$p")
+      assert(count(p, "Exchange") <= 2, s"$q:\n$p") // agg + output orderBy
+    }
+  }
+
+  test("q_skyline: no self-join — one partitioned window pass resolves dominance") {
+    val p = plan("q_skyline")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
+    assert(count(p, "Sort") <= 2, p) // window sort + output orderBy
+  }
+
+  test("q_vocab: global top-20 is TakeOrderedAndProject, not a full sort") {
+    val p = plan("q_vocab")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(count(p, "Sort") == 0, p)
+  }
+
   test("q_contam: benchmark gram set broadcast; shingle shuffle reused, not recomputed") {
     val p = plan("q_contam")
     assert(p.contains("BroadcastHashJoin"), p)
