@@ -383,6 +383,52 @@ object QueriesRel {
            min(l_partkey) AS min_part, max(l_partkey) AS max_part
     FROM z GROUP BY 1 ORDER BY 1"""
 
+  /** Two rounds of PageRank over the part↔supplier bipartite graph
+    * (iterative graph analytics — the Pregel-style shape: one shuffle per
+    * half-iteration, rank flowing along edges). All rank arithmetic is
+    * integer ppm with floor division (`rank div outdeg`, damping
+    * `150000 + (85*inflow) div 100`), so the fixpoint math is
+    * order-independent and bit-equal across engines — float PageRank
+    * would hash-diverge by summation order. Production shape: persist the
+    * edge list once and reuse it per iteration; the fixture form leans on
+    * the parquet cache since correctness, not iteration count, is under
+    * test. Top-50 cut is TakeOrderedAndProject (per-partition heaps). */
+  def qPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+    val degP = edges.groupBy("p").agg(count(lit(1)).as("deg_p"))
+    val degS = edges.groupBy("s").agg(count(lit(1)).as("deg_s"))
+    def suppRound(partRank: DataFrame): DataFrame =
+      edges.join(partRank, Seq("p")).join(broadcast(degP), Seq("p"))
+        .groupBy("s").agg(sum(expr("rp div deg_p")).as("inflow"))
+        .select(col("s"), (lit(150000L) + expr("(85 * inflow) div 100")).as("rs"))
+    def partRound(suppRank: DataFrame): DataFrame =
+      edges.join(suppRank, Seq("s")).join(broadcast(degS), Seq("s"))
+        .groupBy("p").agg(sum(expr("rs div deg_s")).as("inflow"))
+        .select(col("p"), (lit(150000L) + expr("(85 * inflow) div 100")).as("rp"))
+    val r0 = degP.select(col("p"), lit(1000000L).as("rp"))
+    val r1 = partRound(suppRound(r0))
+    val r2 = partRound(suppRound(r1))
+    r2.select(col("p").as("l_partkey"), col("rp").as("rank_ppm"))
+      .orderBy(col("rank_ppm").desc, col("l_partkey")).limit(50)
+  }
+
+  val qPagerankOracle: String = """
+    WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    dp AS (SELECT p, count(*) AS deg_p FROM e GROUP BY 1),
+    ds AS (SELECT s, count(*) AS deg_s FROM e GROUP BY 1),
+    r0 AS (SELECT p, CAST(1000000 AS BIGINT) AS rp FROM dp),
+    s1 AS (SELECT s, 150000 + (85 * sum(rp // deg_p)) // 100 AS rs
+           FROM e JOIN r0 USING (p) JOIN dp USING (p) GROUP BY s),
+    p1 AS (SELECT p, 150000 + (85 * sum(rs // deg_s)) // 100 AS rp
+           FROM e JOIN s1 USING (s) JOIN ds USING (s) GROUP BY p),
+    s2 AS (SELECT s, 150000 + (85 * sum(rp // deg_p)) // 100 AS rs
+           FROM e JOIN p1 USING (p) JOIN dp USING (p) GROUP BY s),
+    p2 AS (SELECT p, 150000 + (85 * sum(rs // deg_s)) // 100 AS rp
+           FROM e JOIN s2 USING (s) JOIN ds USING (s) GROUP BY p)
+    SELECT p AS l_partkey, CAST(rp AS BIGINT) AS rank_ppm
+    FROM p2 ORDER BY rank_ppm DESC, l_partkey LIMIT 50"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_take", qTake, Some(qTakeOracle)),
     QueryDef("q_take_upcast", qTakeUpcast, Some(qTakeUpcastOracle)),
@@ -396,5 +442,6 @@ object QueriesRel {
     QueryDef("q_asof_dir", qAsofDir, Some(qAsofDirOracle)),
     QueryDef("q_pivot", qPivot, Some(qPivotOracle)),
     QueryDef("q_melt", qMelt, Some(qMeltOracle)),
-    QueryDef("q_zorder", qZorder, Some(qZorderOracle)))
+    QueryDef("q_zorder", qZorder, Some(qZorderOracle)),
+    QueryDef("q_pagerank", qPagerank, Some(qPagerankOracle)))
 }

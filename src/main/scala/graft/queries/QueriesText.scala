@@ -945,6 +945,39 @@ object QueriesText {
            min(doc_id) AS first_doc, max(doc_id) AS last_doc
     FROM b GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** pandas `duplicated(keep='first'/'last'/False)` tri-flag semantics
+    * over exact content (md5 digest of text): occurrence index within the
+    * duplicate group (doc_id order), plus all three pandas marker
+    * variants. One digest-partitioned window — complements q_dedup_exact
+    * (which maps docs to a canonical keep_id) by exposing the marker
+    * surface a pandas user filters on. */
+  def qDupKeep(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("digest")).orderBy(col("doc_id"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("digest"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("digest"))
+      .withColumn("occ", row_number().over(w).cast("long"))
+      .withColumn("grp_n", count(lit(1)).over(wAll))
+      .select(col("doc_id"), col("digest"), col("occ"),
+        (col("occ") > 1).as("dup_keep_first"),
+        (col("occ") < col("grp_n")).as("dup_keep_last"),
+        (col("grp_n") > 1).as("dup_keep_false"))
+      .orderBy("doc_id")
+  }
+
+  val qDupKeepOracle: String = """
+    WITH d AS (SELECT doc_id, md5(text) AS digest FROM documents),
+    m AS (SELECT doc_id, digest,
+                 CAST(row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS BIGINT) AS occ,
+                 count(*) OVER (PARTITION BY digest) AS grp_n
+          FROM d)
+    SELECT doc_id, digest, occ,
+           occ > 1 AS dup_keep_first,
+           occ < grp_n AS dup_keep_last,
+           grp_n > 1 AS dup_keep_false
+    FROM m ORDER BY doc_id"""
+
   /** Contingency table with lift (pandas crosstab + association signal):
     * one hash-agg for the cells, then per-lang / per-source marginals
     * rolled up FROM the cells (tiny aggregates, broadcast back) — the base
@@ -1002,5 +1035,6 @@ object QueriesText {
     QueryDef("q_vocab", qVocab, Some(qVocabOracle)),
     QueryDef("q_doc_lm", qDocLm, Some(qDocLmOracle)),
     QueryDef("q_pack", qPack, Some(qPackOracle)),
-    QueryDef("q_contingency", qContingency, Some(qContingencyOracle)))
+    QueryDef("q_contingency", qContingency, Some(qContingencyOracle)),
+    QueryDef("q_dup_keep", qDupKeep, Some(qDupKeepOracle)))
 }

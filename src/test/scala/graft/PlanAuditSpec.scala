@@ -168,6 +168,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(count(p, "Sort") == 0, p)
   }
 
+  test("q_pagerank: rank flows via equi-joins; degree sides broadcast; no cartesian") {
+    val p = plan("q_pagerank")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_dup_keep: one digest-partitioned window, no self-join") {
+    val p = plan("q_dup_keep")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("SinglePartition"), p)
+    assert(count(p, "Exchange") <= 2, p) // digest hash + output orderBy
+  }
+
   test("q_contam: benchmark gram set broadcast; shingle shuffle reused, not recomputed") {
     val p = plan("q_contam")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -25,6 +25,37 @@ class PropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("skyline window formulation == naive O(n²) dominance filter") {
+    val ptsGen: Gen[List[(Long, Long, Long)]] = Gen.choose(1, 80).flatMap { n =>
+      Gen.listOfN(n, for {
+        g <- Gen.choose(0L, 2L)      // brand
+        x <- Gen.choose(0L, 20L)     // price (minimize)
+        y <- Gen.choose(0L, 20L)     // size (maximize)
+      } yield (g, x, y))
+    }
+    check(Prop.forAll(ptsGen) { pts =>
+      val ids = pts.zipWithIndex.map { case ((g, x, y), i) => (i.toLong, g, x, y) }
+      val df = ids.toDF("id", "g", "x", "y")
+      val wPrev = org.apache.spark.sql.expressions.Window
+        .partitionBy($"g").orderBy($"x")
+        .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val wPeer = org.apache.spark.sql.expressions.Window
+        .partitionBy($"g").orderBy($"x")
+        .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val got = df
+        .withColumn("m1", max($"y").over(wPrev))
+        .withColumn("m2", max($"y").over(wPeer))
+        .where(!(coalesce($"m1" >= $"y", lit(false)) || $"m2" > $"y"))
+        .select("id").as[Long].collect().toSet
+      val want = ids.filter { case (_, g, x, y) =>
+        !ids.exists { case (_, g2, x2, y2) =>
+          g2 == g && ((x2 < x && y2 >= y) || (x2 <= x && y2 > y))
+        }
+      }.map(_._1).toSet
+      got == want
+    })
+  }
+
   test("sum == last non-null cumsum per group") {
     check(Prop.forAll(rowsGen) { rows =>
       val df = rows.zipWithIndex
