@@ -875,6 +875,43 @@ object QueriesAgg {
     WHERE part_qc * n_parts * 5 >= total_qc * 6
     ORDER BY l_partkey"""
 
+  /** pandas idxmin/idxmax per group (SQL arg_min/arg_max) with an
+    * explicit deterministic tiebreak: cents values DO tie, and plain
+    * `max_by`/`arg_max` pick an arbitrary winner among ties on both
+    * engines — so both sides resolve ties identically via the
+    * (value, event_id) total order. One window sort feeds both extremes
+    * (rn=1 / rn=n), then a conditional hash-agg collapses the group. */
+  def qIdxMinMax(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("c"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("c", round(col("value") * 100).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .groupBy("event_type")
+      .agg(
+        min(when(col("rn") === 1, col("event_id"))).as("idxmin"),
+        (min(when(col("rn") === 1, col("c"))).cast("double") / 100.0).as("min_v"),
+        min(when(col("rn") === col("nn"), col("event_id"))).as("idxmax"),
+        (min(when(col("rn") === col("nn"), col("c"))).cast("double") / 100.0).as("max_v"))
+      .orderBy("event_type")
+  }
+
+  val qIdxMinMaxOracle: String = """
+    WITH e AS (SELECT event_type, event_id,
+                      CAST(round(value*100) AS BIGINT) AS c FROM events),
+    r AS (SELECT event_type, event_id, c,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY c, event_id) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS nn
+          FROM e)
+    SELECT event_type,
+           min(CASE WHEN rn = 1 THEN event_id END) AS idxmin,
+           CAST(min(CASE WHEN rn = 1 THEN c END) AS DOUBLE)/100.0 AS min_v,
+           min(CASE WHEN rn = nn THEN event_id END) AS idxmax,
+           CAST(min(CASE WHEN rn = nn THEN c END) AS DOUBLE)/100.0 AS max_v
+    FROM r GROUP BY 1 ORDER BY 1"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q1_flagship", q1, Some(q1Oracle)),
     QueryDef("q_kahan_sum", qKahan, Some(qKahanOracle)),
@@ -902,5 +939,6 @@ object QueriesAgg {
     QueryDef("q_count_distinct", qCountDistinct, Some(qCountDistinctOracle)),
     QueryDef("q_json", qJson, Some(qJsonOracle)),
     QueryDef("q_regr", qRegr, Some(qRegrOracle)),
-    QueryDef("q_iceberg", qIceberg, Some(qIcebergOracle)))
+    QueryDef("q_iceberg", qIceberg, Some(qIcebergOracle)),
+    QueryDef("q_idx_minmax", qIdxMinMax, Some(qIdxMinMaxOracle)))
 }

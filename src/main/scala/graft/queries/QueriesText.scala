@@ -978,6 +978,45 @@ object QueriesText {
            grp_n > 1 AS dup_keep_false
     FROM m ORDER BY doc_id"""
 
+  /** pandas `.str` accessor surface (upper/lower/pad/slice/find/reverse/
+    * repeat/replace/split_part/concat_ws/translate) as one codegen
+    * projection — the string-kernel breadth a pandas user expects, each
+    * picked to have identical semantics in Spark SQL and DuckDB (1-based
+    * strpos/instr, left/right, lpad truncation). No shuffle except the
+    * output orderBy. */
+  def qStrOps(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        upper(expr("left(text, 10)")).as("head_upper"),
+        expr("right(lang, 1)").as("lang_last"),
+        lpad(col("lang"), 5, "*").as("lang_lpad"),
+        rpad(col("source"), 8, ".").as("src_rpad"),
+        reverse(col("lang")).as("lang_rev"),
+        repeat(col("lang"), 2).as("lang_x2"),
+        instr(col("text"), "data").cast("long").as("data_pos"),
+        substring(col("text"), 5, 12).as("slice_5_12"),
+        expr("split_part(source, 'c', 2)").as("src_num"),
+        concat_ws("-", col("lang"), col("source")).as("lang_src"),
+        translate(col("lang"), "aeiou", "AEIOU").as("lang_vowel_up"),
+        expr("replace(left(text, 20), ' ', '_')").as("head_snake"))
+      .orderBy("doc_id")
+
+  val qStrOpsOracle: String = """
+    SELECT doc_id,
+           upper(left(text, 10)) AS head_upper,
+           right(lang, 1) AS lang_last,
+           lpad(lang, 5, '*') AS lang_lpad,
+           rpad(source, 8, '.') AS src_rpad,
+           reverse(lang) AS lang_rev,
+           repeat(lang, 2) AS lang_x2,
+           CAST(strpos(text, 'data') AS BIGINT) AS data_pos,
+           substr(text, 5, 12) AS slice_5_12,
+           split_part(source, 'c', 2) AS src_num,
+           concat_ws('-', lang, source) AS lang_src,
+           translate(lang, 'aeiou', 'AEIOU') AS lang_vowel_up,
+           replace(left(text, 20), ' ', '_') AS head_snake
+    FROM documents ORDER BY doc_id"""
+
   /** Contingency table with lift (pandas crosstab + association signal):
     * one hash-agg for the cells, then per-lang / per-source marginals
     * rolled up FROM the cells (tiny aggregates, broadcast back) — the base
@@ -1036,5 +1075,6 @@ object QueriesText {
     QueryDef("q_doc_lm", qDocLm, Some(qDocLmOracle)),
     QueryDef("q_pack", qPack, Some(qPackOracle)),
     QueryDef("q_contingency", qContingency, Some(qContingencyOracle)),
-    QueryDef("q_dup_keep", qDupKeep, Some(qDupKeepOracle)))
+    QueryDef("q_dup_keep", qDupKeep, Some(qDupKeepOracle)),
+    QueryDef("q_str_ops", qStrOps, Some(qStrOpsOracle)))
 }

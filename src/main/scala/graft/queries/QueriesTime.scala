@@ -432,6 +432,63 @@ object QueriesTime {
            max(us) - min(us) AS duration_us
     FROM s GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Business-day arithmetic (pandas BDay / np.busday_count): per
+    * priority, order→ship latency in BUSINESS days plus weekend-placement
+    * stats. The weekday-count prefix function is closed-form integer math
+    * anchored at the 1970-01-05 Monday epoch —
+    * `b(d) = 5*(days div 7) + least(days mod 7, 5)` — so `b(ship)-b(order)`
+    * needs no calendar table, no UDF, and no join against a date spine;
+    * `next business day` is a 3-arm CASE on the day-of-week. One
+    * broadcast-able equi-join (orders→lineitem) and one hash-agg. */
+  def qBusday(spark: SparkSession, dir: String): DataFrame = {
+    val mondayEpoch = to_date(lit("1970-01-05"))
+    def days(d: Column)   = datediff(d, mondayEpoch).cast("long")
+    def b(d: Column)      = graft.ops.RelOps.fdiv(days(d), 7L) * 5 +
+      least(pmod(days(d), lit(7L)), lit(5L))
+    def dow(d: Column)    = pmod(days(d), lit(7L)) // 0=Mon .. 6=Sun
+    def nextBus(d: Column)= date_add(d,
+      when(dow(d) === 5, 2).when(dow(d) === 6, 1).otherwise(0))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        to_date(col("o_orderdate")).as("od"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        (b(col("sd")) - b(col("od"))).as("bus_lat"),
+        (dow(col("od")) >= 5).cast("long").as("weekend_order"),
+        nextBus(col("od")).as("nb"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum("bus_lat").as("sum_bus_lat"),
+        (sum("bus_lat").cast("double") / count(lit(1)).cast("double")).as("avg_bus_lat"),
+        sum("weekend_order").as("n_weekend"),
+        date_format(min(col("nb")), "yyyy-MM-dd").as("min_next_busday"))
+      .orderBy("o_orderpriority")
+  }
+
+  val qBusdayOracle: String = """
+    WITH o AS (SELECT o_orderkey, o_orderpriority,
+                      CAST(o_orderdate AS DATE) AS od FROM orders),
+    l AS (SELECT l_orderkey, CAST(l_shipdate AS DATE) AS sd FROM lineitem),
+    j AS (SELECT o_orderpriority,
+                 datediff('day', DATE '1970-01-05', sd) AS dsd,
+                 datediff('day', DATE '1970-01-05', od) AS dod, od
+          FROM l JOIN o ON l_orderkey = o_orderkey),
+    x AS (SELECT o_orderpriority,
+                 (5*(dsd // 7) + least(dsd % 7, 5))
+                   - (5*(dod // 7) + least(dod % 7, 5)) AS bus_lat,
+                 CASE WHEN dod % 7 >= 5 THEN 1 ELSE 0 END AS weekend_order,
+                 od + CASE WHEN dod % 7 = 5 THEN 2
+                           WHEN dod % 7 = 6 THEN 1 ELSE 0 END AS nb
+          FROM j)
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(bus_lat) AS BIGINT) AS sum_bus_lat,
+           CAST(sum(bus_lat) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avg_bus_lat,
+           CAST(sum(weekend_order) AS BIGINT) AS n_weekend,
+           CAST(min(nb) AS VARCHAR) AS min_next_busday
+    FROM x GROUP BY 1 ORDER BY 1"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_window_tumbling", qTumbling, Some(qTumblingOracle)),
     QueryDef("q_window_sliding", qSliding, Some(qSlidingOracle)),
@@ -444,5 +501,6 @@ object QueriesTime {
     QueryDef("q_overlap_join", qOverlapJoin, Some(qOverlapJoinOracle)),
     QueryDef("q_cohort", qCohort, Some(qCohortOracle)),
     QueryDef("q_mad_outlier", qMadOutlier, Some(qMadOutlierOracle)),
-    QueryDef("q_sessionize", qSessionize, Some(qSessionizeOracle)))
+    QueryDef("q_sessionize", qSessionize, Some(qSessionizeOracle)),
+    QueryDef("q_busday", qBusday, Some(qBusdayOracle)))
 }

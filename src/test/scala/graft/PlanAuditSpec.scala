@@ -183,6 +183,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(count(p, "Exchange") <= 2, p) // digest hash + output orderBy
   }
 
+  test("q_str_ops: pure codegen projection — no joins, only the output sort shuffle") {
+    val p = plan("q_str_ops")
+    assert(!p.contains("Join"), p)
+    assert(count(p, "Exchange") <= 1, p)
+  }
+
+  test("q_busday: closed-form weekday math — equi-join only, no calendar spine") {
+    val p = plan("q_busday")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_idx_minmax: one partitioned window sort resolves both extremes") {
+    val p = plan("q_idx_minmax")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("SinglePartition"), p)
+    assert(count(p, "Sort") <= 2, p) // window sort + output orderBy
+  }
+
   test("q_contam: benchmark gram set broadcast; shingle shuffle reused, not recomputed") {
     val p = plan("q_contam")
     assert(p.contains("BroadcastHashJoin"), p)
