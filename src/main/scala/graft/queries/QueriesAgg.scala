@@ -912,6 +912,57 @@ object QueriesAgg {
            CAST(min(CASE WHEN rn = nn THEN c END) AS DOUBLE)/100.0 AS max_v
     FROM r GROUP BY 1 ORDER BY 1"""
 
+  /** One-hot encoding (pandas get_dummies / OneHotEncoder): the category
+    * set here is the fixture's closed lang vocabulary, so the dummy
+    * columns are static and the encode is a pure codegen projection —
+    * the 100 TB path for open vocabularies is the same projection after a
+    * distinct-collect of the category dictionary (tiny, broadcast). Also
+    * aggregates the dummies per source (the usual next step), proving the
+    * encode feeds map-side combine. */
+  def qOnehot(spark: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("en", "es", "zh", "de", "fr")
+    val docs = Tables.documents(spark, dir)
+    val dummies = langs.map(l =>
+      when(col("lang") === l, 1L).otherwise(0L).as(s"lang_$l"))
+    docs.select(col("source") +: dummies: _*)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        langs.map(l => sum(col(s"lang_$l")).as(s"n_$l")): _*)
+      .orderBy("source")
+  }
+
+  val qOnehotOracle: String = """
+    SELECT source, count(*) AS n,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+           CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+           CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh,
+           CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+           CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr
+    FROM documents GROUP BY source ORDER BY source"""
+
+  /** Arbitrary GROUPING SETS — the general form of rollup/cube (pandas
+    * pivot_table with selected margins): per-flag, per-status, and grand
+    * total in ONE Expand-fed aggregation pass over the fact table, not
+    * three scans. */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_li_gs")
+    spark.sql("""
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+             sum(l_quantity) AS sum_qty,
+             CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid
+      FROM graft_li_gs
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY gid, l_returnflag, l_linestatus""")
+  }
+
+  val qGroupingSetsOracle: String = """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           sum(l_quantity) AS sum_qty,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY gid, l_returnflag, l_linestatus"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q1_flagship", q1, Some(q1Oracle)),
     QueryDef("q_kahan_sum", qKahan, Some(qKahanOracle)),
@@ -940,5 +991,7 @@ object QueriesAgg {
     QueryDef("q_json", qJson, Some(qJsonOracle)),
     QueryDef("q_regr", qRegr, Some(qRegrOracle)),
     QueryDef("q_iceberg", qIceberg, Some(qIcebergOracle)),
-    QueryDef("q_idx_minmax", qIdxMinMax, Some(qIdxMinMaxOracle)))
+    QueryDef("q_idx_minmax", qIdxMinMax, Some(qIdxMinMaxOracle)),
+    QueryDef("q_onehot", qOnehot, Some(qOnehotOracle)),
+    QueryDef("q_grouping_sets", qGroupingSets, Some(qGroupingSetsOracle)))
 }

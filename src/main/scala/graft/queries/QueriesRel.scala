@@ -394,8 +394,12 @@ object QueriesRel {
     * the parquet cache since correctness, not iteration count, is under
     * test. Top-50 cut is TakeOrderedAndProject (per-partition heaps). */
   def qPagerank(spark: SparkSession, dir: String): DataFrame = {
+    // materialize the edge list ONCE (eager lineage cut, same phase-barrier
+    // pattern as DedupOps): 4 half-iterations reuse it instead of
+    // re-scanning + re-distincting the fact table per join
     val edges = Tables.lineitem(spark, dir)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+      .localCheckpoint(true)
     val degP = edges.groupBy("p").agg(count(lit(1)).as("deg_p"))
     val degS = edges.groupBy("s").agg(count(lit(1)).as("deg_s"))
     def suppRound(partRank: DataFrame): DataFrame =
