@@ -681,6 +681,43 @@ object QueriesWindow {
     WHERE NOT (COALESCE(m1 >= p_size, false) OR m2 > p_size)
     ORDER BY p_brand, p_partkey"""
 
+  /** Rolling p25/p75/IQR over a 5-row frame (pandas
+    * rolling(5, min_periods=5).quantile(.25/.75)): at n=5 the quantile
+    * positions q·(n−1) are the integers 1 and 3, so both engines read
+    * EXACT sorted-frame elements — no interpolation arithmetic to
+    * ulp-diverge. Same sorted-constant-frame-array device as
+    * q_roll_median; one partitioned window sort carries all three
+    * outputs. */
+  def qRollQuantile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w5 = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(-4, Window.currentRow)
+    val s5 = array_sort(collect_list(col("c")).over(w5))
+    val full = count(lit(1)).over(w5) === 5
+    Tables.events(spark, dir)
+      .withColumn("c", round(col("value") * 100).cast("long"))
+      .select(col("event_id"), col("user_id"),
+        when(full, element_at(s5, 2).cast("double") / 100.0).as("p25"),
+        when(full, element_at(s5, 4).cast("double") / 100.0).as("p75"),
+        when(full, (element_at(s5, 4) - element_at(s5, 2)).cast("double") / 100.0)
+          .as("iqr"))
+      .orderBy("event_id")
+  }
+
+  val qRollQuantileOracle: String = """
+    WITH e AS (SELECT event_id, user_id,
+                      CAST(round(value*100) AS BIGINT) c FROM events),
+    w AS (SELECT event_id, user_id,
+                 list_sort(list(c) OVER w5) s5, count(*) OVER w5 n5
+          FROM e
+          WINDOW w5 AS (PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+    SELECT event_id, user_id,
+           CASE WHEN n5 = 5 THEN CAST(s5[2] AS DOUBLE)/100.0 END AS p25,
+           CASE WHEN n5 = 5 THEN CAST(s5[4] AS DOUBLE)/100.0 END AS p75,
+           CASE WHEN n5 = 5 THEN CAST(s5[4] - s5[2] AS DOUBLE)/100.0 END AS iqr
+    FROM w ORDER BY event_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_cumsum", qCumsum, Some(qCumsumOracle)),
     QueryDef("q_diff_pct", qDiffPct, Some(qDiffPctOracle)),
@@ -698,5 +735,6 @@ object QueriesWindow {
     QueryDef("q_ewma", qEwma, Some(qEwmaOracle)),
     QueryDef("q_pct_rank", qPctRank, Some(qPctRankOracle)),
     QueryDef("q_expanding", qExpanding, Some(qExpandingOracle)),
-    QueryDef("q_skyline", qSkyline, Some(qSkylineOracle)))
+    QueryDef("q_skyline", qSkyline, Some(qSkylineOracle)),
+    QueryDef("q_roll_quantile", qRollQuantile, Some(qRollQuantileOracle)))
 }

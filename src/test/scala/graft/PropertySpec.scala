@@ -56,6 +56,57 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("busday closed form == brute-force weekday count (any date pair 1990-2010)") {
+    // b(d) counts weekdays in [1970-01-05, d); latency = b(d2) - b(d1)
+    val dayGen = Gen.choose(7305L, 14610L) // days since epoch-Monday, ~1990..2010
+    check(Prop.forAll(Gen.listOfN(20, Gen.zip(dayGen, dayGen))) { pairs =>
+      def b(days: Long): Long = 5 * (days / 7) + math.min(days % 7, 5L)
+      def brute(d1: Long, d2: Long): Long = {
+        val (lo, hi) = (math.min(d1, d2), math.max(d1, d2))
+        val n = (lo until hi).count(d => d % 7 < 5).toLong
+        if (d2 >= d1) n else -n
+      }
+      pairs.forall { case (d1, d2) => b(d2) - b(d1) == brute(d1, d2) }
+    })
+  }
+
+  test("pagerank integer flow == naive in-memory replay on random bipartite graphs") {
+    val edgeGen: Gen[List[(Long, Long)]] = Gen.choose(1, 40).flatMap { n =>
+      Gen.listOfN(n, Gen.zip(Gen.choose(0L, 7L), Gen.choose(0L, 4L)))
+    }
+    check(Prop.forAll(edgeGen) { raw =>
+      val edges = raw.distinct
+      val degP = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val degS = edges.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      def suppRound(rp: Map[Long, Long]): Map[Long, Long] =
+        edges.groupBy(_._2).view.mapValues { es =>
+          150000L + 85L * es.map { case (p, _) => rp(p) / degP(p) }.sum / 100L
+        }.toMap
+      def partRound(rs: Map[Long, Long]): Map[Long, Long] =
+        edges.groupBy(_._1).view.mapValues { es =>
+          150000L + 85L * es.map { case (_, s) => rs(s) / degS(s) }.sum / 100L
+        }.toMap
+      val r0 = degP.keys.map(_ -> 1000000L).toMap
+      val want = partRound(suppRound(partRound(suppRound(r0))))
+
+      val df = edges.toDF("p", "s")
+      val dp = df.groupBy("p").agg(count(lit(1)).as("deg_p"))
+      val ds = df.groupBy("s").agg(count(lit(1)).as("deg_s"))
+      def sRound(pr: org.apache.spark.sql.DataFrame) =
+        df.join(pr, Seq("p")).join(dp, Seq("p"))
+          .groupBy("s").agg(sum(expr("rp div deg_p")).as("inflow"))
+          .select($"s", (lit(150000L) + expr("(85 * inflow) div 100")).as("rs"))
+      def pRound(sr: org.apache.spark.sql.DataFrame) =
+        df.join(sr, Seq("s")).join(ds, Seq("s"))
+          .groupBy("p").agg(sum(expr("rs div deg_s")).as("inflow"))
+          .select($"p", (lit(150000L) + expr("(85 * inflow) div 100")).as("rp"))
+      val r0df = dp.select($"p", lit(1000000L).as("rp"))
+      val got = pRound(sRound(pRound(sRound(r0df))))
+        .as[(Long, Long)].collect().toMap
+      got == want
+    })
+  }
+
   test("sum == last non-null cumsum per group") {
     check(Prop.forAll(rowsGen) { rows =>
       val df = rows.zipWithIndex
