@@ -963,6 +963,44 @@ object QueriesAgg {
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     ORDER BY gid, l_returnflag, l_linestatus"""
 
+  /** Weighted (lower) median per group — the weighted-percentile kernel
+    * importance-weighted sampling pipelines need (numpy's weighted
+    * quantile; no pandas built-in). Weights are fixture-derived integers,
+    * the running weight is one partitioned window cumsum over the
+    * (value, id) total order, and the pick is `min(v | 2·cumw ≥ totw)` —
+    * all integer compares, so engines can't diverge on tie handling. */
+  def qWeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("c"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col("event_type"))
+    Tables.events(spark, dir)
+      .withColumn("c", round(col("value") * 100).cast("long"))
+      .withColumn("wt", (col("event_id") % 7 + 1).cast("long"))
+      .withColumn("cumw", sum(col("wt")).over(w))
+      .withColumn("totw", sum(col("wt")).over(wAll))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), max("totw").as("tot_weight"),
+        (min(when(col("cumw") * 2 >= col("totw"), col("c"))).cast("double") / 100.0)
+          .as("weighted_median"))
+      .orderBy("event_type")
+  }
+
+  val qWeightedMedianOracle: String = """
+    WITH e AS (SELECT event_type, event_id,
+                      CAST(round(value*100) AS BIGINT) AS c,
+                      event_id % 7 + 1 AS wt FROM events),
+    r AS (SELECT event_type, c, wt,
+                 sum(wt) OVER (PARTITION BY event_type ORDER BY c, event_id
+                               ROWS UNBOUNDED PRECEDING) AS cumw,
+                 sum(wt) OVER (PARTITION BY event_type) AS totw
+          FROM e)
+    SELECT event_type, count(*) AS n,
+           CAST(max(totw) AS BIGINT) AS tot_weight,
+           CAST(min(CASE WHEN cumw * 2 >= totw THEN c END) AS DOUBLE)/100.0
+             AS weighted_median
+    FROM r GROUP BY 1 ORDER BY 1"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q1_flagship", q1, Some(q1Oracle)),
     QueryDef("q_kahan_sum", qKahan, Some(qKahanOracle)),
@@ -993,5 +1031,6 @@ object QueriesAgg {
     QueryDef("q_iceberg", qIceberg, Some(qIcebergOracle)),
     QueryDef("q_idx_minmax", qIdxMinMax, Some(qIdxMinMaxOracle)),
     QueryDef("q_onehot", qOnehot, Some(qOnehotOracle)),
-    QueryDef("q_grouping_sets", qGroupingSets, Some(qGroupingSetsOracle)))
+    QueryDef("q_grouping_sets", qGroupingSets, Some(qGroupingSetsOracle)),
+    QueryDef("q_weighted_median", qWeightedMedian, Some(qWeightedMedianOracle)))
 }

@@ -1017,6 +1017,43 @@ object QueriesText {
            replace(left(text, 20), ' ', '_') AS head_snake
     FROM documents ORDER BY doc_id"""
 
+  /** Class rebalancing by integer oversampling (the minority-upsampling
+    * pass before training on imbalanced data): each lang is replicated
+    * `max_n div n` times via an exploded copy index — a generated-column
+    * explode, no self-join, rows scale with the OUTPUT size. The checksum
+    * over (doc_id · copy) proves the explode materialized rather than
+    * being constant-folded to arithmetic. */
+  def qBalance(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+    val mx = broadcast(per.agg(max("n").as("max_n")))
+    val rep = per.crossJoin(mx)
+      .withColumn("rep", expr("max_n div n"))
+    Tables.documents(spark, dir)
+      .join(broadcast(rep.select("lang", "rep")), Seq("lang"))
+      .select(col("lang"), col("doc_id"),
+        explode(expr("sequence(1L, rep)")).as("copy"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_balanced"),
+        sum(col("doc_id") * col("copy")).as("chk"))
+      .join(broadcast(rep), Seq("lang"))
+      .select("lang", "n", "rep", "n_balanced", "chk")
+      .orderBy("lang")
+  }
+
+  val qBalanceOracle: String = """
+    WITH per AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+    mx AS (SELECT max(n) AS max_n FROM per),
+    rep AS (SELECT lang, n, max_n // n AS rep FROM per CROSS JOIN mx),
+    b AS (SELECT d.lang, d.doc_id,
+                 unnest(generate_series(1, rep)) AS copy
+          FROM documents d JOIN rep USING (lang)),
+    agg AS (SELECT lang, count(*) AS n_balanced,
+                   CAST(sum(doc_id * copy) AS BIGINT) AS chk
+            FROM b GROUP BY 1)
+    SELECT lang, n, CAST(rep AS BIGINT) AS rep, n_balanced, chk
+    FROM agg JOIN rep USING (lang) ORDER BY lang"""
+
   /** Contingency table with lift (pandas crosstab + association signal):
     * one hash-agg for the cells, then per-lang / per-source marginals
     * rolled up FROM the cells (tiny aggregates, broadcast back) — the base
@@ -1076,5 +1113,6 @@ object QueriesText {
     QueryDef("q_pack", qPack, Some(qPackOracle)),
     QueryDef("q_contingency", qContingency, Some(qContingencyOracle)),
     QueryDef("q_dup_keep", qDupKeep, Some(qDupKeepOracle)),
-    QueryDef("q_str_ops", qStrOps, Some(qStrOpsOracle)))
+    QueryDef("q_str_ops", qStrOps, Some(qStrOpsOracle)),
+    QueryDef("q_balance", qBalance, Some(qBalanceOracle)))
 }
