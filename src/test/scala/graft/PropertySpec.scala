@@ -107,6 +107,23 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("zorder magic-number interleave == per-bit reference loop") {
+    val xyGen = Gen.listOfN(50, Gen.zip(Gen.choose(0L, 65535L), Gen.choose(0L, 65535L)))
+    check(Prop.forAll(xyGen) { pts =>
+      def naive(x: Long, y: Long): Long =
+        (0 until 16).map { i =>
+          (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+        }.reduce(_ | _)
+      def spread(v0: Long): Long = {
+        val v1 = (v0 | (v0 << 8)) & 16711935L
+        val v2 = (v1 | (v1 << 4)) & 252645135L
+        val v3 = (v2 | (v2 << 2)) & 858993459L
+        (v3 | (v3 << 1)) & 1431655765L
+      }
+      pts.forall { case (x, y) => (spread(x) | (spread(y) << 1)) == naive(x, y) }
+    })
+  }
+
   test("sum == last non-null cumsum per group") {
     check(Prop.forAll(rowsGen) { rows =>
       val df = rows.zipWithIndex
