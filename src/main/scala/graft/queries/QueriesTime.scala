@@ -489,6 +489,43 @@ object QueriesTime {
            CAST(min(nb) AS VARCHAR) AS min_next_busday
     FROM x GROUP BY 1 ORDER BY 1"""
 
+  /** Rolling distinct-user cardinality — DAU, trailing-7-day WAU, and the
+    * DAU/WAU stickiness ratio per observed day. A windowed
+    * `count(DISTINCT)` doesn't distribute (the frame's user set must be
+    * held per row); the scale-safe form used here dedups to (day, user)
+    * pairs once, then each pair CONTRIBUTES to the ≤7 target days it is
+    * visible from (bounded explode — the same device as the binned range
+    * join), and WAU is a plain hash-agg distinct per target day. Work is
+    * O(pairs·7), independent of window-frame width tricks. */
+  def qDauWau(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.events(spark, dir)
+      .select(datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+        .cast("long").as("day"), col("user_id")).distinct()
+    val days = pairs.select(col("day")).distinct()
+    val dau = pairs.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    val wau = pairs
+      .select(explode(expr("sequence(day, day + 6L)")).as("day"), col("user_id"))
+      .join(days, Seq("day"), "left_semi")
+      .groupBy("day").agg(countDistinct("user_id").as("wau"))
+    dau.join(wau, Seq("day"))
+      .withColumn("stickiness",
+        col("dau").cast("double") / col("wau").cast("double"))
+      .orderBy("day")
+  }
+
+  val qDauWauOracle: String = """
+    WITH p AS (SELECT DISTINCT
+                 datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+                 user_id FROM events),
+    d AS (SELECT DISTINCT day FROM p),
+    dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM p GROUP BY 1),
+    c AS (SELECT unnest(generate_series(day, day + 6)) AS day, user_id FROM p),
+    wau AS (SELECT c.day, count(DISTINCT c.user_id) AS wau
+            FROM c SEMI JOIN d ON c.day = d.day GROUP BY 1)
+    SELECT CAST(day AS BIGINT) AS day, dau, wau,
+           CAST(dau AS DOUBLE)/CAST(wau AS DOUBLE) AS stickiness
+    FROM dau JOIN wau USING (day) ORDER BY day"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_window_tumbling", qTumbling, Some(qTumblingOracle)),
     QueryDef("q_window_sliding", qSliding, Some(qSlidingOracle)),
@@ -502,5 +539,6 @@ object QueriesTime {
     QueryDef("q_cohort", qCohort, Some(qCohortOracle)),
     QueryDef("q_mad_outlier", qMadOutlier, Some(qMadOutlierOracle)),
     QueryDef("q_sessionize", qSessionize, Some(qSessionizeOracle)),
-    QueryDef("q_busday", qBusday, Some(qBusdayOracle)))
+    QueryDef("q_busday", qBusday, Some(qBusdayOracle)),
+    QueryDef("q_dau_wau", qDauWau, Some(qDauWauOracle)))
 }
