@@ -14,7 +14,8 @@ object SparkEntry {
 
   private def packs: Seq[QueryDef] =
     QueriesAgg.defs ++ QueriesWindow.defs ++ QueriesRel.defs ++
-      QueriesTime.defs ++ QueriesText.defs ++ QueriesSim.defs ++ QueriesMm.defs
+      QueriesTime.defs ++ QueriesText.defs ++ QueriesSim.defs ++
+      QueriesMm.defs ++ QueriesCdc.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

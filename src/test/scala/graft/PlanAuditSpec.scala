@@ -214,4 +214,39 @@ class PlanAuditSpec extends SparkSpec {
     val fin = df.queryExecution.executedPlan.toString
     assert(fin.contains("ReusedExchange"), fin)
   }
+
+  test("pack H: cdc/ordinal windows partitioned by user; no fact-level global sort") {
+    Seq("q_cumcount", "q_scd2", "q_twa").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("Window"), s"$q:\n$p")
+      assert(!p.contains("SinglePartition"), s"$q:\n$p")
+      assert(!p.contains("Join"), s"$q:\n$p")
+      // one window exchange + the output range partitioning at most
+      assert(count(p, "Exchange") <= 2, s"$q:\n$p")
+    }
+  }
+
+  test("q_gini: majority rank runs partitioned on the class agg, no single-task stage") {
+    val p = plan("q_gini")
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_value_counts: global window sits above the agg, never over the fact scan") {
+    val p = plan("q_value_counts")
+    // the SinglePartition exchange is fed by the (bounded-cardinality)
+    // HashAggregate, so the fact table never funnels into one task: the
+    // scan's direct parent must be a partial aggregate
+    assert(p.contains("SinglePartition"), p)
+    val lines = p.linesIterator.toSeq
+    val scanIdx = lines.indexWhere(_.contains("FileScan"))
+    assert(lines(scanIdx - 1).contains("HashAggregate"), p)
+  }
+
+  test("q_profile: one scan, Expand-fed multi-distinct single pass") {
+    val p = plan("q_profile")
+    assert(count(p, "FileScan") == 1, p)
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("Join"), p)
+  }
 }
