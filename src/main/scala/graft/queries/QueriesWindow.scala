@@ -718,8 +718,73 @@ object QueriesWindow {
            CASE WHEN n5 = 5 THEN CAST(s5[4] - s5[2] AS DOUBLE)/100.0 END AS iqr
     FROM w ORDER BY event_id"""
 
+  /** Rolling skewness + excess kurtosis (pandas `rolling(5).skew()/.kurt()`
+    * bias-corrected formulas) from EXACT integer power sums over the
+    * 5-row frame. Values quantize to tenths (|x| ≤ 6e3 here) so even the
+    * 4th raw power sum stays far inside a long: the central-moment
+    * numerators A2 = n·S2 − S1², A3 = n²·S3 − 3n·S2·S1 + 2·S1³,
+    * A4 = n³·S4 − 4n²·S3·S1 + 6n·S2·S1² − 3·S1⁴ are integer-exact, and
+    * for n = 5 the pandas formulas collapse to
+    *   skew = √20/3 · A3 / (A2·√A2),   kurt = 4·A4/A2² − 8,
+    * leaving one identically-shaped float expression per engine (√ not
+    * pow — pow differs by 1 ulp between JVM and libm). One partitioned
+    * window sort carries all four sums. */
+  def qRollMoments(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val w5 = wu.rowsBetween(-4, Window.currentRow)
+    val e = Tables.events(spark, dir)
+      .withColumn("x", round(col("value") * 10).cast("long"))
+    val cnt = count(col("x")).over(w5)
+    val s1 = sum(col("x")).over(w5)
+    val s2 = sum(col("x") * col("x")).over(w5)
+    val s3 = sum(col("x") * col("x") * col("x")).over(w5)
+    val s4 = sum(col("x") * col("x") * col("x") * col("x")).over(w5)
+    val a2 = lit(5L) * s2 - s1 * s1
+    val a3 = lit(25L) * s3 - lit(15L) * s2 * s1 + lit(2L) * s1 * s1 * s1
+    val a4 = lit(125L) * s4 - lit(100L) * s3 * s1 +
+      lit(30L) * s2 * s1 * s1 - lit(3L) * s1 * s1 * s1 * s1
+    val a2d = a2.cast("double")
+    e.select(col("event_id"), col("user_id"),
+        when(cnt === 5 && a2 > 0,
+          a3.cast("double") * sqrt(lit(20.0)) /
+            (lit(3.0) * a2d * sqrt(a2d))).as("roll_skew"),
+        when(cnt === 5 && a2 > 0,
+          lit(4.0) * a4.cast("double") / (a2d * a2d) - lit(8.0))
+          .as("roll_kurt"))
+      .orderBy("event_id")
+  }
+
+  val qRollMomentsOracle: String = """
+    WITH e AS (SELECT event_id, user_id,
+                      CAST(round(value*10) AS BIGINT) x FROM events),
+    w AS (SELECT event_id, user_id, count(x) OVER win cnt,
+                 CAST(sum(x) OVER win AS BIGINT) s1,
+                 CAST(sum(x*x) OVER win AS BIGINT) s2,
+                 CAST(sum(x*x*x) OVER win AS BIGINT) s3,
+                 CAST(sum(x*x*x*x) OVER win AS BIGINT) s4
+          FROM e
+          WINDOW win AS (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+    m AS (SELECT event_id, user_id, cnt,
+                 5*s2 - s1*s1 AS a2,
+                 25*s3 - 15*s2*s1 + 2*s1*s1*s1 AS a3,
+                 125*s4 - 100*s3*s1 + 30*s2*s1*s1 - 3*s1*s1*s1*s1 AS a4
+          FROM w)
+    SELECT event_id, user_id,
+           CASE WHEN cnt = 5 AND a2 > 0 THEN
+             CAST(a3 AS DOUBLE) * sqrt(20.0) /
+               (3.0 * CAST(a2 AS DOUBLE) * sqrt(CAST(a2 AS DOUBLE)))
+           END AS roll_skew,
+           CASE WHEN cnt = 5 AND a2 > 0 THEN
+             4.0 * CAST(a4 AS DOUBLE) /
+               (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)) - 8.0
+           END AS roll_kurt
+    FROM m ORDER BY event_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_cumsum", qCumsum, Some(qCumsumOracle)),
+    QueryDef("q_roll_moments", qRollMoments, Some(qRollMomentsOracle)),
     QueryDef("q_diff_pct", qDiffPct, Some(qDiffPctOracle)),
     QueryDef("q_cumprod", qCumprod, Some(qCumprodOracle)),
     QueryDef("q_cum_minmax", qCumMinMax, Some(qCumMinMaxOracle)),

@@ -156,4 +156,33 @@ class ScaleOpsSpec extends SparkSpec {
     // integral values, per-key ordered accumulation -> exact equality
     expected.foreach { case (id, cs) => assert(got(id) == cs, s"row $id") }
   }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // At 100 TB a selective dim filter should reach the fact scan as a
+    // runtime bloom filter (row-level runtime filtering), cutting shuffle
+    // input before the join. Default thresholds (10 MB creation side /
+    // 10 GB application side) are sized for clusters, so lower them to
+    // fixture scale and pin the injection itself.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val part = Tables.part(spark, dir).where(col("p_size") === 1)
+      val li = Tables.lineitem(spark, dir)
+      val joined = li.join(part, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand").agg(sum("l_quantity").as("q"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("bloomfilter"),
+        s"expected a runtime bloom filter on the fact side:\n$plan")
+      assert(joined.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
