@@ -433,7 +433,55 @@ object QueriesRel {
     SELECT p AS l_partkey, CAST(rp AS BIGINT) AS rank_ppm
     FROM p2 ORDER BY rank_ppm DESC, l_partkey LIMIT 50"""
 
+  /** Join-key skew diagnostics — the measurement pass a 100 TB pipeline
+    * runs BEFORE choosing a repartition/salting strategy (the numbers that
+    * decide between a plain shuffle join, AQE skew split, or explicit
+    * salting, cf. RelOps.saltedAgg). One lineitem scan stacks the three
+    * candidate keys into (col_name, key) rows, one hash-agg counts per
+    * key, and the hot-key rank is a window PARTITIONED by col_name over
+    * the (already aggregated) frequency table. Shares are exact integer
+    * ppm; max/mean skew ratio in exact milli (max_cnt·n_keys ≈
+    * skew·n_rows, so the milli product stays inside a long up to ~10¹²
+    * rows × 1000× skew). */
+  def qSkewDiag(spark: SparkSession, dir: String): DataFrame = {
+    val byCol = org.apache.spark.sql.expressions.Window
+      .partitionBy("col_name").orderBy(col("cnt").desc, col("key"))
+    val freq = Tables.lineitem(spark, dir)
+      .select(expr("stack(3, 'l_orderkey', l_orderkey, " +
+        "'l_partkey', l_partkey, 'l_suppkey', l_suppkey) as (col_name, key)"))
+      .groupBy("col_name", "key").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(byCol))
+    freq.groupBy("col_name")
+      .agg(sum("cnt").as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max("cnt").as("max_cnt"),
+        max(when(col("rn") === 1, col("key"))).as("top_key"))
+      .select(col("col_name"), col("n_rows"), col("n_keys"),
+        col("max_cnt"), col("top_key"),
+        expr("max_cnt * 1000000L div n_rows").as("max_share_ppm"),
+        expr("max_cnt * n_keys * 1000L div n_rows").as("skew_x1000"))
+      .orderBy("col_name")
+  }
+
+  val qSkewDiagOracle: String = """
+    WITH s AS (
+      SELECT 'l_orderkey' col_name, l_orderkey jk FROM lineitem
+      UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+      UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem),
+    f AS (SELECT col_name, jk, count(*) cnt FROM s GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (PARTITION BY col_name
+                      ORDER BY cnt DESC, jk) rn FROM f),
+    a AS (SELECT col_name, sum(cnt) n_rows, count(*) n_keys,
+                 max(cnt) max_cnt,
+                 max(CASE WHEN rn = 1 THEN jk END) top_key
+          FROM r GROUP BY 1)
+    SELECT col_name, CAST(n_rows AS BIGINT) n_rows, n_keys, max_cnt, top_key,
+           CAST(max_cnt * 1000000 // n_rows AS BIGINT) max_share_ppm,
+           CAST(max_cnt * n_keys * 1000 // n_rows AS BIGINT) skew_x1000
+    FROM a ORDER BY col_name"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_skew_diag", qSkewDiag, Some(qSkewDiagOracle)),
     QueryDef("q_take", qTake, Some(qTakeOracle)),
     QueryDef("q_take_upcast", qTakeUpcast, Some(qTakeUpcastOracle)),
     QueryDef("q_factorize", qFactorize, Some(qFactorizeOracle)),

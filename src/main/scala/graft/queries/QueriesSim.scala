@@ -409,7 +409,62 @@ object QueriesSim {
     GROUP BY cluster_id ORDER BY cluster_id"""
   }
 
+  /** Int8 embedding compression audit (the storage-halving step of a real
+    * vector pipeline): symmetric per-vector quantization
+    * q = round(m·127/max|m|) with EXACT integer half-up rounding
+    * ((|m|·254 + maxm) div (2·maxm), sign re-applied) over the
+    * milli-quantized coordinates, then exact error accounting in units of
+    * 1/127-milli: err = |127·m − q·maxm|. Everything through the per-label
+    * rollup is integer arithmetic, so the DuckDB oracle hash-matches;
+    * the only doubles are two final divisions. One posexplode + one
+    * (vec_id)-window max + one hash-agg — no joins. */
+  def qEmbedQuant(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+    val m = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(SimilarityOps.quantize(col("embedding"))).as(Seq("i", "m")))
+      .withColumn("maxm", max(abs(col("m"))).over(w))
+    val q8 = when(col("maxm") === 0, lit(0L)).otherwise(
+      when(col("m") < 0, lit(-1L)).otherwise(lit(1L)) *
+        expr("(abs(m)*254 + maxm) div (2*maxm)"))
+    m.withColumn("q8", q8)
+      .withColumn("err127", abs(lit(127L) * col("m") - col("q8") * col("maxm")))
+      .groupBy("label")
+      .agg(countDistinct("vec_id").as("n_vecs"),
+        count(lit(1)).as("n_dims"),
+        max(abs(col("q8"))).as("max_q8"),
+        sum("err127").as("sum_err127"),
+        sum(abs(col("m")) * 127L).as("sum_abs127"))
+      .withColumn("rel_err_ppm",
+        expr("sum_err127 * 1000000L div sum_abs127"))
+      .withColumn("mean_abs_err_milli",
+        col("sum_err127").cast("double") / lit(127.0) /
+          col("n_dims").cast("double"))
+      .orderBy("label")
+  }
+
+  val qEmbedQuantOracle: String = s"""
+    WITH u AS (SELECT vec_id, label, generate_subscripts(embedding,1) i,
+                      unnest(embedding) x FROM embeddings),
+    m AS (SELECT vec_id, label, i, $quantSql m FROM u),
+    mm AS (SELECT *, max(abs(m)) OVER (PARTITION BY vec_id) maxm FROM m),
+    q AS (SELECT *, CASE WHEN maxm = 0 THEN 0
+                         ELSE (CASE WHEN m < 0 THEN -1 ELSE 1 END)
+                              * ((abs(m)*254 + maxm) // (2*maxm)) END q8
+          FROM mm),
+    e AS (SELECT *, abs(127*m - q8*maxm) err127 FROM q)
+    SELECT label, count(DISTINCT vec_id) n_vecs, count(*) n_dims,
+           CAST(max(abs(q8)) AS BIGINT) max_q8,
+           CAST(sum(err127) AS BIGINT) sum_err127,
+           CAST(sum(abs(m)*127) AS BIGINT) sum_abs127,
+           CAST(CAST(sum(err127) AS BIGINT) * 1000000
+                // CAST(sum(abs(m)*127) AS BIGINT) AS BIGINT) rel_err_ppm,
+           CAST(sum(err127) AS DOUBLE) / 127.0 / CAST(count(*) AS DOUBLE)
+             AS mean_abs_err_milli
+    FROM e GROUP BY label ORDER BY label"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_embed_quant", qEmbedQuant, Some(qEmbedQuantOracle)),
     QueryDef("q_embed_topk", qEmbedTopK, Some(qEmbedTopKOracle)),
     QueryDef("q_embed_lsh", qEmbedLsh, Some(qEmbedLshOracle)),
     QueryDef("q_embed_lsh_probe", qEmbedLshProbe, Some(qEmbedLshProbeOracle)),
