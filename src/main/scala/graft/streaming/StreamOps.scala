@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Time-windowed aggregation builders over the `events` fixture — the
@@ -289,5 +289,68 @@ object StreamOps {
           (id, k, acc)
         }
       }
+  }
+
+  /** Stream-static enrichment join: every micro-batch joins the static dim
+    * side, re-planned per batch (so a refreshed dim file is picked up at
+    * the next batch). The broadcast hint keeps the stream side shuffle-free
+    * — the canonical shape for dim lookup at any stream rate. */
+  def enrichWithStatic(stream: DataFrame, static: DataFrame,
+                       keys: Seq[String]): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(static), keys)
+
+  /** Idempotent compact-and-swap snapshot upsert — the exactly-once
+    * `foreachBatch` sink pattern for stores without MERGE transactions.
+    *
+    * Each micro-batch: read the current snapshot (via the `_CURRENT`
+    * pointer), union the batch's updates, keep the max-`verCol` row per
+    * key (ties broken by the update side), write the new snapshot to a
+    * batchId-stamped directory, then atomically swap the pointer. A
+    * REPLAYED batch (same batchId after failure recovery) finds its
+    * stamped directory already committed and becomes a no-op — that is
+    * what upgrades at-least-once micro-batch delivery to exactly-once
+    * state. All heavy work is distributed (one shuffle per batch, no
+    * driver-side collection); the pointer file is the only driver write.
+    * Wire as: `stream.writeStream.foreachBatch(upsertSnapshot(dir, keys,
+    * ver) _)`. */
+  def upsertSnapshot(snapshotRoot: String, keys: Seq[String], verCol: String)
+                    (updates: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val spark   = updates.sparkSession
+    val fs      = new java.io.File(snapshotRoot)
+    fs.mkdirs()
+    val pointer = new java.io.File(fs, "_CURRENT")
+    val target  = new java.io.File(fs, s"batch-$batchId")
+    if (target.exists()) return // replay after recovery: already committed
+    val current =
+      if (pointer.exists()) {
+        val cur = new String(java.nio.file.Files.readAllBytes(pointer.toPath),
+          "UTF-8").trim
+        Some(spark.read.parquet(s"$snapshotRoot/$cur"))
+      } else None
+    val unioned = current match {
+      case Some(snap) => snap.withColumn("_upd", lit(0))
+        .unionByName(updates.withColumn("_upd", lit(1)))
+      case None => updates.withColumn("_upd", lit(1))
+    }
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(verCol).desc, col("_upd").desc)
+    unioned.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).drop("_rn", "_upd")
+      .write.mode("overwrite").parquet(target.getPath)
+    // atomic pointer swap commits the batch
+    val tmp = new java.io.File(fs, s"_CURRENT.$batchId.tmp")
+    java.nio.file.Files.write(tmp.toPath, s"batch-$batchId".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, pointer.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Read the current snapshot written by [[upsertSnapshot]]. */
+  def readSnapshot(spark: SparkSession, snapshotRoot: String): DataFrame = {
+    val cur = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(snapshotRoot, "_CURRENT").toPath), "UTF-8").trim
+    spark.read.parquet(s"$snapshotRoot/$cur")
   }
 }

@@ -137,4 +137,70 @@ class StreamingSpec extends SparkSpec {
       assert(n == 100 && total == 100)
     } finally q.stop()
   }
+
+  test("stream-static enrichment join == batch join (dim broadcast per micro-batch)") {
+    val ev  = Tables.events(spark, dir)
+      .select(col("ts"), col("event_id"), (col("user_id") % 25).as("c_custkey"))
+    val dim = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    val batch = StreamOps.enrichWithStatic(ev, dim, Seq("c_custkey"))
+      .groupBy("c_mktsegment").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+    ev.write.mode("overwrite").parquet(tmpPath("graft_enrich_in"))
+    val stream = spark.readStream.schema(ev.schema).parquet(tmpPath("graft_enrich_in"))
+    val q = StreamOps.enrichWithStatic(stream, dim, Seq("c_custkey"))
+      .groupBy("c_mktsegment").count()
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("enrich_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("enrich_out").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
+  test("foreachBatch upsert snapshot: latest-state == batch argmax; replay is a no-op") {
+    val root = tmpPath("graft_upsert_snap")
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type").as("state"),
+        unix_micros(col("ts")).as("ver"))
+    ev.write.mode("overwrite").parquet(tmpPath("graft_upsert_in"))
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(tmpPath("graft_upsert_in"))
+    val sink: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      StreamOps.upsertSnapshot(root, Seq("user_id"), "ver")
+    val q = stream.writeStream
+      .option("checkpointLocation", tmpPath("graft_upsert_ckpt"))
+      .foreachBatch(sink)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    // batch truth: the max-ver state per user (ver is unique per user here)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ver").desc)
+    val want = ev.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select("user_id", "state").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    def snap() = StreamOps.readSnapshot(spark, root)
+      .select("user_id", "state").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(snap() == want)
+
+    // replaying an already-committed batchId must not change the snapshot
+    val before = snap()
+    StreamOps.upsertSnapshot(root, Seq("user_id"), "ver")(
+      ev.limit(0), batchId = 0L)
+    assert(snap() == before)
+
+    // a NEW batch with a higher version wins; stale versions lose
+    import spark.implicits._
+    val upd = Seq((0L, "overridden", Long.MaxValue), (1L, "stale", -1L))
+      .toDF("user_id", "state", "ver")
+    StreamOps.upsertSnapshot(root, Seq("user_id"), "ver")(upd, batchId = 999L)
+    val after = snap()
+    assert(after.contains((0L, "overridden")))
+    assert(!after.contains((1L, "stale")))
+  }
 }
