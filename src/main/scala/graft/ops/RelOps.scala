@@ -35,7 +35,8 @@ object RelOps {
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftOrd: String, rightOrd: String,
                payload: String, as: String,
-               direction: String = "backward"): DataFrame = {
+               direction: String = "backward",
+               tolerance: Option[Column] = None): DataFrame = {
     val leftCols = left.columns
     val l = left.withColumn("__ord", col(leftOrd)).withColumn("__isR", lit(0))
       .withColumn("__pay", lit(null).cast(right.schema(payload).dataType))
@@ -65,8 +66,24 @@ object RelOps {
           .otherwise(f)
       case other => throw new IllegalArgumentException(s"direction $other")
     }
+    // pandas merge_asof tolerance=: a match farther than `tol` (in ordinate
+    // units — works for numeric ords and interval-typed timestamp diffs)
+    // is discarded, not substituted by an earlier row. Identical window
+    // expressions collapse to one physical window, so re-using `matched`
+    // here adds no extra pass.
+    val bounded = tolerance match {
+      case None => matched
+      case Some(tol) =>
+        val dist = direction match {
+          case "backward" => col("__ord") - matched.getField("o")
+          case "forward"  => matched.getField("o") - col("__ord")
+          case _ => greatest(col("__ord") - matched.getField("o"),
+            matched.getField("o") - col("__ord"))
+        }
+        when(dist <= tol, matched)
+    }
     unioned
-      .withColumn(as, matched.getField("p"))
+      .withColumn(as, bounded.getField("p"))
       .where(col("__isR") === 0)
       .select(leftCols.map(col) :+ col(as): _*)
   }

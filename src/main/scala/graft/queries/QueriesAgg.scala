@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops.{GroupedOps, QuantileOps}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1001,7 +1001,78 @@ object QueriesAgg {
              AS weighted_median
     FROM r GROUP BY 1 ORDER BY 1"""
 
+  /** Pairwise correlation matrix (pandas `df.corr()`) over the four
+    * lineitem measures, melted to (var_a, var_b, n, corr) rows. ONE scan
+    * and ONE reduce-to-a-row aggregate computes all 14 exact integer power
+    * sums (whole-unit price quantization keeps Σprice² inside a long past
+    * 10⁸ rows); the 6 upper-triangle pairs unpivot from that single row,
+    * so the plan is scan → partial agg → 1-row final agg → projection —
+    * no per-pair scans, no joins. */
+  def qCorrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val measures = Seq(
+      "qty"   -> round(col("l_quantity")).cast("long"),
+      "price" -> round(col("l_extendedprice")).cast("long"),
+      "disc"  -> round(col("l_discount") * 100).cast("long"),
+      "tax"   -> round(col("l_tax") * 100).cast("long"))
+    val base = Tables.lineitem(spark, dir)
+      .select(measures.map { case (n, c) => c.as(n) }: _*)
+    val names = measures.map(_._1)
+    val sums =
+      count(lit(1)).as("n") +:
+        (names.map(a => sum(col(a)).as(s"s_$a")) ++
+          names.map(a => sum(col(a) * col(a)).as(s"ss_$a")) ++
+          names.combinations(2).map { case Seq(a, b) =>
+            sum(col(a) * col(b)).as(s"sp_${a}_$b")
+          }.toSeq)
+    val one = base.agg(sums.head, sums.tail: _*)
+    val pairRows = names.combinations(2).map { case Seq(a, b) =>
+      s"'$a', '$b', s_$a, s_$b, ss_$a, ss_$b, sp_${a}_$b"
+    }.mkString(", ")
+    // n·Σx² for the price pairs tops 5e20 at sf0.1 — past long range, so
+    // the closed-form variance/covariance numerators run in Decimal(38,0)
+    // (exact, mirrors the oracle's HUGEINT) and convert to double only for
+    // the final sqrt/division
+    val dec = "decimal(38,0)"
+    def d(c: Column) = c.cast(dec)
+    one.select(col("n"), expr(
+        s"stack(6, $pairRows) as (var_a, var_b, sx, sy, sxx, syy, sxy)"))
+      .select(col("var_a"), col("var_b"), col("n"),
+        ((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))).cast("double") /
+          (sqrt((d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))).cast("double")) *
+            sqrt((d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))).cast("double"))))
+          .as("corr"))
+      .orderBy("var_a", "var_b")
+  }
+
+  val qCorrMatrixOracle: String = """
+    WITH b AS (SELECT CAST(round(l_quantity) AS BIGINT) qty,
+                      CAST(round(l_extendedprice) AS BIGINT) price,
+                      CAST(round(l_discount*100) AS BIGINT) disc,
+                      CAST(round(l_tax*100) AS BIGINT) tax FROM lineitem),
+    a AS (SELECT count(*) n,
+      sum(qty) s_qty, sum(price) s_price, sum(disc) s_disc, sum(tax) s_tax,
+      sum(qty*qty) ss_qty, sum(price*price) ss_price,
+      sum(disc*disc) ss_disc, sum(tax*tax) ss_tax,
+      sum(qty*price) sp_qty_price, sum(qty*disc) sp_qty_disc,
+      sum(qty*tax) sp_qty_tax, sum(price*disc) sp_price_disc,
+      sum(price*tax) sp_price_tax, sum(disc*tax) sp_disc_tax
+      FROM b),
+    p AS (
+      SELECT 'qty' var_a, 'price' var_b, n, s_qty sx, s_price sy,
+             ss_qty sxx, ss_price syy, sp_qty_price sxy FROM a
+      UNION ALL SELECT 'qty', 'disc', n, s_qty, s_disc, ss_qty, ss_disc, sp_qty_disc FROM a
+      UNION ALL SELECT 'qty', 'tax', n, s_qty, s_tax, ss_qty, ss_tax, sp_qty_tax FROM a
+      UNION ALL SELECT 'price', 'disc', n, s_price, s_disc, ss_price, ss_disc, sp_price_disc FROM a
+      UNION ALL SELECT 'price', 'tax', n, s_price, s_tax, ss_price, ss_tax, sp_price_tax FROM a
+      UNION ALL SELECT 'disc', 'tax', n, s_disc, s_tax, ss_disc, ss_tax, sp_disc_tax FROM a)
+    SELECT var_a, var_b, n,
+           CAST(n*sxy - sx*sy AS DOUBLE) /
+             (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+              sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr
+    FROM p ORDER BY var_a, var_b"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_corr_matrix", qCorrMatrix, Some(qCorrMatrixOracle)),
     QueryDef("q1_flagship", q1, Some(q1Oracle)),
     QueryDef("q_kahan_sum", qKahan, Some(qKahanOracle)),
     QueryDef("q_approx_sketch", qApprox, None),

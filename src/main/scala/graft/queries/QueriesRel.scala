@@ -480,7 +480,46 @@ object QueriesRel {
            CAST(max_cnt * n_keys * 1000 // n_rows AS BIGINT) skew_x1000
     FROM a ORDER BY col_name"""
 
+  /** As-of join with pandas `tolerance=`: a backward match farther than 10
+    * minutes is DISCARDED (not replaced by an earlier row). Exercises the
+    * numeric-ordinate arm of RelOps.asofJoin (epoch micros) — same
+    * union-and-scan single-sort plan; the tolerance is a post-match
+    * comparison on the carried (ord, payload) struct. */
+  def qAsofTol(spark: SparkSession, dir: String): DataFrame = {
+    val tolUs     = 10L * 60 * 1000000
+    val ev        = Tables.events(spark, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("value").as("click_value"))
+    RelOps.asofJoin(purchases, clicks, Seq("user_id"), "us", "us",
+        "click_value", "last_click_value",
+        tolerance = Some(lit(tolUs)))
+      .select("event_id", "user_id", "value", "last_click_value")
+      .orderBy("event_id")
+  }
+
+  val qAsofTolOracle: String = """
+    WITH u AS (
+      SELECT user_id, epoch_us(ts) us, 0 AS isr, event_id, value,
+             NULL::DOUBLE AS pay
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, epoch_us(ts), 1, NULL, NULL::DOUBLE, value
+      FROM events WHERE event_type = 'click'),
+    s AS (SELECT *, last_value(CASE WHEN isr = 1 THEN {'o': us, 'p': pay} END
+                               IGNORE NULLS)
+                      OVER (PARTITION BY user_id ORDER BY us, isr DESC
+                            ROWS UNBOUNDED PRECEDING) m
+          FROM u)
+    SELECT event_id, user_id, value,
+           CASE WHEN us - m.o <= 600000000 THEN m.p END AS last_click_value
+    FROM s WHERE isr = 0 ORDER BY event_id"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_asof_tol", qAsofTol, Some(qAsofTolOracle)),
     QueryDef("q_skew_diag", qSkewDiag, Some(qSkewDiagOracle)),
     QueryDef("q_take", qTake, Some(qTakeOracle)),
     QueryDef("q_take_upcast", qTakeUpcast, Some(qTakeUpcastOracle)),

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops.WindowOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Pack B — grouped length-preserving transforms (SURVEY.md §2.3):
@@ -782,9 +782,83 @@ object QueriesWindow {
            END AS roll_kurt
     FROM m ORDER BY event_id"""
 
+  /** Autocorrelation function at lags 1–3 per user (pandas
+    * `Series.autocorr(lag=k)` / statsmodels acf over each user's value
+    * series): Pearson correlation between the series and its k-shifted
+    * self over the pairwise-complete overlap. ONE window sort yields all
+    * three lag columns; one hash-agg accumulates the exact integer power
+    * sums (n, Σx, Σy, Σx², Σy², Σxy per lag); the only doubles are the
+    * three final correlation expressions (√ via sqrt, never pow). */
+  def qAcf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val e = Tables.events(spark, dir)
+      .withColumn("x", round(col("value") * 100).cast("long"))
+    val withLags = e.select(Seq(col("user_id"), col("x")) ++
+      (1 to 3).map(k => lag(col("x"), k).over(wu).as(s"y$k")): _*)
+    def corrAgg(k: Int): Seq[Column] = {
+      val y = col(s"y$k"); val x = col("x")
+      Seq(count(y).as(s"n$k"),
+        sum(when(y.isNotNull, x)).as(s"sx$k"), sum(y).as(s"sy$k"),
+        sum(when(y.isNotNull, x * x)).as(s"sxx$k"),
+        sum(y * y).as(s"syy$k"), sum(x * y).as(s"sxy$k"))
+    }
+    def corrOf(k: Int): Column = {
+      val (n, sx, sy, sxx, syy, sxy) =
+        (col(s"n$k"), col(s"sx$k"), col(s"sy$k"),
+          col(s"sxx$k"), col(s"syy$k"), col(s"sxy$k"))
+      val vx = n * sxx - sx * sx
+      val vy = n * syy - sy * sy
+      when(n >= 2 && vx > 0 && vy > 0,
+        (n * sxy - sx * sy).cast("double") /
+          (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+    }
+    withLags.groupBy("user_id")
+      .agg(corrAgg(1).head, (corrAgg(1).tail ++ corrAgg(2) ++ corrAgg(3)): _*)
+      .select(col("user_id"), col("n1"),
+        corrOf(1).as("acf1"), corrOf(2).as("acf2"), corrOf(3).as("acf3"))
+      .orderBy("user_id")
+  }
+
+  val qAcfOracle: String = """
+    WITH e AS (SELECT user_id, event_id,
+                      CAST(round(value*100) AS BIGINT) x FROM events),
+    l AS (SELECT user_id, x,
+                 lag(x, 1) OVER w y1, lag(x, 2) OVER w y2, lag(x, 3) OVER w y3
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+    a AS (SELECT user_id,
+        count(y1) n1, CAST(sum(CASE WHEN y1 IS NOT NULL THEN x END) AS BIGINT) sx1,
+        CAST(sum(y1) AS BIGINT) sy1,
+        CAST(sum(CASE WHEN y1 IS NOT NULL THEN x*x END) AS BIGINT) sxx1,
+        CAST(sum(y1*y1) AS BIGINT) syy1, CAST(sum(x*y1) AS BIGINT) sxy1,
+        count(y2) n2, CAST(sum(CASE WHEN y2 IS NOT NULL THEN x END) AS BIGINT) sx2,
+        CAST(sum(y2) AS BIGINT) sy2,
+        CAST(sum(CASE WHEN y2 IS NOT NULL THEN x*x END) AS BIGINT) sxx2,
+        CAST(sum(y2*y2) AS BIGINT) syy2, CAST(sum(x*y2) AS BIGINT) sxy2,
+        count(y3) n3, CAST(sum(CASE WHEN y3 IS NOT NULL THEN x END) AS BIGINT) sx3,
+        CAST(sum(y3) AS BIGINT) sy3,
+        CAST(sum(CASE WHEN y3 IS NOT NULL THEN x*x END) AS BIGINT) sxx3,
+        CAST(sum(y3*y3) AS BIGINT) syy3, CAST(sum(x*y3) AS BIGINT) sxy3
+      FROM l GROUP BY user_id)
+    SELECT user_id, n1,
+      CASE WHEN n1 >= 2 AND (n1*sxx1 - sx1*sx1) > 0 AND (n1*syy1 - sy1*sy1) > 0
+           THEN CAST(n1*sxy1 - sx1*sy1 AS DOUBLE) /
+                (sqrt(CAST(n1*sxx1 - sx1*sx1 AS DOUBLE)) *
+                 sqrt(CAST(n1*syy1 - sy1*sy1 AS DOUBLE))) END acf1,
+      CASE WHEN n2 >= 2 AND (n2*sxx2 - sx2*sx2) > 0 AND (n2*syy2 - sy2*sy2) > 0
+           THEN CAST(n2*sxy2 - sx2*sy2 AS DOUBLE) /
+                (sqrt(CAST(n2*sxx2 - sx2*sx2 AS DOUBLE)) *
+                 sqrt(CAST(n2*syy2 - sy2*sy2 AS DOUBLE))) END acf2,
+      CASE WHEN n3 >= 2 AND (n3*sxx3 - sx3*sx3) > 0 AND (n3*syy3 - sy3*sy3) > 0
+           THEN CAST(n3*sxy3 - sx3*sy3 AS DOUBLE) /
+                (sqrt(CAST(n3*sxx3 - sx3*sx3 AS DOUBLE)) *
+                 sqrt(CAST(n3*syy3 - sy3*sy3 AS DOUBLE))) END acf3
+    FROM a ORDER BY user_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_cumsum", qCumsum, Some(qCumsumOracle)),
     QueryDef("q_roll_moments", qRollMoments, Some(qRollMomentsOracle)),
+    QueryDef("q_acf", qAcf, Some(qAcfOracle)),
     QueryDef("q_diff_pct", qDiffPct, Some(qDiffPctOracle)),
     QueryDef("q_cumprod", qCumprod, Some(qCumprodOracle)),
     QueryDef("q_cum_minmax", qCumMinMax, Some(qCumMinMaxOracle)),
