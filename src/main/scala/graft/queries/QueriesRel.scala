@@ -518,7 +518,56 @@ object QueriesRel {
            CASE WHEN us - m.o <= 600000000 THEN m.p END AS last_click_value
     FROM s WHERE isr = 0 ORDER BY event_id"""
 
+  /** TPC-H Q3 shape (shipping-priority top-10) on the fixture star schema:
+    * segment-filtered customers ⋈ date-filtered orders ⋈ date-filtered
+    * lineitem, revenue per order, global top-10. The segment filter
+    * prunes at the customer scan and travels to the orders side as a
+    * join; lineitem revenue pre-aggregates per order BEFORE the orders
+    * join (q_join_agg's device — the wide shuffle happens once, at
+    * order grain); the top-10 is TakeOrderedAndProject (per-partition
+    * heaps, no global sort materialization). Cents arithmetic keeps
+    * revenue exact; the tiebreak on l_orderkey makes top-10 stable. */
+  def qTpchQ3(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-06-01").cast("date")
+    val c = Tables.customer(spark, dir)
+      .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(spark, dir)
+      .where(to_date(col("o_orderdate")) < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        col("o_orderpriority"))
+    val perOrder = Tables.lineitem(spark, dir)
+      .where(to_date(col("l_shipdate")) > cutoff)
+      .select(col("l_orderkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_c"))
+      .groupBy("l_orderkey").agg(sum("rev_c").as("rev_c"))
+    perOrder
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("l_orderkey"), col("o_date"), col("o_orderpriority"),
+        (col("rev_c").cast("double") / 10000.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val qTpchQ3Oracle: String = """
+    SELECT l_orderkey,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_date,
+           o_orderpriority,
+           CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(round(l_discount*100) AS BIGINT)))
+                AS DOUBLE)/10000.0 AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND CAST(o_orderdate AS DATE) < DATE '1998-06-01'
+      AND CAST(l_shipdate AS DATE) > DATE '1998-06-01'
+    GROUP BY l_orderkey, o_date, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_tpch_q3", qTpchQ3, Some(qTpchQ3Oracle)),
     QueryDef("q_asof_tol", qAsofTol, Some(qAsofTolOracle)),
     QueryDef("q_skew_diag", qSkewDiag, Some(qSkewDiagOracle)),
     QueryDef("q_take", qTake, Some(qTakeOracle)),

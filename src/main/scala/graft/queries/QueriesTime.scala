@@ -526,7 +526,44 @@ object QueriesTime {
            CAST(dau AS DOUBLE)/CAST(wau AS DOUBLE) AS stickiness
     FROM dau JOIN wau USING (day) ORDER BY day"""
 
+  /** Time-based rolling window (pandas `rolling('1h', on='ts')`): per-user
+    * trailing-hour event count / exact-cents sum / mean at every event —
+    * a RANGE frame over epoch seconds, not a row-count frame, so gaps and
+    * bursts weight correctly. One partitioned window sort; constant state
+    * per row (Spark evaluates the running RANGE frame incrementally). */
+  def qRollTime(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("s"))
+      .rangeBetween(-3600L, 0L)
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("c"))
+      // µs→s floor keeps the frame boundary identical in both engines
+      .withColumn("s", expr("us div 1000000L"))
+    e.select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum("c").over(w).as("sum_c_1h"),
+        (sum("c").over(w).cast("double") /
+          count(lit(1)).over(w).cast("double") / 100.0).as("mean_1h"))
+      .orderBy("event_id")
+  }
+
+  val qRollTimeOracle: String = """
+    WITH e AS (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS s,
+                      CAST(round(value*100) AS BIGINT) c FROM events)
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_1h,
+           CAST(sum(c) OVER w AS BIGINT) AS sum_c_1h,
+           CAST(sum(c) OVER w AS DOUBLE) / CAST(count(*) OVER w AS DOUBLE)
+             / 100.0 AS mean_1h
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY s
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_roll_time", qRollTime, Some(qRollTimeOracle)),
     QueryDef("q_window_tumbling", qTumbling, Some(qTumblingOracle)),
     QueryDef("q_window_sliding", qSliding, Some(qSlidingOracle)),
     QueryDef("q_session_window", qSession, Some(qSessionOracle)),

@@ -249,4 +249,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Expand"), p)
     assert(!p.contains("Join"), p)
   }
+
+  test("q_tpch_q3: pre-agg at order grain, filters pushed, top-10 is a heap cut") {
+    val p = plan("q_tpch_q3")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // revenue aggregates BEFORE the orders join: the lineitem-side
+    // HashAggregate must sit below every join in the tree
+    val aggIdx  = p.linesIterator.indexWhere(_.contains("HashAggregate"))
+    val joinIdx = p.linesIterator.indexWhere(_.contains("Join"))
+    assert(joinIdx < aggIdx, p) // parents print first: join above, agg below
+  }
+
+  test("q_acf: the lag window's exchange is reused by the power-sum agg") {
+    val p = plan("q_acf")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("SinglePartition"), p)
+    // one user_id hash exchange + the output range partitioning only —
+    // the groupBy(user_id) agg must NOT add a third
+    assert(count(p, "Exchange") <= 2, p)
+  }
+
+  test("q_roll_time / q_corr_matrix: single-pass shapes") {
+    val rt = plan("q_roll_time")
+    assert(rt.contains("Window") && !rt.contains("SinglePartition") &&
+      !rt.contains("Join"), rt)
+    val cm = plan("q_corr_matrix")
+    assert(count(cm, "FileScan") == 1 && !cm.contains("Join"), cm)
+  }
 }
