@@ -15,7 +15,7 @@ object SparkEntry {
   private def packs: Seq[QueryDef] =
     QueriesAgg.defs ++ QueriesWindow.defs ++ QueriesRel.defs ++
       QueriesTime.defs ++ QueriesText.defs ++ QueriesSim.defs ++
-      QueriesMm.defs ++ QueriesCdc.defs
+      QueriesMm.defs ++ QueriesCdc.defs ++ QueriesBehav.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

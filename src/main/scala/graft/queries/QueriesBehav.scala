@@ -1,0 +1,200 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pack I — behavioral / product-analytics operators over the events and
+  * orders tables: RFM segmentation, activity-streak mining
+  * (gaps-and-islands), event-transition matrices (first-order Markov),
+  * group-mean imputation, and 2-D histograms. All are one-or-two
+  * partitioned passes; shares and probabilities are exact integer ppm so
+  * the DuckDB oracles hash-match bit-for-bit.
+  */
+object QueriesBehav {
+
+  /** RFM segmentation (recency / frequency / monetary quintiles): one
+    * order-grain agg per customer, then three ntile(5) rankings over the
+    * (customer-grain, much smaller) aggregate with full deterministic
+    * tiebreaks, composed into the classic 3-digit RFM score and rolled up
+    * to score-level counts. The unpartitioned ntile windows run at
+    * customer grain — at 100 TB that is still fact/50× smaller; the
+    * scale-out alternative (two-phase quantile cut, QuantileOps) applies
+    * when customers themselves explode. */
+  def qRfm(spark: SparkSession, dir: String): DataFrame = {
+    val anchor = to_date(lit("2002-01-01"))
+    val perCust = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(datediff(anchor, max(to_date(col("o_orderdate")))).as("rec_days"),
+        count(lit(1)).as("freq"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("mon_c"))
+    // recency: smaller = better = higher quintile; freq/mon: bigger = better
+    val r = ntile(5).over(Window.orderBy(col("rec_days").desc, col("o_custkey")))
+    val f = ntile(5).over(Window.orderBy(col("freq"), col("o_custkey")))
+    val m = ntile(5).over(Window.orderBy(col("mon_c"), col("o_custkey")))
+    perCust
+      .select(col("o_custkey"), (r * 100 + f * 10 + m).as("rfm_score"))
+      .groupBy("rfm_score")
+      .agg(count(lit(1)).as("n_cust"), min("o_custkey").as("min_cust"))
+      .orderBy("rfm_score")
+  }
+
+  val qRfmOracle: String = """
+    WITH pc AS (SELECT o_custkey,
+                       datediff('day', max(CAST(o_orderdate AS DATE)),
+                                DATE '2002-01-01') rec_days,
+                       count(*) freq,
+                       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) mon_c
+                FROM orders GROUP BY 1),
+    t AS (SELECT o_custkey,
+                 ntile(5) OVER (ORDER BY rec_days DESC, o_custkey) r,
+                 ntile(5) OVER (ORDER BY freq, o_custkey) f,
+                 ntile(5) OVER (ORDER BY mon_c, o_custkey) m
+          FROM pc)
+    SELECT CAST(r*100 + f*10 + m AS INT) AS rfm_score, count(*) n_cust,
+           min(o_custkey) min_cust
+    FROM t GROUP BY 1 ORDER BY 1"""
+
+  /** Gaps-and-islands: consecutive-active-day streaks per user. Distinct
+    * (user, day) pairs once; the island id is the classic
+    * `day − row_number()` constant-per-streak trick (one partitioned
+    * window sort), then two stacked aggs give per-streak lengths and
+    * per-user streak stats. No self-joins, no spine table. */
+  def qGapIslands(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+          .cast("long").as("day"))
+      .distinct()
+    val streaks = days
+      .withColumn("isl", col("day") - row_number().over(w))
+      .groupBy("user_id", "isl")
+      .agg(count(lit(1)).as("len"), min("day").as("start_day"))
+    streaks.groupBy("user_id")
+      .agg(count(lit(1)).as("n_streaks"),
+        max("len").as("longest"),
+        sum("len").as("active_days"),
+        max(struct(col("len"), col("start_day"))).getField("start_day")
+          .as("best_start"))
+      .orderBy("user_id")
+  }
+
+  val qGapIslandsOracle: String = """
+    WITH d AS (SELECT DISTINCT user_id,
+                 datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) dd
+               FROM events),
+    i AS (SELECT user_id, dd,
+                 dd - row_number() OVER (PARTITION BY user_id ORDER BY dd) isl
+          FROM d),
+    s AS (SELECT user_id, isl, count(*) len, min(dd) start_day
+          FROM i GROUP BY 1, 2)
+    SELECT user_id, count(*) n_streaks, CAST(max(len) AS BIGINT) longest,
+           CAST(sum(len) AS BIGINT) active_days,
+           CAST(max(struct_pack(len := len, start_day := start_day)).start_day
+                AS BIGINT) best_start
+    FROM s GROUP BY user_id ORDER BY user_id"""
+
+  /** First-order Markov transition matrix over each user's event-type
+    * sequence: (from → to) counts via one lag window, transition
+    * probability as exact integer ppm of the from-state's outgoing total
+    * (window over the tiny transition agg), and each from-state's top
+    * successor. The fact-sized pass is one window sort + one hash-agg. */
+  def qMarkov(spark: SparkSession, dir: String): DataFrame = {
+    val wu = Window.partitionBy("user_id").orderBy("event_id")
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type").as("to_s"))
+      .withColumn("from_s", lag("to_s", 1).over(wu))
+      .where(col("from_s").isNotNull)
+      .groupBy("from_s", "to_s").agg(count(lit(1)).as("cnt"))
+    val byFrom  = Window.partitionBy("from_s")
+    val rankW   = Window.partitionBy("from_s")
+      .orderBy(col("cnt").desc, col("to_s"))
+    trans
+      .withColumn("tot", sum("cnt").over(byFrom))
+      .withColumn("p_ppm", expr("cnt * 1000000L div tot"))
+      .withColumn("is_top", (row_number().over(rankW) === 1).cast("int"))
+      .select("from_s", "to_s", "cnt", "p_ppm", "is_top")
+      .orderBy("from_s", "to_s")
+  }
+
+  val qMarkovOracle: String = """
+    WITH e AS (SELECT user_id, event_id, event_type to_s,
+                      lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY event_id) from_s
+               FROM events),
+    t AS (SELECT from_s, to_s, count(*) cnt FROM e
+          WHERE from_s IS NOT NULL GROUP BY 1, 2)
+    SELECT from_s, to_s, cnt,
+           CAST(cnt * 1000000 // (sum(cnt) OVER (PARTITION BY from_s))
+                AS BIGINT) p_ppm,
+           CAST(row_number() OVER (PARTITION BY from_s
+                  ORDER BY cnt DESC, to_s) = 1 AS INT) is_top
+    FROM t ORDER BY from_s, to_s"""
+
+  /** Group-mean imputation (pandas
+    * `fillna(groupby.transform('mean'))`): a deterministic mask nulls
+    * every 7th value; imputation substitutes the user's mean over the
+    * REMAINING values, computed by an unbounded window over the same
+    * user partition — no join, no second scan. The mean is the identical
+    * double expression on both engines (exact cents sum / exact count). */
+  def qImpute(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        when(col("event_id") % 7 =!= 0,
+          round(col("value") * 100).cast("long")).as("c"))
+    e.withColumn("grp_mean",
+        sum("c").over(w).cast("double") / count(col("c")).over(w).cast("double") / 100.0)
+      .select(col("event_id"), col("user_id"),
+        col("c").isNull.cast("int").as("was_null"),
+        (coalesce(col("c").cast("double") / 100.0, col("grp_mean")))
+          .as("v_imputed"))
+      .orderBy("event_id")
+  }
+
+  val qImputeOracle: String = """
+    WITH e AS (SELECT event_id, user_id,
+                      CASE WHEN event_id % 7 <> 0
+                           THEN CAST(round(value*100) AS BIGINT) END c
+               FROM events),
+    m AS (SELECT *, CAST(sum(c) OVER w AS DOUBLE)
+                    / CAST(count(c) OVER w AS DOUBLE) / 100.0 grp_mean
+          FROM e WINDOW w AS (PARTITION BY user_id))
+    SELECT event_id, user_id, CAST(c IS NULL AS INT) was_null,
+           COALESCE(CAST(c AS DOUBLE)/100.0, grp_mean) v_imputed
+    FROM m ORDER BY event_id"""
+
+  /** 2-D histogram (heatmap binning): hour-of-day × fixed-width value
+    * bucket (50 currency units) counts with exact ppm shares — the
+    * density-grid pass behind any viz/profiling layer. Pure projection +
+    * one hash-agg; the share window runs over the bounded grid. */
+  def qHist2d(spark: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.events(spark, dir)
+      .select(hour(col("ts")).as("hod"),
+        expr("CAST(round(value*100) AS BIGINT) div 5000").as("vbin"))
+      .groupBy("hod", "vbin").agg(count(lit(1)).as("cnt"))
+    grid
+      .withColumn("tot", sum("cnt").over(Window.partitionBy()))
+      .withColumn("share_ppm", expr("cnt * 1000000L div tot"))
+      .drop("tot")
+      .orderBy("hod", "vbin")
+  }
+
+  val qHist2dOracle: String = """
+    WITH g AS (SELECT EXTRACT(hour FROM ts) hod,
+                      CAST(round(value*100) AS BIGINT) // 5000 vbin,
+                      count(*) cnt
+               FROM events GROUP BY 1, 2)
+    SELECT CAST(hod AS INT) hod, vbin, cnt,
+           CAST(cnt * 1000000 // (sum(cnt) OVER ()) AS BIGINT) share_ppm
+    FROM g ORDER BY hod, vbin"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_rfm", qRfm, Some(qRfmOracle)),
+    QueryDef("q_gap_islands", qGapIslands, Some(qGapIslandsOracle)),
+    QueryDef("q_markov", qMarkov, Some(qMarkovOracle)),
+    QueryDef("q_impute", qImpute, Some(qImputeOracle)),
+    QueryDef("q_hist2d", qHist2d, Some(qHist2dOracle)))
+}
