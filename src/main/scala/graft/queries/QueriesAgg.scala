@@ -1071,7 +1071,62 @@ object QueriesAgg {
               sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr
     FROM p ORDER BY var_a, var_b"""
 
+  /** Two-sample A/B comparison (Welch's t) between purchase and click
+    * values: per-arm exact integer power sums (n, Σc, Σc²) from ONE
+    * conditional-aggregation scan (no per-arm scans), then the t statistic
+    * as an identically-shaped double expression on both engines.
+    * The unbiased variance comes from the integer identity
+    * n·Σx² − (Σx)² = n·(n−1)·s², so both engines divide the same exact
+    * longs. */
+  def qAbTest(spark: SparkSession, dir: String): DataFrame = {
+    def arm(t: String, suf: String): Seq[Column] = {
+      val c = when(col("event_type") === t,
+        round(col("value") * 100).cast("long"))
+      Seq(count(c).as(s"n$suf"), sum(c).as(s"s$suf"),
+        sum(c * c).as(s"ss$suf"))
+    }
+    val one = Tables.events(spark, dir)
+      .agg((arm("purchase", "a") ++ arm("click", "b")).head,
+        (arm("purchase", "a") ++ arm("click", "b")).tail: _*)
+    def mean(s: Column, n: Column)  = s.cast("double") / n.cast("double")
+    // s²/n = (n·Σx² − (Σx)²) / (n²·(n−1))
+    def vOverN(n: Column, s: Column, ss: Column) =
+      (n * ss - s * s).cast("double") /
+        (n * n * (n - 1)).cast("double")
+    one.select(col("na"), col("nb"),
+        (mean(col("sa"), col("na")) / 100.0).as("mean_a"),
+        (mean(col("sb"), col("nb")) / 100.0).as("mean_b"),
+        ((mean(col("sa"), col("na")) - mean(col("sb"), col("nb"))) /
+          sqrt(vOverN(col("na"), col("sa"), col("ssa")) +
+            vOverN(col("nb"), col("sb"), col("ssb")))).as("t_welch"))
+  }
+
+  val qAbTestOracle: String = """
+    WITH a AS (SELECT
+        count(CASE WHEN event_type='purchase' THEN 1 END) na,
+        count(CASE WHEN event_type='click' THEN 1 END) nb,
+        CAST(sum(CASE WHEN event_type='purchase'
+                 THEN CAST(round(value*100) AS BIGINT) END) AS BIGINT) sa,
+        CAST(sum(CASE WHEN event_type='click'
+                 THEN CAST(round(value*100) AS BIGINT) END) AS BIGINT) sb,
+        CAST(sum(CASE WHEN event_type='purchase'
+                 THEN CAST(round(value*100) AS BIGINT)
+                      * CAST(round(value*100) AS BIGINT) END) AS BIGINT) ssa,
+        CAST(sum(CASE WHEN event_type='click'
+                 THEN CAST(round(value*100) AS BIGINT)
+                      * CAST(round(value*100) AS BIGINT) END) AS BIGINT) ssb
+      FROM events)
+    SELECT na, nb,
+      CAST(sa AS DOUBLE)/CAST(na AS DOUBLE)/100.0 mean_a,
+      CAST(sb AS DOUBLE)/CAST(nb AS DOUBLE)/100.0 mean_b,
+      (CAST(sa AS DOUBLE)/CAST(na AS DOUBLE)
+        - CAST(sb AS DOUBLE)/CAST(nb AS DOUBLE)) /
+      sqrt(CAST(na*ssa - sa*sa AS DOUBLE)/CAST(na*na*(na-1) AS DOUBLE)
+         + CAST(nb*ssb - sb*sb AS DOUBLE)/CAST(nb*nb*(nb-1) AS DOUBLE)) t_welch
+    FROM a"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_ab_test", qAbTest, Some(qAbTestOracle)),
     QueryDef("q_corr_matrix", qCorrMatrix, Some(qCorrMatrixOracle)),
     QueryDef("q1_flagship", q1, Some(q1Oracle)),
     QueryDef("q_kahan_sum", qKahan, Some(qKahanOracle)),

@@ -566,7 +566,48 @@ object QueriesRel {
     GROUP BY l_orderkey, o_date, o_orderpriority
     ORDER BY revenue DESC, l_orderkey LIMIT 10"""
 
+  /** Null-safe equality join (Spark `<=>` / SQL IS NOT DISTINCT FROM —
+    * pandas merge treats NaN keys as matching, plain SQL `=` drops them):
+    * both sides aggregate to a bounded nullable-bucket grain first, the
+    * NULL bucket carries every 10th user, and the null-safe key lets the
+    * NULL groups pair up. Catalyst still plans this as a hash equi-join
+    * (EqualNullSafe is a supported join key — no nested-loop fallback). */
+  def qNullsafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    def side(t: String, cntName: String, sumName: String) =
+      Tables.events(spark, dir)
+        .where(col("event_type") === t)
+        .groupBy(when(col("user_id") % 10 =!= 0, col("user_id") % 10)
+          .as("bucket"))
+        .agg(count(lit(1)).as(cntName),
+          sum(round(col("value") * 100).cast("long")).as(sumName))
+    val p = side("purchase", "n_purch", "c_purch")
+    val c = side("click", "n_click", "c_click")
+    p.join(c, p("bucket") <=> c("bucket"), "full_outer")
+      .select(coalesce(p("bucket"), c("bucket")).as("bucket_val"),
+        p("bucket").isNull.and(c("bucket").isNull).cast("int").as("is_null_bucket"),
+        col("n_purch"), col("n_click"),
+        ((col("c_purch") + col("c_click")).cast("double") / 100.0).as("total_value"))
+      .orderBy(col("bucket_val").asc_nulls_first)
+  }
+
+  val qNullsafeJoinOracle: String = """
+    WITH p AS (SELECT CASE WHEN user_id % 10 <> 0 THEN user_id % 10 END bucket,
+                      count(*) n_purch,
+                      CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) c_purch
+               FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    c AS (SELECT CASE WHEN user_id % 10 <> 0 THEN user_id % 10 END bucket,
+                 count(*) n_click,
+                 CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) c_click
+          FROM events WHERE event_type = 'click' GROUP BY 1)
+    SELECT coalesce(p.bucket, c.bucket) bucket_val,
+           CAST(p.bucket IS NULL AND c.bucket IS NULL AS INT) is_null_bucket,
+           n_purch, n_click,
+           CAST(c_purch + c_click AS DOUBLE)/100.0 total_value
+    FROM p FULL OUTER JOIN c ON p.bucket IS NOT DISTINCT FROM c.bucket
+    ORDER BY bucket_val NULLS FIRST"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_nullsafe_join", qNullsafeJoin, Some(qNullsafeJoinOracle)),
     QueryDef("q_tpch_q3", qTpchQ3, Some(qTpchQ3Oracle)),
     QueryDef("q_asof_tol", qAsofTol, Some(qAsofTolOracle)),
     QueryDef("q_skew_diag", qSkewDiag, Some(qSkewDiagOracle)),

@@ -562,7 +562,39 @@ object QueriesTime {
                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
     ORDER BY event_id"""
 
+  /** Month-over-month revenue growth: monthly order-revenue rollup (one
+    * hash-agg at month grain), then lag + exact-ppm delta over the
+    * BOUNDED month spine (the single-partition lag window sees one row
+    * per month — constant size at any fact scale). Negative deltas rely
+    * on both engines truncating integer division toward zero. */
+  def qMom(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy().orderBy("month")
+    monthly
+      .withColumn("prev_c", lag("rev_c", 1).over(w))
+      .withColumn("mom_ppm",
+        expr("(rev_c - prev_c) * 1000000L div prev_c"))
+      .select(col("month"), (col("rev_c").cast("double") / 100.0).as("revenue"),
+        col("n_orders"), col("mom_ppm"))
+      .orderBy("month")
+  }
+
+  val qMomOracle: String = """
+    WITH m AS (SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') mon,
+                      CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) rev_c,
+                      count(*) n_orders
+               FROM orders GROUP BY 1),
+    l AS (SELECT *, lag(rev_c) OVER (ORDER BY mon) prev_c FROM m)
+    SELECT mon AS "month", CAST(rev_c AS DOUBLE)/100.0 revenue, n_orders,
+           CAST((rev_c - prev_c) * 1000000 // prev_c AS BIGINT) mom_ppm
+    FROM l ORDER BY mon"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_mom", qMom, Some(qMomOracle)),
     QueryDef("q_roll_time", qRollTime, Some(qRollTimeOracle)),
     QueryDef("q_window_tumbling", qTumbling, Some(qTumblingOracle)),
     QueryDef("q_window_sliding", qSliding, Some(qSlidingOracle)),
