@@ -49,11 +49,17 @@ object Bench {
     System.gc() // drop warmup garbage so timed runs don't pay its GC debt
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     headline.foreach { name =>
-      // best-of-2: steady-state time, robust to one-off GC/compilation hits
+      // best-of-3 with a GC fence per query: the heavy text pipelines
+      // (md5 shingling + 16-way minhash) take 2-3 executions of the
+      // full-SF plan before C2 reaches steady state, and accumulated
+      // checkpoint blocks from a previous query can charge their cleanup
+      // to the next one — best-of-2 measured that noise, not the engine
+      // (observed: 4.9/5.6/1.5/1.5 s for the same LSH plan back-to-back)
       results(name) =
-        try math.min(time(noop(queries(name)(spark, sfDir))),
-          time(noop(queries(name)(spark, sfDir))))
-        catch { case _: Throwable => -1.0 }
+        try {
+          System.gc()
+          (1 to 3).map(_ => time(noop(queries(name)(spark, sfDir)))).min
+        } catch { case _: Throwable => -1.0 }
     }
 
     // Reference micro-bench: grouped sum, 10M rows × 200 groups
