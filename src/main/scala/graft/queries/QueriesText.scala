@@ -1084,7 +1084,97 @@ object QueriesText {
     FROM c JOIN r USING (lang) JOIN k USING (source) CROSS JOIN t
     ORDER BY lang, source"""
 
+  /** Language-ID evaluation: confusion matrix of the marker-based
+    * classifier (qLangId's exact prediction chain) against the labeled
+    * `lang` column, with per-true-language recall and the global accuracy
+    * as exact integer ppm. The eval pass every production classifier
+    * needs — one scan scores + predicts, one (lang, pred) hash-agg, ppm
+    * windows over the BOUNDED confusion grid. */
+  def qLangConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val preds = qLangId(spark, dir).select("doc_id", "lang", "lang_pred")
+    val w     = org.apache.spark.sql.expressions.Window
+    val cells = preds.groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("row_n", sum("n").over(w.partitionBy("lang")))
+      .withColumn("total_n", sum("n").over(w.partitionBy()))
+      .withColumn("recall_ppm", expr("n * 1000000L div row_n"))
+      .withColumn("is_diag", (col("lang") === col("lang_pred")).cast("int"))
+      .withColumn("accuracy_ppm",
+        expr("sum(CASE WHEN lang = lang_pred THEN n ELSE 0L END) over ()" +
+          " * 1000000L div total_n"))
+      .select("lang", "lang_pred", "n", "row_n", "recall_ppm", "is_diag",
+        "accuracy_ppm")
+      .orderBy("lang", "lang_pred")
+  }
+
+  val qLangConfusionOracle: String = {
+    val inner = qLangIdOracle.replace("ORDER BY doc_id", "")
+    s"""
+    WITH pred AS ($inner),
+    c AS (SELECT lang, lang_pred, count(*) n FROM pred GROUP BY 1, 2),
+    m AS (SELECT *, CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) row_n,
+                 CAST(sum(n) OVER () AS BIGINT) total_n,
+                 CAST(sum(CASE WHEN lang = lang_pred THEN n ELSE 0 END)
+                      OVER () AS BIGINT) diag_n
+          FROM c)
+    SELECT lang, lang_pred, n, row_n,
+           CAST(n * 1000000 // row_n AS BIGINT) recall_ppm,
+           CAST(lang = lang_pred AS INT) is_diag,
+           CAST(diag_n * 1000000 // total_n AS BIGINT) accuracy_ppm
+    FROM m ORDER BY lang, lang_pred"""
+  }
+
+  /** Train/val/test leakage audit: MinHash+LSH near-duplicate pairs
+    * (q_neardup_lsh's exact pipeline) joined against the q_split hash
+    * assignment — a pair whose members land in different splits leaks
+    * eval signal into training. Rolls up to (split_a, split_b) cells
+    * with pair counts and a canonical example pair. The two tiny split
+    * lookups broadcast onto the (already small) pair set; the heavy LSH
+    * phase structure is unchanged. */
+  def qSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val bkt = md5Hash32(concat(lit("split42_"), col("doc_id").cast("string"))) % 10
+    val splits = Tables.documents(spark, dir).select(col("doc_id"),
+      when(bkt < 8, "train").when(bkt === 8, "val").otherwise("test")
+        .as("split"))
+    val pairs = DedupOps.minhashNearDupsWords(Tables.documents(spark, dir),
+      "doc_id", "text", Bands, Rows, JaccardThreshold)
+    pairs
+      .join(broadcast(splits.select(col("doc_id").as("id_a"),
+        col("split").as("split_a"))), Seq("id_a"))
+      .join(broadcast(splits.select(col("doc_id").as("id_b"),
+        col("split").as("split_b"))), Seq("id_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(struct(col("id_a"), col("id_b"))).as("ex"))
+      .select(col("split_a"), col("split_b"), col("n_pairs"),
+        (col("split_a") =!= col("split_b")).cast("int").as("is_leak"),
+        col("ex.id_a").as("ex_a"), col("ex.id_b").as("ex_b"))
+      .orderBy("split_a", "split_b")
+  }
+
+  val qSplitLeakageOracle: String = {
+    val base = qNearDupLshOracle
+    val cut  = base.indexOf("SELECT * FROM j")
+    base.substring(0, cut) + s""",
+    p AS (SELECT id_a, id_b FROM j WHERE jaccard >= $JaccardThreshold),
+    sp AS (SELECT doc_id, CASE
+             WHEN ('0x' || substr(md5('split42_' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 < 8 THEN 'train'
+             WHEN ('0x' || substr(md5('split42_' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 8 THEN 'val'
+             ELSE 'test' END AS split FROM documents),
+    lab AS (SELECT id_a, id_b, a.split split_a, b.split split_b
+            FROM p JOIN sp a ON id_a = a.doc_id JOIN sp b ON id_b = b.doc_id),
+    g AS (SELECT split_a, split_b, count(*) n_pairs,
+                 min(struct_pack(id_a := id_a, id_b := id_b)) ex
+          FROM lab GROUP BY 1, 2)
+    SELECT split_a, split_b, n_pairs,
+           CAST(split_a <> split_b AS INT) is_leak,
+           CAST(ex.id_a AS BIGINT) ex_a, CAST(ex.id_b AS BIGINT) ex_b
+    FROM g ORDER BY split_a, split_b"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_split_leakage", qSplitLeakage, Some(qSplitLeakageOracle)),
+    QueryDef("q_lang_confusion", qLangConfusion, Some(qLangConfusionOracle)),
     QueryDef("q_text_stats", qTextStats, Some(qTextStatsOracle)),
     QueryDef("q_quality", qQuality, Some(qQualityOracle)),
     QueryDef("q_langid", qLangId, Some(qLangIdOracle)),
