@@ -73,5 +73,8 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kahan_sum", exprs => KahanSum(exprs.head).toAggregateExpression(), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_agg", exprs => TopKByValue(exprs(0), exprs(1), exprs(2))
+        .toAggregateExpression(), "scala_udf")
   }
 }

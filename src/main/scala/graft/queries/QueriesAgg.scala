@@ -1125,7 +1125,39 @@ object QueriesAgg {
          + CAST(nb*ssb - sb*sb AS DOUBLE)/CAST(nb*nb*(nb-1) AS DOUBLE)) t_welch
     FROM a"""
 
+  /** Top-k rows per group via the custom heap aggregate
+    * ([[graft.functions.TopKByValue]], a TypedImperativeAggregate):
+    * top-3 events by value per event_type WITHOUT a window sort — the
+    * plan is scan → partial heap-agg → k-sized shuffle → final heap-agg →
+    * posexplode (PlanAuditSpec pins the no-Window/no-fact-Sort shape).
+    * Same results as the row_number() window formulation (the oracle),
+    * deterministic under ties via the id ASC tiebreak. */
+  def qTopkAgg(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.events(spark, dir)
+      .withColumn("c", round(col("value") * 100).cast("long"))
+      .groupBy("event_type")
+      .agg(expr("topk_agg(c, event_id, 3)").as("top"))
+      .select(col("event_type"), posexplode(col("top")))
+      .select(col("event_type"), (col("pos") + 1).as("rk"),
+        col("col.id").as("event_id"),
+        (col("col.v").cast("double") / 100.0).as("value"))
+      .orderBy("event_type", "rk")
+  }
+
+  val qTopkAggOracle: String = """
+    WITH e AS (SELECT event_type, event_id,
+                      CAST(round(value*100) AS BIGINT) c FROM events),
+    r AS (SELECT event_type, event_id, c,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY c DESC, event_id) rk
+          FROM e)
+    SELECT event_type, CAST(rk AS INT) rk, event_id,
+           CAST(c AS DOUBLE)/100.0 AS value
+    FROM r WHERE rk <= 3 ORDER BY event_type, rk"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_topk_agg", qTopkAgg, Some(qTopkAggOracle)),
     QueryDef("q_ab_test", qAbTest, Some(qAbTestOracle)),
     QueryDef("q_corr_matrix", qCorrMatrix, Some(qCorrMatrixOracle)),
     QueryDef("q1_flagship", q1, Some(q1Oracle)),

@@ -270,6 +270,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(count(p, "Exchange") <= 2, p)
   }
 
+  test("q_topk_agg: heap aggregate — no window, no fact-table sort") {
+    val p = plan("q_topk_agg")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    // map-side partial heaps shrink the shuffle to k rows per group
+    assert(p.contains("partial_topk_agg"), p)
+    // the only Sort is the output orderBy (above the aggregate)
+    assert(count(p, "Sort") <= 1, p)
+  }
+
   test("q_roll_time / q_corr_matrix: single-pass shapes") {
     val rt = plan("q_roll_time")
     assert(rt.contains("Window") && !rt.contains("SinglePartition") &&
