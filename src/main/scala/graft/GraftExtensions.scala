@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProductQ, KahanSum}
+import graft.functions.{DotProductQ, KahanSum, TopKByValue}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -27,6 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dotq"),
       new ExpressionInfo(classOf[DotProductQ].getName, "dotq"),
       exprs => DotProductQ(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("topk_agg"),
+      new ExpressionInfo(classOf[TopKByValue].getName, "topk_agg"),
+      exprs => TopKByValue(exprs(0), exprs(1), exprs(2))
+        .toAggregateExpression()))
     e.injectOptimizerRule(_ => new graft.plans.RangeJoinBinRule)
   }
 }

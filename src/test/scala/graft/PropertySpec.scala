@@ -351,4 +351,59 @@ class PropertySpec extends SparkSpec {
         }
     })
   }
+
+  test("asofJoin (all directions, with/without tolerance) == brute-force scan") {
+    // left/right points per key with small integer ordinates so exact-tie
+    // and out-of-tolerance arms are hit often
+    val sideGen = Gen.choose(0, 15).flatMap(n => Gen.listOfN(n, for {
+      k <- Gen.choose(0L, 2L)
+      t <- Gen.choose(0L, 40L)
+    } yield (k, t)))
+    check(Prop.forAll(sideGen, sideGen) { (ls, rsRaw) =>
+      // distinct right ordinates per key: duplicate ordinates make the
+      // matched PAYLOAD ambiguous (any of the tied rows is a valid as-of
+      // match) — same contract as the fixture queries' unique (key, ts)
+      val rs = rsRaw.distinct
+      val left = ls.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }.toDF("lid", "k", "lt")
+      val right = rs.zipWithIndex
+        .map { case ((k, t), i) => (k, t, t * 31 + i) }.toDF("k", "rt", "pay")
+      val rArr = rs.zipWithIndex.map { case ((k, t), i) => (k, t, t * 31 + i) }
+      val tol = 5L
+      Seq("backward", "forward", "nearest").forall { dir =>
+        Seq(None, Some(lit(tol))).forall { tolOpt =>
+          val got = graft.ops.RelOps.asofJoin(left, right, Seq("k"),
+              "lt", "rt", "pay", "m", dir, tolOpt)
+            .select("lid", "m").collect()
+            .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+            .toMap
+          ls.zipWithIndex.forall { case ((k, t), i) =>
+            // brute force: candidates on the key, filtered by direction,
+            // best by distance then by the engine's deterministic pick
+            val cands = rArr.filter(_._1 == k)
+            val inDir = dir match {
+              case "backward" => cands.filter(_._2 <= t)
+              case "forward"  => cands.filter(_._2 >= t)
+              case _          => cands
+            }
+            val best = inDir.sortBy {
+              case (_, rt, _) =>
+                val d = math.abs(rt - t)
+                // nearest breaks distance ties backward (<=); within a
+                // side, later rows (larger rt backward / processed later)
+                // win because last() takes the final peer in scan order
+                dir match {
+                  case "nearest" => (d, if (rt <= t) 0L else 1L)
+                  case _         => (d, 0L)
+                }
+            }.headOption
+            val expected = best.filter { case (_, rt, _) =>
+              tolOpt.isEmpty || math.abs(rt - t) <= tol
+            }.map(_._3)
+            got(i.toLong) == expected
+          }
+        }
+      }
+    })
+  }
 }
