@@ -1172,7 +1172,91 @@ object QueriesText {
     FROM g ORDER BY split_a, split_b"""
   }
 
+  /** Tokenizer vocabulary coverage / OOV-rate audit: build the top-50
+    * unigram vocabulary (count desc, token asc — deterministic), then per
+    * source measure total tokens, in-vocab tokens, and the OOV rate in
+    * exact ppm. The vocab cut is a TakeOrderedAndProject (per-partition
+    * heaps) and rides back as a broadcast semi-joinable literal set; the
+    * token pass is one explode + one hash-agg. */
+  def qOov(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(50)
+      .select(col("tok").as("vtok"))
+    toks.join(broadcast(vocab), col("tok") === col("vtok"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(col("vtok")).as("n_invocab"))
+      .withColumn("oov_ppm",
+        expr("(n_tokens - n_invocab) * 1000000L div n_tokens"))
+      .orderBy("source")
+  }
+
+  val qOovOracle: String = """
+    WITH t AS (SELECT source, unnest(string_split(text, ' ')) tok
+               FROM documents),
+    v AS (SELECT tok FROM (SELECT tok, count(*) n FROM t GROUP BY 1)
+          ORDER BY n DESC, tok LIMIT 50),
+    j AS (SELECT source, t.tok, v.tok vtok
+          FROM t LEFT JOIN v ON t.tok = v.tok)
+    SELECT source, count(*) n_tokens, count(vtok) n_invocab,
+           CAST((count(*) - count(vtok)) * 1000000 // count(*) AS BIGINT) oov_ppm
+    FROM j GROUP BY source ORDER BY source"""
+
+  /** Canonical-document selection for dedup clusters: every document maps
+    * to its near-dup cluster (connected components over LSH pairs;
+    * singletons stay their own cluster), and the KEPT document per
+    * cluster is the highest-QUALITY member (q_quality's exact score,
+    * doc_id tiebreak) — the real pipeline keeps the best duplicate, not
+    * the smallest id. One window argmax over cluster grain. */
+  def qCanonicalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("quality").desc, col("doc_id"))
+    val clusters = DedupOps.dedupClusters(
+        DedupOps.minhashNearDupsWords(Tables.documents(spark, dir), "doc_id",
+          "text", Bands, Rows, JaccardThreshold))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    qQuality(spark, dir).select("doc_id", "quality")
+      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("canonical_id", first("doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+          .orderBy(col("quality").desc, col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
+        (col("rn") === 1).cast("int").as("is_kept"))
+      .orderBy("doc_id")
+  }
+
+  val qCanonicalDedupOracle: String = {
+    val base = qDedupClustersOracle
+    val cut  = base.indexOf("SELECT doc_id, cluster_id FROM cc")
+    val wc    = "CAST(CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS DOUBLE)"
+    val awl   = s"(CAST(length(replace(text, ' ', '')) AS DOUBLE) / $wc)"
+    val stopr = s"(CAST(${Stopwords.map(occSql).mkString("(", " + ", ")")} AS DOUBLE) / $wc)"
+    val score = s"(least(1.0, $wc / 100.0) * 0.5 + (1.0 - least(1.0, abs($awl - 4.5) / 4.5)) * 0.3 + least(1.0, $stopr * 5.0) * 0.2)"
+    base.substring(0, cut) + s""",
+    q AS (SELECT doc_id, $score AS quality FROM documents),
+    full_map AS (SELECT q.doc_id, q.quality,
+                        COALESCE(cc.cluster_id, q.doc_id) cluster_id
+                 FROM q LEFT JOIN cc ON q.doc_id = cc.doc_id),
+    rk AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                       ORDER BY quality DESC, doc_id) rn,
+                  first_value(doc_id) OVER (PARTITION BY cluster_id
+                       ORDER BY quality DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND UNBOUNDED FOLLOWING) canonical_id
+           FROM full_map)
+    SELECT doc_id, cluster_id, canonical_id, CAST(rn = 1 AS INT) is_kept
+    FROM rk ORDER BY doc_id"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_oov", qOov, Some(qOovOracle)),
+    QueryDef("q_canonical_dedup", qCanonicalDedup, Some(qCanonicalDedupOracle)),
     QueryDef("q_split_leakage", qSplitLeakage, Some(qSplitLeakageOracle)),
     QueryDef("q_lang_confusion", qLangConfusion, Some(qLangConfusionOracle)),
     QueryDef("q_text_stats", qTextStats, Some(qTextStatsOracle)),
