@@ -280,6 +280,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(count(p, "Sort") <= 1, p)
   }
 
+  test("q_oov: vocab cut is a heap TakeOrdered; coverage join broadcasts the vocab") {
+    val p = plan("q_oov")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("q_roll_time / q_corr_matrix: single-pass shapes") {
     val rt = plan("q_roll_time")
     assert(rt.contains("Window") && !rt.contains("SinglePartition") &&
