@@ -191,7 +191,111 @@ object QueriesBehav {
            CAST(cnt * 1000000 // (sum(cnt) OVER ()) AS BIGINT) share_ppm
     FROM g ORDER BY hod, vbin"""
 
+  /** Volume anomaly detection: hourly event counts, each hour z-scored
+    * against the TRAILING 24 observed hours (exact integer power sums
+    * over the rolling frame; one window sort at hour grain — bounded by
+    * the time span, not the event count), flagging |z| ≥ 2. The hourly
+    * rollup is the only fact-sized pass. */
+  def qAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      // integral div, not `/` (double division truncation — the ADVICE.md
+      // fdiv class of bug); micros are non-negative so div == floor
+      .groupBy(expr("unix_micros(ts) div 3600000000L").as("h"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("h").rowsBetween(-24, -1)
+    val cnt = count(col("n")).over(w)
+    val s1  = sum("n").over(w)
+    val s2  = sum(col("n") * col("n")).over(w)
+    // sample variance numerator over the frame: cnt·Σn² − (Σn)²
+    val varNum = cnt * s2 - s1 * s1
+    hourly
+      .withColumn("base_n", cnt).withColumn("bs1", s1)
+      .withColumn("vnum", varNum)
+      .where(col("base_n") === 24 && col("vnum") > 0)
+      .withColumn("z",
+        (col("n") * 24 - col("bs1")).cast("double") /
+          sqrt((col("vnum").cast("double")) * lit(24.0) / lit(23.0)))
+      .withColumn("is_anomaly", (abs(col("z")) >= 2.0).cast("int"))
+      .select("h", "n", "z", "is_anomaly")
+      .orderBy("h")
+  }
+
+  val qAnomalyOracle: String = """
+    WITH hourly AS (SELECT epoch_us(ts) // 3600000000 h, count(*) n
+                    FROM events GROUP BY 1),
+    w AS (SELECT h, n,
+                 count(n) OVER fr base_n,
+                 CAST(sum(n) OVER fr AS BIGINT) bs1,
+                 CAST(count(n) OVER fr * sum(n*n) OVER fr
+                      - sum(n) OVER fr * sum(n) OVER fr AS BIGINT) vnum
+          FROM hourly
+          WINDOW fr AS (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+    SELECT h, n,
+           CAST(n*24 - bs1 AS DOUBLE)
+             / sqrt(CAST(vnum AS DOUBLE) * 24.0 / 23.0) AS z,
+           CAST(abs(CAST(n*24 - bs1 AS DOUBLE)
+             / sqrt(CAST(vnum AS DOUBLE) * 24.0 / 23.0)) >= 2.0 AS INT) is_anomaly
+    FROM w WHERE base_n = 24 AND vnum > 0 ORDER BY h"""
+
+  /** Growth accounting (the canonical product-analytics state machine):
+    * each user-week is classified NEW (first ever week), RETAINED (active
+    * previous week), or RESURRECTED (gap ≥ 2 weeks); CHURNED counts users
+    * whose previous active week was exactly last week but who are absent
+    * this week — computed by shifting each active week forward one week
+    * and subtracting the retained set (pure aggregation arithmetic, no
+    * anti-join against a generated spine). One (user) window pass over
+    * distinct user-weeks, then one week-grain rollup. */
+  def qGrowthAcct(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("wk")
+    val uw = Tables.events(spark, dir)
+      .select(col("user_id"),
+        graft.ops.RelOps.fdiv(
+          datediff(to_date(col("ts")), to_date(lit("1970-01-05"))).cast("long"),
+          7L).as("wk"))
+      .distinct()
+      .withColumn("prev_wk", lag("wk", 1).over(w))
+    val states = uw.groupBy("wk").agg(
+      sum(when(col("prev_wk").isNull, 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("prev_wk") === col("wk") - 1, 1L).otherwise(0L)).as("n_retained"),
+      sum(when(col("prev_wk").isNotNull && col("prev_wk") < col("wk") - 1, 1L)
+        .otherwise(0L)).as("n_resurrected"))
+    // users active in week wk−1 who did NOT carry into wk churn AT wk:
+    // churned(wk) = active(wk−1) − retained(wk)
+    val active = uw.groupBy("wk").agg(count(lit(1)).as("n_active"))
+    val prevActive = active.select((col("wk") + 1).as("wk"),
+      col("n_active").as("n_prev_active"))
+    states.join(active, Seq("wk"))
+      .join(prevActive, Seq("wk"), "left")
+      .withColumn("n_churned",
+        coalesce(col("n_prev_active"), lit(0L)) - col("n_retained"))
+      .select("wk", "n_active", "n_new", "n_retained", "n_resurrected",
+        "n_churned")
+      .orderBy("wk")
+  }
+
+  val qGrowthAcctOracle: String = """
+    WITH uw AS (SELECT DISTINCT user_id,
+                  datediff('day', DATE '1970-01-05', CAST(ts AS DATE)) // 7 wk
+                FROM events),
+    lagged AS (SELECT user_id, wk,
+                      lag(wk) OVER (PARTITION BY user_id ORDER BY wk) prev_wk
+               FROM uw),
+    st AS (SELECT wk,
+             CAST(sum(CASE WHEN prev_wk IS NULL THEN 1 ELSE 0 END) AS BIGINT) n_new,
+             CAST(sum(CASE WHEN prev_wk = wk - 1 THEN 1 ELSE 0 END) AS BIGINT) n_retained,
+             CAST(sum(CASE WHEN prev_wk IS NOT NULL AND prev_wk < wk - 1
+                      THEN 1 ELSE 0 END) AS BIGINT) n_resurrected
+           FROM lagged GROUP BY 1),
+    act AS (SELECT wk, count(*) n_active FROM uw GROUP BY 1)
+    SELECT st.wk, act.n_active, n_new, n_retained, n_resurrected,
+           COALESCE(pa.n_active, 0) - n_retained AS n_churned
+    FROM st JOIN act ON st.wk = act.wk
+    LEFT JOIN act pa ON pa.wk = st.wk - 1
+    ORDER BY st.wk"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_anomaly", qAnomaly, Some(qAnomalyOracle)),
+    QueryDef("q_growth_acct", qGrowthAcct, Some(qGrowthAcctOracle)),
     QueryDef("q_rfm", qRfm, Some(qRfmOracle)),
     QueryDef("q_gap_islands", qGapIslands, Some(qGapIslandsOracle)),
     QueryDef("q_markov", qMarkov, Some(qMarkovOracle)),
