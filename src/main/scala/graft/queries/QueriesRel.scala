@@ -606,7 +606,98 @@ object QueriesRel {
     FROM p FULL OUTER JOIN c ON p.bucket IS NOT DISTINCT FROM c.bucket
     ORDER BY bucket_val NULLS FIRST"""
 
+  /** Order-fulfillment lead time (ship − order date) quantiles per
+    * priority — supply-chain latency reporting on the exact pandas
+    * quantile kernel (QuantileOps two-phase sort; linear interpolation).
+    * The join pre-projects two columns each side, so the only wide state
+    * is (priority, lat_days). */
+  def qLeadTime(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"),
+        col("o_orderpriority"))
+    val j = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("sd"), col("od")).cast("long").as("lat"))
+    graft.ops.QuantileOps.groupedQuantiles(j, Seq("o_orderpriority"), "lat",
+        Seq(0.5, 0.9))
+      .select(col("o_orderpriority"), col("q"), col("linear").as("lat_days"))
+      .orderBy("o_orderpriority", "q")
+  }
+
+  val qLeadTimeOracle: String = {
+    val idx = "CAST(floor(q*(n-1)) AS BIGINT)"
+    s"""
+    WITH j AS (SELECT o_orderpriority,
+                      datediff('day', CAST(o_orderdate AS DATE),
+                               CAST(l_shipdate AS DATE)) lat
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    nn AS (SELECT o_orderpriority, lat v,
+                  CAST(row_number() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY lat) AS BIGINT) - 1 rn,
+                  count(*) OVER (PARTITION BY o_orderpriority) n
+           FROM j WHERE lat IS NOT NULL),
+    e AS (SELECT nn.*, q FROM nn
+          CROSS JOIN (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE))) t(q)),
+    g AS (SELECT o_orderpriority, q,
+                 max(CASE WHEN rn = $idx THEN v END) lov,
+                 max(CASE WHEN rn = $idx + 1 THEN v END) hiv,
+                 max(q*(n-1) - floor(q*(n-1))) f
+          FROM e WHERE rn = $idx OR rn = $idx + 1
+          GROUP BY o_orderpriority, q)
+    SELECT o_orderpriority, q,
+           CAST(CASE WHEN f = 0 THEN lov
+                     ELSE lov + (hiv - lov)*f END AS DOUBLE) AS lat_days
+    FROM g ORDER BY o_orderpriority, q"""
+  }
+
+  /** Market-basket co-occurrence (association mining lite): top-20 part
+    * pairs co-purchased within an order, with exact-ppm support and lift
+    * from integer counts. The pair generator is a SELF-JOIN ON THE ORDER
+    * KEY — safe because basket size is bounded (~O(lines/order) pairs per
+    * order, never corpus-quadratic); item marginals broadcast back onto
+    * the (already small) pair aggregate, and the top-20 is a heap cut. */
+  def qBasket(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val nOrders = items.select(countDistinct("ok").as("n_orders"))
+    val itemN = items.groupBy("pk").agg(count(lit(1)).as("n_item"))
+    val pairs = items.select(col("ok"), col("pk").as("pa"))
+      .join(items.select(col("ok"), col("pk").as("pb")), Seq("ok"))
+      .where(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("n_co"))
+      .orderBy(col("n_co").desc, col("pa"), col("pb")).limit(20)
+    pairs
+      .join(broadcast(itemN.select(col("pk").as("pa"), col("n_item").as("n_a"))), Seq("pa"))
+      .join(broadcast(itemN.select(col("pk").as("pb"), col("n_item").as("n_b"))), Seq("pb"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("pa"), col("pb"), col("n_co"),
+        expr("n_co * 1000000L div n_orders").as("support_ppm"),
+        ((col("n_co") * col("n_orders")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      .orderBy(col("n_co").desc, col("pa"), col("pb"))
+  }
+
+  val qBasketOracle: String = """
+    WITH items AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM lineitem),
+    no AS (SELECT count(DISTINCT ok) n_orders FROM items),
+    i_n AS (SELECT pk, count(*) n_item FROM items GROUP BY 1),
+    p AS (SELECT a.pk pa, b.pk pb, count(*) n_co
+          FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+          GROUP BY 1, 2
+          ORDER BY n_co DESC, pa, pb LIMIT 20)
+    SELECT pa, pb, n_co,
+           CAST(n_co * 1000000 // n_orders AS BIGINT) support_ppm,
+           CAST(n_co * n_orders AS DOUBLE)
+             / CAST(na.n_item * nb.n_item AS DOUBLE) lift
+    FROM p JOIN i_n na ON pa = na.pk JOIN i_n nb ON pb = nb.pk
+    CROSS JOIN no
+    ORDER BY n_co DESC, pa, pb"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_lead_time", qLeadTime, Some(qLeadTimeOracle)),
+    QueryDef("q_basket", qBasket, Some(qBasketOracle)),
     QueryDef("q_nullsafe_join", qNullsafeJoin, Some(qNullsafeJoinOracle)),
     QueryDef("q_tpch_q3", qTpchQ3, Some(qTpchQ3Oracle)),
     QueryDef("q_asof_tol", qAsofTol, Some(qAsofTolOracle)),
