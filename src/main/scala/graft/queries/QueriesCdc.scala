@@ -245,7 +245,53 @@ object QueriesCdc {
       SELECT 'n_chars', n_rows, e_nn, e_nd, e_min, e_max FROM a)
     ORDER BY col_name"""
 
+  /** k-anonymity audit (data-governance pass before sharing a dataset):
+    * group customers by the quasi-identifier tuple (nation, market
+    * segment, account-balance band), measure every equivalence class,
+    * and report per class size-band how many classes/rows fall below
+    * k = 5 — rows in sub-k classes are re-identifiable. Two stacked
+    * aggs (QI-grain → band-grain); the share windows run over the tiny
+    * band table. */
+  def qKanon(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5L
+    val classes = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        expr(s"${QueryDef.CentsSql.format("c_acctbal")} div 100000")
+          .as("bal_band"))
+      .agg(count(lit(1)).as("cls_size"))
+    classes
+      .groupBy(when(col("cls_size") < k, "sub_k")
+        .when(col("cls_size") < k * 4, "small").otherwise("large")
+        .as("size_band"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum("cls_size").as("n_rows"),
+        min("cls_size").as("min_size"),
+        max("cls_size").as("max_size"))
+      .withColumn("tot_rows", sum("n_rows").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("row_share_ppm", expr("n_rows * 1000000L div tot_rows"))
+      .drop("tot_rows")
+      .orderBy("size_band")
+  }
+
+  val qKanonOracle: String = """
+    WITH cls AS (SELECT c_nationkey, c_mktsegment,
+                        CAST(round(c_acctbal*100) AS BIGINT) // 100000 bal_band,
+                        count(*) cls_size
+                 FROM customer GROUP BY 1, 2, 3),
+    b AS (SELECT CASE WHEN cls_size < 5 THEN 'sub_k'
+                      WHEN cls_size < 20 THEN 'small'
+                      ELSE 'large' END size_band,
+                 count(*) n_classes,
+                 CAST(sum(cls_size) AS BIGINT) n_rows,
+                 min(cls_size) min_size, max(cls_size) max_size
+          FROM cls GROUP BY 1)
+    SELECT size_band, n_classes, n_rows, min_size, max_size,
+           CAST(n_rows * 1000000 // (sum(n_rows) OVER ()) AS BIGINT) row_share_ppm
+    FROM b ORDER BY size_band"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_kanon", qKanon, Some(qKanonOracle)),
     QueryDef("q_cumcount", qCumcount, Some(qCumcountOracle)),
     QueryDef("q_scd2", qScd2, Some(qScd2Oracle)),
     QueryDef("q_twa", qTwa, Some(qTwaOracle)),
