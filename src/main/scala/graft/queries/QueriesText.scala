@@ -1254,7 +1254,93 @@ object QueriesText {
     FROM rk ORDER BY doc_id"""
   }
 
+  /** Asymmetric shingle containment (sub-document / quote detection):
+    * Jaccard misses a short doc fully embedded in a long one (union
+    * dominates), containment |A∩B|/|A| doesn't. Candidates come from the
+    * same MinHash band join as q_neardup_lsh (never all-pairs); both
+    * directions' containments are exact integer ppm and pairs with
+    * max-containment ≥ 0.5 survive, ≥ 0.8 flagged as sub-documents. */
+  def qContainment(spark: SparkSession, dir: String): DataFrame = {
+    val sh = DedupOps.wordShingleHashes(
+      Tables.documents(spark, dir), "doc_id", "text").localCheckpoint(true)
+    val cand = DedupOps.lshCandidates(
+      DedupOps.minhashSignatures(sh), Bands, Rows)
+    DedupOps.jaccardOnPairs(cand, sh)
+      .withColumn("cont_a_ppm", expr("inter * 1000000L div sz_a"))
+      .withColumn("cont_b_ppm", expr("inter * 1000000L div sz_b"))
+      .where(greatest(col("cont_a_ppm"), col("cont_b_ppm")) >= 500000)
+      .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"), col("sz_b"),
+        col("cont_a_ppm"), col("cont_b_ppm"),
+        (greatest(col("cont_a_ppm"), col("cont_b_ppm")) >= 800000)
+          .cast("int").as("is_subdoc"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val qContainmentOracle: String = {
+    val base = qNearDupLshOracle
+    val cut  = base.indexOf("j AS (SELECT cand.id_a")
+    base.substring(0, cut) + """
+    jj AS (SELECT cand.id_a, cand.id_b, COALESCE(inter, 0) inter,
+                  x.sz sz_a, y.sz sz_b
+           FROM cand LEFT JOIN inter USING (id_a, id_b)
+                     JOIN sz x ON cand.id_a = x.id
+                     JOIN sz y ON cand.id_b = y.id),
+    cc AS (SELECT *, CAST(inter * 1000000 // sz_a AS BIGINT) cont_a_ppm,
+                  CAST(inter * 1000000 // sz_b AS BIGINT) cont_b_ppm FROM jj)
+    SELECT id_a, id_b, inter, sz_a, sz_b, cont_a_ppm, cont_b_ppm,
+           CAST(greatest(cont_a_ppm, cont_b_ppm) >= 800000 AS INT) is_subdoc
+    FROM cc WHERE greatest(cont_a_ppm, cont_b_ppm) >= 500000
+    ORDER BY id_a, id_b"""
+  }
+
+  /** Boilerplate n-gram mining (C4/Gopher-style cleaning prep): per
+    * source, the word-3-grams with the highest DOCUMENT frequency — a
+    * gram appearing in a large share of a source's documents is
+    * boilerplate (headers, footers, templates), not content. One
+    * (source, doc, gram)-distinct pass, one hash-agg, top-10 per source
+    * via WindowGroupLimit; shares exact ppm. */
+  def qBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("dfreq").desc, col("gram"))
+    val docs = Tables.documents(spark, dir)
+    val grams = docs.select(col("source"), col("doc_id"),
+        explode(graft.functions.TextFunctions.wordShingles3(col("text")))
+          .as("gram"))
+      .distinct()
+    val nDocs = docs.groupBy("source")
+      .agg(countDistinct("doc_id").as("n_docs"))
+    grams.groupBy("source", "gram").agg(count(lit(1)).as("dfreq"))
+      .join(broadcast(nDocs), Seq("source"))
+      .withColumn("df_ppm", expr("dfreq * 1000000L div n_docs"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 10)
+      .select("source", "rn", "gram", "dfreq", "df_ppm")
+      .orderBy("source", "rn")
+  }
+
+  val qBoilerplateOracle: String = """
+    WITH w2 AS (SELECT source, doc_id, string_split(text, ' ') ws
+                FROM documents),
+    g0 AS (SELECT source, doc_id,
+             unnest(list_transform(range(1, greatest(len(ws)-2,1)+1),
+               i -> ws[CAST(i AS INT)] || ' ' || COALESCE(ws[CAST(i AS INT)+1],'')
+                    || ' ' || COALESCE(ws[CAST(i AS INT)+2],''))) gram
+           FROM w2),
+    g AS (SELECT DISTINCT source, doc_id, gram FROM g0),
+    nd AS (SELECT source, count(DISTINCT doc_id) n_docs
+           FROM documents GROUP BY 1),
+    f AS (SELECT source, gram, count(*) dfreq FROM g GROUP BY 1, 2),
+    r AS (SELECT f.source, f.gram, f.dfreq, nd.n_docs,
+                 row_number() OVER (PARTITION BY f.source
+                                    ORDER BY dfreq DESC, gram) rn
+          FROM f JOIN nd ON f.source = nd.source)
+    SELECT source, CAST(rn AS INT) rn, gram, dfreq,
+           CAST(dfreq * 1000000 // n_docs AS BIGINT) df_ppm
+    FROM r WHERE rn <= 10 ORDER BY source, rn"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_containment", qContainment, Some(qContainmentOracle)),
+    QueryDef("q_boilerplate", qBoilerplate, Some(qBoilerplateOracle)),
     QueryDef("q_oov", qOov, Some(qOovOracle)),
     QueryDef("q_canonical_dedup", qCanonicalDedup, Some(qCanonicalDedupOracle)),
     QueryDef("q_split_leakage", qSplitLeakage, Some(qSplitLeakageOracle)),
