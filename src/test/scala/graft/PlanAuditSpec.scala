@@ -280,6 +280,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(count(p, "Sort") <= 1, p)
   }
 
+  test("every declared query plans without error and never goes cartesian") {
+    // catches analysis regressions (renamed columns, bad SQL in expr())
+    // across the whole surface at plan time, and pins the global
+    // invariant: no CartesianProduct anywhere — scalar cross joins must
+    // come in as 1-row BroadcastNestedLoopJoins, full products never
+    val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      try {
+        val p = plan(name)
+        if (p.contains("CartesianProduct")) Some(s"$name: CartesianProduct")
+        else None
+      } catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}") }
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
   test("q_oov: vocab cut is a heap TakeOrdered; coverage join broadcasts the vocab") {
     val p = plan("q_oov")
     assert(p.contains("TakeOrderedAndProject"), p)
