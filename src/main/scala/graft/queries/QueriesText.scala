@@ -1338,7 +1338,107 @@ object QueriesText {
            CAST(dfreq * 1000000 // n_docs AS BIGINT) df_ppm
     FROM r WHERE rn <= 10 ORDER BY source, rn"""
 
+  /** Dataset card / datasheet rollup — the one-stop per-source summary a
+    * dataset release ships: documents, exact-dup rate (md5 digests),
+    * token and char volumes, language mix breadth, and mean quality
+    * (q_quality's exact score). One scan computes every per-doc signal;
+    * one hash-agg rolls it up (the dup rate needs a distinct-digest
+    * count — Spark plans it in the same Expand-fed pass). */
+  def qDatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val wc    = graft.functions.TextFunctions.wordCount(col("text"))
+    val awl   = length(translate(col("text"), " ", "")).cast("double") /
+      wc.cast("double")
+    val stopr = Stopwords.map(w => occurrences(padded, s" $w ")).reduce(_ + _)
+      .cast("double") / wc.cast("double")
+    val score = least(lit(1.0), wc.cast("double") / 100.0) * 0.5 +
+      (lit(1.0) - least(lit(1.0), abs(awl - 4.5) / 4.5)) * 0.3 +
+      least(lit(1.0), stopr * 5.0) * 0.2
+    Tables.documents(spark, dir)
+      .select(col("source"), col("lang"), col("n_chars"),
+        md5(col("text")).as("digest"), wc.as("toks"), score.as("q"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("digest").as("n_unique"),
+        countDistinct("lang").as("n_langs"),
+        sum("toks").as("n_tokens"),
+        sum("n_chars").as("n_chars"),
+        sum("q").as("q_sum"))
+      .select(col("source"), col("n_docs"), col("n_unique"), col("n_langs"),
+        col("n_tokens"), col("n_chars"),
+        expr("(n_docs - n_unique) * 1000000L div n_docs").as("dup_ppm"),
+        (col("q_sum") / col("n_docs").cast("double")).as("mean_quality"))
+      .orderBy("source")
+  }
+
+  val qDatasetCardOracle: String = {
+    val wc    = "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
+    val awl   = s"(CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST($wc AS DOUBLE))"
+    val stopr = s"(CAST(${Stopwords.map(occSql).mkString("(", " + ", ")")} AS DOUBLE) / CAST($wc AS DOUBLE))"
+    val score = s"(least(1.0, CAST($wc AS DOUBLE) / 100.0) * 0.5 + (1.0 - least(1.0, abs($awl - 4.5) / 4.5)) * 0.3 + least(1.0, $stopr * 5.0) * 0.2)"
+    s"""
+    WITH d AS (SELECT source, lang, n_chars, md5(text) digest,
+                      $wc toks, $score q
+               FROM documents)
+    SELECT source, count(*) n_docs,
+           count(DISTINCT digest) n_unique,
+           count(DISTINCT lang) n_langs,
+           CAST(sum(toks) AS BIGINT) n_tokens,
+           CAST(sum(n_chars) AS BIGINT) n_chars,
+           CAST((count(*) - count(DISTINCT digest)) * 1000000 // count(*)
+                AS BIGINT) dup_ppm,
+           sum(q) / CAST(count(*) AS DOUBLE) mean_quality
+    FROM d GROUP BY source ORDER BY source"""
+  }
+
+  /** Quality-vs-token-budget curve: rank documents by quality (exact
+    * score, doc_id tiebreak), split into quality deciles, and report each
+    * decile's token mass plus the running total — the curve that answers
+    * "which quality cutoff fits an N-token budget". The ntile runs at
+    * document grain (like q_rfm: the two-phase quantile cut is the path
+    * when doc COUNT itself outgrows a sort). */
+  def qQualityCurve(spark: SparkSession, dir: String): DataFrame = {
+    val wc    = graft.functions.TextFunctions.wordCount(col("text"))
+    val awl   = length(translate(col("text"), " ", "")).cast("double") /
+      wc.cast("double")
+    val stopr = Stopwords.map(w => occurrences(padded, s" $w ")).reduce(_ + _)
+      .cast("double") / wc.cast("double")
+    val score = least(lit(1.0), wc.cast("double") / 100.0) * 0.5 +
+      (lit(1.0) - least(lit(1.0), abs(awl - 4.5) / 4.5)) * 0.3 +
+      least(lit(1.0), stopr * 5.0) * 0.2
+    val ranked = Tables.documents(spark, dir)
+      .select(col("doc_id"), wc.as("toks"), score.as("q"))
+      .withColumn("decile", ntile(10).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("q").desc, col("doc_id"))))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("decile")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    ranked.groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"),
+        min("q").as("min_quality"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .orderBy("decile")
+  }
+
+  val qQualityCurveOracle: String = {
+    val wc    = "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
+    val awl   = s"(CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST($wc AS DOUBLE))"
+    val stopr = s"(CAST(${Stopwords.map(occSql).mkString("(", " + ", ")")} AS DOUBLE) / CAST($wc AS DOUBLE))"
+    val score = s"(least(1.0, CAST($wc AS DOUBLE) / 100.0) * 0.5 + (1.0 - least(1.0, abs($awl - 4.5) / 4.5)) * 0.3 + least(1.0, $stopr * 5.0) * 0.2)"
+    s"""
+    WITH d AS (SELECT doc_id, $wc toks, $score q FROM documents),
+    r AS (SELECT *, ntile(10) OVER (ORDER BY q DESC, doc_id) decile FROM d),
+    g AS (SELECT decile, count(*) n_docs, CAST(sum(toks) AS BIGINT) n_tokens,
+                 min(q) min_quality
+          FROM r GROUP BY 1)
+    SELECT CAST(decile AS INT) decile, n_docs, n_tokens, min_quality,
+           CAST(sum(n_tokens) OVER (ORDER BY decile
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) cum_tokens
+    FROM g ORDER BY decile"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_dataset_card", qDatasetCard, Some(qDatasetCardOracle)),
+    QueryDef("q_quality_curve", qQualityCurve, Some(qQualityCurveOracle)),
     QueryDef("q_containment", qContainment, Some(qContainmentOracle)),
     QueryDef("q_boilerplate", qBoilerplate, Some(qBoilerplateOracle)),
     QueryDef("q_oov", qOov, Some(qOovOracle)),
