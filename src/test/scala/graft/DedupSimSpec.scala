@@ -135,4 +135,37 @@ class DedupSimSpec extends SparkSpec {
     // every LSH result's similarity must equal the brute-force value
     lsh.foreach(r => assert(approx(r.getDouble(3), brute(r.getLong(2)))))
   }
+
+  test("containment flags a planted sub-document that Jaccard misses") {
+    import graft.ops.DedupOps
+    val words = (1 to 60).map(i => s"w$i").mkString(" ")
+    val short = (1 to 12).map(i => s"w$i").mkString(" ") // strict prefix
+    val other = (100 to 160).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, words), (2L, short), (3L, other)).toDF("doc_id", "text")
+    val sh = DedupOps.wordShingleHashes(docs, "doc_id", "text")
+    val pairs = sh.select($"id".as("id_a")).distinct()
+      .join(sh.select($"id".as("id_b")).distinct(), $"id_a" < $"id_b")
+    val j = DedupOps.jaccardOnPairs(pairs, sh)
+      .withColumn("cont", greatest(
+        $"inter".cast("double") / $"sz_a".cast("double"),
+        $"inter".cast("double") / $"sz_b".cast("double")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(5), r.getDouble(6))).toMap
+    val (jac12, cont12) = j((1L, 2L))
+    assert(cont12 == 1.0)  // the short doc is FULLY contained
+    assert(jac12 < 0.6)    // ...but Jaccard stays below the near-dup bar
+    assert(j((1L, 3L))._2 == 0.0)
+  }
+
+  test("markov transition probabilities: per-from ppm sums land in (1e6 - states, 1e6]") {
+    val rows = graft.queries.QueriesBehav
+      .qMarkov(spark, "/root/testdata/sf0.001").collect()
+    val byFrom = rows.groupBy(_.getString(0))
+    byFrom.foreach { case (_, rs) =>
+      val s = rs.map(_.getLong(3)).sum
+      // each floor-division loses < 1 ppm; k terms lose < k
+      assert(s <= 1000000L && s > 1000000L - rs.length, s.toString)
+      assert(rs.count(_.getInt(4) == 1) == 1) // exactly one top successor
+    }
+  }
 }
