@@ -63,13 +63,16 @@ object Bench {
     }
 
     // Reference micro-bench: grouped sum, 10M rows × 200 groups
-    // (`benches/groupby.rs` / README.md:115-140 shape).
-    results("micro_group_sum_10m_200") = time {
+    // (`benches/groupby.rs` / README.md:115-140 shape). Same best-of-3 +
+    // GC fence as the headline queries (observed 0.6–1.3 s spread when
+    // timed once, steady ~0.6 s).
+    def microRun(): Unit =
       noop(spark.range(10000000L)
         .select((col("id") % 200).as("k"), (col("id") % 1000).cast("double").as("v"))
         .groupBy("k")
         .agg(sum("v").as("sum_v"), avg("v").as("avg_v"), count(lit(1)).as("n")))
-    }
+    System.gc()
+    results("micro_group_sum_10m_200") = (1 to 3).map(_ => time(microRun())).min
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

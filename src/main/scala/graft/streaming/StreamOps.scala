@@ -317,18 +317,27 @@ object StreamOps {
                     (updates: DataFrame, batchId: Long): Unit = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
+    import org.apache.hadoop.fs.{Options, Path}
     val spark   = updates.sparkSession
-    val fs      = new java.io.File(snapshotRoot)
-    fs.mkdirs()
-    val pointer = new java.io.File(fs, "_CURRENT")
-    val target  = new java.io.File(fs, s"batch-$batchId")
-    if (target.exists()) return // replay after recovery: already committed
-    val current =
-      if (pointer.exists()) {
-        val cur = new String(java.nio.file.Files.readAllBytes(pointer.toPath),
-          "UTF-8").trim
-        Some(spark.read.parquet(s"$snapshotRoot/$cur"))
+    val conf    = spark.sparkContext.hadoopConfiguration
+    val root    = new Path(snapshotRoot)
+    val fs      = root.getFileSystem(conf)
+    fs.mkdirs(root)
+    val pointer = new Path(root, "_CURRENT")
+    // The POINTER is the commit record, not the target directory: a crash
+    // after a partial target write leaves the pointer untouched, and the
+    // replay (same batchId) overwrites the partial output and swaps the
+    // pointer — skipping on target-dir existence would lose the batch.
+    val committed: Option[String] =
+      if (fs.exists(pointer)) {
+        val in  = fs.open(pointer)
+        val cur = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        Some(cur)
       } else None
+    val committedId = committed.map(_.stripPrefix("batch-").toLong)
+    if (committedId.exists(_ >= batchId)) return // replay of a committed batch
+    val current = committed.map(cur => spark.read.parquet(s"$snapshotRoot/$cur"))
     val unioned = current match {
       case Some(snap) => snap.withColumn("_upd", lit(0))
         .unionByName(updates.withColumn("_upd", lit(1)))
@@ -336,21 +345,27 @@ object StreamOps {
     }
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(verCol).desc, col("_upd").desc)
+    val target = new Path(root, s"batch-$batchId")
     unioned.withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1).drop("_rn", "_upd")
-      .write.mode("overwrite").parquet(target.getPath)
-    // atomic pointer swap commits the batch
-    val tmp = new java.io.File(fs, s"_CURRENT.$batchId.tmp")
-    java.nio.file.Files.write(tmp.toPath, s"batch-$batchId".getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp.toPath, pointer.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      .write.mode("overwrite").parquet(target.toString)
+    // atomic pointer swap commits the batch (FileContext rename with
+    // OVERWRITE is atomic on HDFS-like filesystems)
+    val tmp = new Path(root, s"_CURRENT.$batchId.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"batch-$batchId".getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
+      .rename(tmp, pointer, Options.Rename.OVERWRITE)
   }
 
   /** Read the current snapshot written by [[upsertSnapshot]]. */
   def readSnapshot(spark: SparkSession, snapshotRoot: String): DataFrame = {
-    val cur = new String(java.nio.file.Files.readAllBytes(
-      new java.io.File(snapshotRoot, "_CURRENT").toPath), "UTF-8").trim
+    import org.apache.hadoop.fs.Path
+    val root = new Path(snapshotRoot)
+    val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in   = fs.open(new Path(root, "_CURRENT"))
+    val cur  = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
     spark.read.parquet(s"$snapshotRoot/$cur")
   }
 }
