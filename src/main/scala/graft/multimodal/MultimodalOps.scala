@@ -54,6 +54,25 @@ object MultimodalOps {
           lit(everyMs))).as("ts_ms"))
       .withColumn("frame_idx", (col("ts_ms") / everyMs).cast("long"))
 
+  /** Audio-window plan: sample-accurate fixed windows with hop (the
+    * Whisper/wav2vec front-end shape — e.g. 25 ms windows every 10 ms at
+    * 16 kHz). `n_samples = duration_ms·rate div 1000` (integral — no
+    * float sample math), one row per window start, the tail window
+    * clamped to the stream end. Pure Catalyst explode; the PCM slice
+    * itself would decode in a batch-shaped pass like [[decodeFeatures]]. */
+  def audioWindowPlan(df: DataFrame, rateHz: Long, winSamples: Long,
+                      hopSamples: Long): DataFrame = {
+    val nSamples = expr(s"duration_ms * $rateHz div 1000")
+    df.select(col("media_id"), nSamples.as("n_samples"))
+      .where(col("n_samples") > 0)
+      .withColumn("start_s",
+        explode(sequence(lit(0L), col("n_samples") - 1, lit(hopSamples))))
+      .select(col("media_id"), col("n_samples"),
+        expr(s"start_s div $hopSamples").as("win_idx"),
+        col("start_s"),
+        least(lit(winSamples), col("n_samples") - col("start_s")).as("win_len"))
+  }
+
   /** Patch-grid plan for image payloads: one row per `patch`×`patch` tile
     * of the (width, height) raster — the ViT/CLIP patch-extraction
     * plumbing (image → 16×16 patch sequence) as pure Catalyst: a 2-D

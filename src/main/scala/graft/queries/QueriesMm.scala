@@ -63,7 +63,43 @@ object QueriesMm {
            CAST(least($PatchPx, h - py * $PatchPx) AS BIGINT) ph
     FROM g2 ORDER BY media_id, py, px"""
 
+  val RateHz     = 16000L
+  val WinSamples = 400L  // 25 ms @ 16 kHz
+  val HopSamples = 160L  // 10 ms hop
+
+  /** Audio feature-window plan: 25 ms windows every 10 ms at 16 kHz
+    * (sample-exact integral math), tail window clamped. */
+  def qAudioWindows(spark: SparkSession, dir: String): DataFrame = {
+    val media = MultimodalOps.fromStrings(spark,
+      Tables.documents(spark, dir), "doc_id", "text").toDF()
+    MultimodalOps.audioWindowPlan(media, RateHz, WinSamples, HopSamples)
+      // per-media digest keeps the compare row count sane (the plan emits
+      // ~100 windows/sec of audio); exact integer rollup of the window set
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_windows"),
+        max("win_idx").as("last_idx"),
+        sum("win_len").as("sum_len"),
+        min("win_len").as("min_len"),
+        max("start_s").as("last_start"))
+      .orderBy("media_id")
+  }
+
+  val qAudioWindowsOracle: String = s"""
+    WITH m AS (SELECT doc_id media_id,
+                      (length(text) * 40) * $RateHz // 1000 n_samples
+               FROM documents),
+    w AS (SELECT media_id, n_samples,
+                 unnest(generate_series(0, n_samples - 1, $HopSamples)) start_s
+          FROM m WHERE n_samples > 0)
+    SELECT media_id, count(*) n_windows,
+           CAST(max(start_s // $HopSamples) AS BIGINT) last_idx,
+           CAST(sum(least($WinSamples, n_samples - start_s)) AS BIGINT) sum_len,
+           CAST(min(least($WinSamples, n_samples - start_s)) AS BIGINT) min_len,
+           CAST(max(start_s) AS BIGINT) last_start
+    FROM w GROUP BY media_id ORDER BY media_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_frame_sample", qFrameSample, Some(qFrameSampleOracle)),
-    QueryDef("q_patch_grid", qPatchGrid, Some(qPatchGridOracle)))
+    QueryDef("q_patch_grid", qPatchGrid, Some(qPatchGridOracle)),
+    QueryDef("q_audio_windows", qAudioWindows, Some(qAudioWindowsOracle)))
 }
