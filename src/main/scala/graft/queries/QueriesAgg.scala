@@ -1156,7 +1156,60 @@ object QueriesAgg {
            CAST(c AS DOUBLE)/100.0 AS value
     FROM r WHERE rk <= 3 ORDER BY event_type, rk"""
 
+  /** Two-sample Kolmogorov–Smirnov statistic (distribution-drift test)
+    * between purchase and click value distributions: per distinct cents
+    * value the running counts of each arm, D = max |F_a − F_b| kept as
+    * the EXACT integer numerator |cum_a·n_b − cum_b·n_a| (one division at
+    * the end). The cumulative window is unpartitioned but runs over
+    * DISTINCT VALUES — bounded by the value domain (≤ max-cents rows),
+    * not the event count, the same spine-bounded argument as the hourly
+    * anomaly window. */
+  def qKsTest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .where(col("event_type").isin("purchase", "click"))
+      .select(round(col("value") * 100).cast("long").as("c"),
+        (col("event_type") === "purchase").cast("long").as("isA"))
+    val perV = ev.groupBy("c")
+      .agg(sum("isA").as("ca"), sum(lit(1L) - col("isA")).as("cb"))
+    val wc = Window.orderBy("c")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    val cum = perV
+      .withColumn("cum_a", sum("ca").over(wc))
+      .withColumn("cum_b", sum("cb").over(wc))
+      .withColumn("na", sum("ca").over(wAll))
+      .withColumn("nb", sum("cb").over(wAll))
+      .withColumn("num", abs(col("cum_a") * col("nb") - col("cum_b") * col("na")))
+    val top = Window.partitionBy().orderBy(col("num").desc, col("c"))
+    cum.withColumn("rn", row_number().over(top)).where(col("rn") === 1)
+      .select(col("na"), col("nb"), col("num").as("ks_num"),
+        (col("num").cast("double") /
+          (col("na") * col("nb")).cast("double")).as("ks"),
+        (col("c").cast("double") / 100.0).as("ks_at_value"))
+  }
+
+  val qKsTestOracle: String = """
+    WITH e AS (SELECT CAST(round(value*100) AS BIGINT) c,
+                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END isA
+               FROM events WHERE event_type IN ('purchase', 'click')),
+    v AS (SELECT c, CAST(sum(isA) AS BIGINT) ca,
+                 CAST(sum(1 - isA) AS BIGINT) cb FROM e GROUP BY 1),
+    cum AS (SELECT c,
+                   CAST(sum(ca) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS BIGINT) cum_a,
+                   CAST(sum(cb) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS BIGINT) cum_b,
+                   CAST(sum(ca) OVER () AS BIGINT) na,
+                   CAST(sum(cb) OVER () AS BIGINT) nb
+            FROM v),
+    n AS (SELECT *, abs(cum_a*nb - cum_b*na) num FROM cum),
+    r AS (SELECT *, row_number() OVER (ORDER BY num DESC, c) rn FROM n)
+    SELECT na, nb, num AS ks_num,
+           CAST(num AS DOUBLE) / CAST(na*nb AS DOUBLE) AS ks,
+           CAST(c AS DOUBLE)/100.0 AS ks_at_value
+    FROM r WHERE rn = 1"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_ks_test", qKsTest, Some(qKsTestOracle)),
     QueryDef("q_topk_agg", qTopkAgg, Some(qTopkAggOracle)),
     QueryDef("q_ab_test", qAbTest, Some(qAbTestOracle)),
     QueryDef("q_corr_matrix", qCorrMatrix, Some(qCorrMatrixOracle)),

@@ -1436,7 +1436,68 @@ object QueriesText {
     FROM g ORDER BY decile"""
   }
 
+  /** Decile lift table (the standard classifier-evaluation report): rank
+    * documents by the quality score as the "model score" with lang='en'
+    * membership as the "label", split into score deciles, and report each
+    * decile's positives, cumulative capture (ppm of all positives), and
+    * lift vs the base rate in exact milli. All ratios integer-exact; the
+    * ntile runs at doc grain like q_rfm/q_quality_curve (two-phase cut is
+    * the documented path when doc count outgrows a sort). */
+  def qDecileLift(spark: SparkSession, dir: String): DataFrame = {
+    val wc    = graft.functions.TextFunctions.wordCount(col("text"))
+    val awl   = length(translate(col("text"), " ", "")).cast("double") /
+      wc.cast("double")
+    val stopr = Stopwords.map(w => occurrences(padded, s" $w ")).reduce(_ + _)
+      .cast("double") / wc.cast("double")
+    val score = least(lit(1.0), wc.cast("double") / 100.0) * 0.5 +
+      (lit(1.0) - least(lit(1.0), abs(awl - 4.5) / 4.5)) * 0.3 +
+      least(lit(1.0), stopr * 5.0) * 0.2
+    val ranked = Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("lang") === "en").cast("long").as("pos"),
+        score.as("q"))
+      .withColumn("decile", ntile(10).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("q").desc, col("doc_id"))))
+    val byDecile = ranked.groupBy("decile")
+      .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy("decile")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    byDecile
+      .withColumn("tot", sum("n").over(wAll))
+      .withColumn("tot_pos", sum("n_pos").over(wAll))
+      .withColumn("cum_pos", sum("n_pos").over(wCum))
+      .select(col("decile"), col("n"), col("n_pos"),
+        expr("cum_pos * 1000000L div tot_pos").as("capture_ppm"),
+        expr("n_pos * 1000L * tot div (n * tot_pos)").as("lift_x1000"))
+      .orderBy("decile")
+  }
+
+  val qDecileLiftOracle: String = {
+    val wc    = "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
+    val awl   = s"(CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST($wc AS DOUBLE))"
+    val stopr = s"(CAST(${Stopwords.map(occSql).mkString("(", " + ", ")")} AS DOUBLE) / CAST($wc AS DOUBLE))"
+    val score = s"(least(1.0, CAST($wc AS DOUBLE) / 100.0) * 0.5 + (1.0 - least(1.0, abs($awl - 4.5) / 4.5)) * 0.3 + least(1.0, $stopr * 5.0) * 0.2)"
+    s"""
+    WITH d AS (SELECT doc_id,
+                      CASE WHEN lang = 'en' THEN 1 ELSE 0 END pos,
+                      $score q FROM documents),
+    r AS (SELECT *, ntile(10) OVER (ORDER BY q DESC, doc_id) decile FROM d),
+    g AS (SELECT decile, count(*) n, CAST(sum(pos) AS BIGINT) n_pos
+          FROM r GROUP BY 1),
+    t AS (SELECT *, CAST(sum(n) OVER () AS BIGINT) tot,
+                 CAST(sum(n_pos) OVER () AS BIGINT) tot_pos,
+                 CAST(sum(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED
+                      PRECEDING) AS BIGINT) cum_pos
+          FROM g)
+    SELECT CAST(decile AS INT) decile, n, n_pos,
+           CAST(cum_pos * 1000000 // tot_pos AS BIGINT) capture_ppm,
+           CAST(n_pos * 1000 * tot // (n * tot_pos) AS BIGINT) lift_x1000
+    FROM t ORDER BY decile"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_decile_lift", qDecileLift, Some(qDecileLiftOracle)),
     QueryDef("q_dataset_card", qDatasetCard, Some(qDatasetCardOracle)),
     QueryDef("q_quality_curve", qQualityCurve, Some(qQualityCurveOracle)),
     QueryDef("q_containment", qContainment, Some(qContainmentOracle)),
