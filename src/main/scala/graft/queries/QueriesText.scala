@@ -1496,7 +1496,63 @@ object QueriesText {
     FROM t ORDER BY decile"""
   }
 
+  /** Exact ROC AUC (Mann–Whitney with tie-aware average ranks) of the
+    * quality score against lang='en' labels — completes the classifier
+    * eval trio (decile lift, KS, AUC). Grouping by the score VALUE keeps
+    * everything integer: per distinct score, 2·Σ(average ranks of
+    * positives) = Σ pos·(2·cum_before + cnt + 1) is an exact long, so
+    * 2U = that − n_pos·(n_pos+1) and AUC = U/(n_pos·n_neg) is one final
+    * division. The cumulative window runs over DISTINCT score values
+    * (score-domain bounded). */
+  def qAuc(spark: SparkSession, dir: String): DataFrame = {
+    val wc    = graft.functions.TextFunctions.wordCount(col("text"))
+    val awl   = length(translate(col("text"), " ", "")).cast("double") /
+      wc.cast("double")
+    val stopr = Stopwords.map(w => occurrences(padded, s" $w ")).reduce(_ + _)
+      .cast("double") / wc.cast("double")
+    val score = least(lit(1.0), wc.cast("double") / 100.0) * 0.5 +
+      (lit(1.0) - least(lit(1.0), abs(awl - 4.5) / 4.5)) * 0.3 +
+      least(lit(1.0), stopr * 5.0) * 0.2
+    val perScore = Tables.documents(spark, dir)
+      .select((col("lang") === "en").cast("long").as("pos"), score.as("s"))
+      .groupBy("s").agg(count(lit(1)).as("cnt"), sum("pos").as("np"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy("s")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perScore
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("before", col("cum") - col("cnt"))
+      .agg(sum("np").as("n_pos"),
+        sum(col("cnt") - col("np")).as("n_neg"),
+        sum(col("np") * (col("before") * 2 + col("cnt") + 1)).as("ranksum2"))
+      .select(col("n_pos"), col("n_neg"),
+        ((col("ranksum2") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+          (lit(2.0) * (col("n_pos") * col("n_neg")).cast("double"))).as("auc"))
+  }
+
+  val qAucOracle: String = {
+    val wc    = "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
+    val awl   = s"(CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST($wc AS DOUBLE))"
+    val stopr = s"(CAST(${Stopwords.map(occSql).mkString("(", " + ", ")")} AS DOUBLE) / CAST($wc AS DOUBLE))"
+    val score = s"(least(1.0, CAST($wc AS DOUBLE) / 100.0) * 0.5 + (1.0 - least(1.0, abs($awl - 4.5) / 4.5)) * 0.3 + least(1.0, $stopr * 5.0) * 0.2)"
+    s"""
+    WITH d AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END pos,
+                      $score s FROM documents),
+    g AS (SELECT s, count(*) cnt, CAST(sum(pos) AS BIGINT) np
+          FROM d GROUP BY 1),
+    c AS (SELECT *, CAST(sum(cnt) OVER (ORDER BY s ROWS UNBOUNDED
+                 PRECEDING) AS BIGINT) cum FROM g),
+    a AS (SELECT CAST(sum(np) AS BIGINT) n_pos,
+                 CAST(sum(cnt - np) AS BIGINT) n_neg,
+                 CAST(sum(np * ((cum - cnt) * 2 + cnt + 1)) AS BIGINT) ranksum2
+          FROM c)
+    SELECT n_pos, n_neg,
+           CAST(ranksum2 - n_pos*(n_pos+1) AS DOUBLE)
+             / (2.0 * CAST(n_pos*n_neg AS DOUBLE)) AS auc
+    FROM a"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_auc", qAuc, Some(qAucOracle)),
     QueryDef("q_decile_lift", qDecileLift, Some(qDecileLiftOracle)),
     QueryDef("q_dataset_card", qDatasetCard, Some(qDatasetCardOracle)),
     QueryDef("q_quality_curve", qQualityCurve, Some(qQualityCurveOracle)),
