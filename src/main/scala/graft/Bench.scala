@@ -48,6 +48,10 @@ object Bench {
     }
     System.gc() // drop warmup garbage so timed runs don't pay its GC debt
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // All raw samples per query, so a round-over-round delta can be
+    // attributed to run-to-run variance vs a genuine plan/code drift
+    // without rerunning (the box shows documented 2-3x co-tenant noise).
+    val samples = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     headline.foreach { name =>
       // best-of-3 with a GC fence per query: the heavy text pipelines
       // (md5 shingling + 16-way minhash) take 2-3 executions of the
@@ -58,7 +62,9 @@ object Bench {
       results(name) =
         try {
           System.gc()
-          (1 to 3).map(_ => time(noop(queries(name)(spark, sfDir)))).min
+          val runs = (1 to 3).map(_ => time(noop(queries(name)(spark, sfDir))))
+          samples(name) = runs
+          runs.min
         } catch { case _: Throwable => -1.0 }
     }
 
@@ -72,12 +78,17 @@ object Bench {
         .groupBy("k")
         .agg(sum("v").as("sum_v"), avg("v").as("avg_v"), count(lit(1)).as("n")))
     System.gc()
-    results("micro_group_sum_10m_200") = (1 to 3).map(_ => time(microRun())).min
+    val microRuns = (1 to 3).map(_ => time(microRun()))
+    samples("micro_group_sum_10m_200") = microRuns
+    results("micro_group_sum_10m_200") = microRuns.min
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val ss = samples.map { case (k, vs) =>
+      "\"" + k + "\":" + vs.map(v => f"$v%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$ss,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

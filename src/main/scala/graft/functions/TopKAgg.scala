@@ -5,6 +5,7 @@ import java.nio.ByteBuffer
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -33,7 +34,30 @@ case class TopKByValue(
   extends TypedImperativeAggregate[mutable.PriorityQueue[(Long, Long)]] {
 
   private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue
-  require(kExpr.foldable, "topk_agg: k must be a literal")
+
+  // Analysis-time contract: value/id are LongType and k is a literal
+  // >= 1 — SQL callers passing an int column or k=0 get a plan-time error
+  // instead of a runtime ClassCastException / empty-heap dequeue.
+  // (AbstractDataType is private[sql] in Spark 4, so the check is spelled
+  // out here rather than via ImplicitCastInputTypes.)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (valueExpr.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_agg: value must be BIGINT, got ${valueExpr.dataType.sql}")
+    else if (idExpr.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_agg: id must be BIGINT, got ${idExpr.dataType.sql}")
+    else if (!Seq[DataType](IntegerType, LongType, ShortType, ByteType)
+               .contains(kExpr.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_agg: k must be an integer literal, got ${kExpr.dataType.sql}")
+    else if (!kExpr.foldable)
+      TypeCheckResult.TypeCheckFailure("topk_agg: k must be a literal")
+    else if (kExpr.eval() == null ||
+             kExpr.eval().asInstanceOf[Number].intValue < 1)
+      TypeCheckResult.TypeCheckFailure("topk_agg: k must be >= 1")
+    else TypeCheckResult.TypeCheckSuccess
+  }
 
   // scala.PriorityQueue dequeues the MAX under its ordering; key the heap
   // so the WORST kept pair (smallest value, then largest id) is the max

@@ -1017,12 +1017,18 @@ object QueriesAgg {
     val base = Tables.lineitem(spark, dir)
       .select(measures.map { case (n, c) => c.as(n) }: _*)
     val names = measures.map(_._1)
+    // The per-row squared/cross products (Σprice² ≈ 1e10 per row) are cast
+    // to Decimal(38,0) BEFORE summing so the accumulators themselves are
+    // overflow-safe past ~1e9 rows — a decimal guard only on the final
+    // closed-form products would let the long partial sums wrap silently
+    // at 100 TB row counts.
+    val dec0 = "decimal(38,0)"
     val sums =
       count(lit(1)).as("n") +:
         (names.map(a => sum(col(a)).as(s"s_$a")) ++
-          names.map(a => sum(col(a) * col(a)).as(s"ss_$a")) ++
+          names.map(a => sum((col(a) * col(a)).cast(dec0)).as(s"ss_$a")) ++
           names.combinations(2).map { case Seq(a, b) =>
-            sum(col(a) * col(b)).as(s"sp_${a}_$b")
+            sum((col(a) * col(b)).cast(dec0)).as(s"sp_${a}_$b")
           }.toSeq)
     val one = base.agg(sums.head, sums.tail: _*)
     val pairRows = names.combinations(2).map { case Seq(a, b) =>
@@ -1089,10 +1095,17 @@ object QueriesAgg {
       .agg((arm("purchase", "a") ++ arm("click", "b")).head,
         (arm("purchase", "a") ++ arm("click", "b")).tail: _*)
     def mean(s: Column, n: Column)  = s.cast("double") / n.cast("double")
-    // s²/n = (n·Σx² − (Σx)²) / (n²·(n−1))
-    def vOverN(n: Column, s: Column, ss: Column) =
-      (n * ss - s * s).cast("double") /
-        (n * n * (n - 1)).cast("double")
+    // s²/n = (n·Σx² − (Σx)²) / (n²·(n−1)). The numerator and the n²(n−1)
+    // term are formed in Decimal(38,0): with cents up to ~2e4 the long
+    // n²(n−1) product wraps silently (non-ANSI) once an arm passes ~2.1M
+    // rows — exact decimal keeps the 100 TB path honest (same device as
+    // qCorrMatrix), and the double conversion happens only at the final
+    // division.
+    def vOverN(n: Column, s: Column, ss: Column) = {
+      val dec = "decimal(38,0)"
+      ((n.cast(dec) * ss.cast(dec) - s.cast(dec) * s.cast(dec)).cast("double") /
+        (n.cast(dec) * n.cast(dec) * (n - 1).cast(dec)).cast("double"))
+    }
     one.select(col("na"), col("nb"),
         (mean(col("sa"), col("na")) / 100.0).as("mean_a"),
         (mean(col("sb"), col("nb")) / 100.0).as("mean_b"),

@@ -15,6 +15,9 @@ import org.apache.spark.sql.functions._
   */
 object StreamOps {
 
+  private lazy val graftLog =
+    org.slf4j.LoggerFactory.getLogger(StreamOps.getClass)
+
   /** Tumbling event-time windows: one row per (window, extra keys). */
   def tumblingAgg(df: DataFrame, tsCol: String, duration: String,
                   keys: Seq[Column], aggs: Seq[Column]): DataFrame =
@@ -336,7 +339,26 @@ object StreamOps {
         Some(cur)
       } else None
     val committedId = committed.map(_.stripPrefix("batch-").toLong)
-    if (committedId.exists(_ >= batchId)) return // replay of a committed batch
+    // Replay of the committed batch (same id after failure recovery) is
+    // the expected exactly-once no-op. A batchId strictly BELOW the
+    // committed one is anomalous: a one-off redelivery of an old batch is
+    // harmless, but a stream restarted with a FRESH checkpoint (batchIds
+    // reset to 0) against an existing snapshot root would skip every
+    // incoming batch — data loss. Still skip (the committed snapshot
+    // already reflects a later state), but say so loudly so the operator
+    // can tell the two apart; a fresh-checkpoint restart logs this every
+    // batch, which is the signal to use a new snapshot root.
+    if (committedId.exists(_ >= batchId)) {
+      if (committedId.exists(_ > batchId))
+        graftLog.warn(
+          s"upsertSnapshot: skipping batch $batchId at $snapshotRoot — " +
+            s"already committed through batch ${committedId.get}. If this " +
+            "repeats for every batch, the stream is running a FRESH " +
+            "checkpoint against a stale snapshot root and its data is " +
+            "being dropped; point it at a new snapshot root or restore " +
+            "the original checkpoint.")
+      return
+    }
     val current = committed.map(cur => spark.read.parquet(s"$snapshotRoot/$cur"))
     val unioned = current match {
       case Some(snap) => snap.withColumn("_upd", lit(0))
@@ -356,6 +378,16 @@ object StreamOps {
     try out.write(s"batch-$batchId".getBytes("UTF-8")) finally out.close()
     org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
       .rename(tmp, pointer, Options.Rename.OVERWRITE)
+    // Prune superseded snapshots now that the pointer moved: every
+    // batch-* directory except the newly committed one is unreachable
+    // (readers go through _CURRENT) and would otherwise grow storage by a
+    // full snapshot per batch, unbounded.
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("batch-") &&
+          name != s"batch-$batchId")
+        fs.delete(st.getPath, true)
+    }
   }
 
   /** Read the current snapshot written by [[upsertSnapshot]]. */

@@ -202,5 +202,15 @@ class StreamingSpec extends SparkSpec {
     val after = snap()
     assert(after.contains((0L, "overridden")))
     assert(!after.contains((1L, "stale")))
+
+    // superseded snapshot directories are pruned after the pointer swap:
+    // only the committed batch-999 remains, so storage is O(1 snapshot),
+    // not O(batches)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchDirs = fs.listStatus(rootPath)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch-"))
+      .map(_.getPath.getName).toSet
+    assert(batchDirs == Set("batch-999"))
   }
 }

@@ -30,6 +30,22 @@ class TopKAggSpec extends SparkSpec {
     assert(got("a") == Seq((9L, 9L), (7L, 1L)))
   }
 
+  test("bad inputs are rejected at analysis time, not at runtime") {
+    val df = Seq(("a", 5L, 1L)).toDF("g", "v", "id")
+    // k = 0: plan-time failure instead of an empty-heap dequeue mid-task
+    val e0 = intercept[Exception] {
+      df.groupBy("g").agg(expr("topk_agg(v, id, 0)")).collect()
+    }
+    assert(e0.getMessage.contains("k must be >= 1"))
+    // int-typed value column: plan-time type error instead of a
+    // ClassCastException inside update()
+    val di = Seq(("a", 5, 1L)).toDF("g", "v", "id")
+    val e1 = intercept[Exception] {
+      di.groupBy("g").agg(expr("topk_agg(v, id, 3)")).collect()
+    }
+    assert(e1.getMessage.toLowerCase.contains("bigint"))
+  }
+
   test("merge across forced partitions equals the single-partition result") {
     val rows = (1L to 5000L).map(i => ("g" + (i % 7), (i * 2654435761L) % 10007, i))
     val many = run(rows.toDF("g", "v", "id").repartition(16), 5)
