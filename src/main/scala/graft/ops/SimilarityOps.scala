@@ -174,22 +174,103 @@ object SimilarityOps {
       .localCheckpoint(true)
   }
 
+  /** Exact integer mean rounded half away from zero: sign(s)·⌊(2|s|+n)/(2n)⌋
+    * — the quantized-centroid update of [[trainCodebook]], spelled in pure
+    * integer arithmetic (`div`, not float `/`) so Spark and the DuckDB
+    * oracle produce bit-equal codebooks (no engine-specific float rounding
+    * anywhere in training). Operates on columns named `s` (sum) and `n`
+    * (count). */
+  private val meanHalfUp: Column = expr(
+    "CASE WHEN s < 0 THEN -((-2*s + n) div (2*n)) " +
+      "ELSE (2*s + n) div (2*n) END").cast("long")
+
+  /** Train an IVF codebook: `iters` Lloyd (k-means) steps over quantized
+    * vectors, seeded by the deterministic corpus subsample
+    * (`idCol % mod == rem`). Returns (cid, centv: array<bigint>).
+    *
+    * Each step is one broadcast join (centroids are k·dim longs — tiny at
+    * any corpus size) + one per-vector argmin window + one (cid, dim)
+    * hash-agg; the new centroid component is the EXACT integer mean
+    * (half away from zero) of the member coordinates, so the whole
+    * training loop is deterministic under any partitioning and the DuckDB
+    * oracle can replay it CTE-by-CTE. Per-iteration lineage cuts
+    * (localCheckpoint of the k-row codebook; cluster analog: checkpoint)
+    * keep the plan depth O(1) per step — the same driver-side phase
+    * barrier structure as dedupClusters/PageRank. Clusters that lose all
+    * members drop out (standard Lloyd on a fixed seed set). */
+  def trainCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+                    centroidMod: Int, centroidRem: Int, iters: Int): DataFrame = {
+    val sp = corpus.sparkSession
+    val v = corpus.repartition(sp.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), quantize(col(vecCol)).as("v"))
+      .withColumn("vn", norm2Q(col("v")))
+      .localCheckpoint(true)
+    var cent = corpus.where(col(idCol) % centroidMod === centroidRem)
+      .select(col(idCol).as("cid"), quantize(col(vecCol)).as("centv"))
+      .localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val c = broadcast(cent.withColumn("centn", norm2Q(col("centv"))))
+      val scored = v.join(c)
+        .withColumn("ccos",
+          when(col("vn") === 0 || col("centn") === 0, lit(null))
+            .otherwise(dotQ(col("v"), col("centv")).cast("double") /
+              sqrt(col("vn").cast("double") * col("centn").cast("double"))))
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("ccos").desc, col("cid").asc)
+      val assigned = scored.withColumn("crn", row_number().over(w))
+        .where(col("crn") === 1).select("cid", "v")
+      cent = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("i", "xi")))
+        .groupBy("cid", "i")
+        .agg(sum("xi").as("s"), count(lit(1)).as("n"))
+        .withColumn("m", meanHalfUp)
+        .groupBy("cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("i"), col("m")))),
+          x => x.getField("m")).as("centv"))
+        .localCheckpoint(true)
+    }
+    cent
+  }
+
   /** IVF (inverted-file) approximate top-k: corpus vectors are assigned to
     * their nearest centroid (coarse quantizer); a query searches only its
     * own centroid's posting list (nprobe=1), with exact cosine rerank.
     *
     * Centroids here are a deterministic corpus subsample (`idCol % mod ==
-    * rem`) standing in for a k-means codebook — the assignment/posting-
-    * list/probe machinery is the real IVF structure; at 100 TB the
-    * centroid set is broadcast and the corpus partitions by cluster id, so
-    * a query touches 1/nlist of the data. */
+    * rem`) standing in for a trained codebook — see [[ivfTopKTrained]] for
+    * the Lloyd-trained form; the assignment/posting-list/probe machinery
+    * is the same real IVF structure. At 100 TB the centroid set is
+    * broadcast and the corpus partitions by cluster id, so a query touches
+    * 1/nlist of the data. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, centroidMod: Int, centroidRem: Int,
-              nprobe: Int = 1): DataFrame = {
-    val cent = broadcast(
+              nprobe: Int = 1): DataFrame =
+    ivfTopKWithCentroids(queries, corpus, idCol, vecCol, k,
       corpus.where(col(idCol) % centroidMod === centroidRem)
-        .select(col(idCol).as("cid"), quantize(col(vecCol)).as("centv"))
-        .withColumn("centn", norm2Q(col("centv"))))
+        .select(col(idCol).as("cid"), quantize(col(vecCol)).as("centv")),
+      nprobe)
+
+  /** IVF top-k over a Lloyd-TRAINED codebook: [[trainCodebook]] converges
+    * the subsample seeds for `iters` steps, and the search probes the
+    * trained posting lists — the composition that decides real IVF recall
+    * (VERDICT r6 item 3). Same deterministic arithmetic end-to-end, so the
+    * DuckDB oracle replays training + search exactly. */
+  def ivfTopKTrained(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int, centroidMod: Int,
+                     centroidRem: Int, iters: Int,
+                     nprobe: Int = 1): DataFrame =
+    ivfTopKWithCentroids(queries, corpus, idCol, vecCol, k,
+      trainCodebook(corpus, idCol, vecCol, centroidMod, centroidRem, iters),
+      nprobe)
+
+  /** IVF search machinery over an explicit codebook (cid, centv). */
+  def ivfTopKWithCentroids(queries: DataFrame, corpus: DataFrame,
+                           idCol: String, vecCol: String, k: Int,
+                           centroids: DataFrame,
+                           nprobe: Int = 1): DataFrame = {
+    val cent = broadcast(
+      centroids.withColumn("centn", norm2Q(col("centv"))))
 
     // nearest `probes` centroids per vector, deterministic tie-break by
     // centroid id; corpus rows always store under exactly one centroid,

@@ -216,42 +216,70 @@ object QueriesSim {
     ORDER BY query_id"""
   }
 
-  val IvfMod = 25 // vec_id % IvfMod == IvfRem → centroid
-  val IvfRem = 7
+  val IvfMod   = 25 // vec_id % IvfMod == IvfRem → centroid seed
+  val IvfRem   = 7
+  val KmIters  = 2  // Lloyd steps converging the seed codebook
 
-  /** IVF approximate top-k: nearest-centroid assignment, search within the
-    * query's posting list only (nprobe=1), exact cosine rerank. */
-  def qEmbedIvf(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    SimilarityOps.ivfTopK(
-        emb.where(col("vec_id") % QueryMod === 0), emb, "vec_id", "embedding",
-        K, IvfMod, IvfRem)
-      .orderBy("query_id", "rk")
-  }
-
-  val qEmbedIvfOracle: String = s"""
-    WITH u AS (SELECT vec_id, generate_subscripts(embedding,1) i, unnest(embedding) x
-               FROM embeddings),
-    c AS (SELECT vec_id, i, $quantSql xi FROM u),
-    nrm AS (SELECT vec_id, sum(xi*xi) n2 FROM c GROUP BY vec_id),
-    cent AS (SELECT vec_id cid FROM embeddings WHERE vec_id % $IvfMod = $IvfRem),
-    cdot AS (SELECT a.vec_id, cid, sum(a.xi*b.xi) dot
-             FROM c a JOIN cent ON TRUE JOIN c b ON b.vec_id = cid AND a.i = b.i
-             GROUP BY a.vec_id, cid),
-    ccos AS (SELECT v.vec_id, cid,
+  /** The shared oracle-SQL training chain: CTEs `c` (quantized coords),
+    * `nrm` (corpus norms), and `cent$KmIters` — the codebook after KmIters
+    * exact-integer Lloyd steps, mirroring [[SimilarityOps.trainCodebook]]
+    * CTE-by-CTE (assignment by cosine over exact integer dots, new
+    * component = integer mean rounded half away from zero; `//` in DuckDB
+    * and `div` in Spark agree on the positive operands each branch
+    * feeds). */
+  private def trainSql: String = {
+    val iterCtes = (0 until KmIters).map { t =>
+      s"""cn$t AS (SELECT cid, sum(xi*xi) n2 FROM cent$t GROUP BY cid),
+    cd$t AS (SELECT a.vec_id, b.cid, sum(a.xi*b.xi) dot
+             FROM c a JOIN cent$t b ON a.i = b.i GROUP BY a.vec_id, b.cid),
+    cc$t AS (SELECT d.vec_id, d.cid,
                     CASE WHEN nv.n2 = 0 OR nc.n2 = 0 THEN NULL
                          ELSE CAST(dot AS DOUBLE)/sqrt(CAST(nv.n2 AS DOUBLE)*CAST(nc.n2 AS DOUBLE))
                     END ccs
-             FROM cdot v JOIN nrm nv ON v.vec_id = nv.vec_id
-                         JOIN nrm nc ON cid = nc.vec_id),
-    assign AS (SELECT vec_id, cid cluster_id FROM (
-                 SELECT vec_id, cid,
-                        row_number() OVER (PARTITION BY vec_id
-                                           ORDER BY ccs DESC, cid) crn
-                 FROM ccos) WHERE crn = 1),
-    cand AS (SELECT q.vec_id qid, n.vec_id nid
-             FROM assign q JOIN assign n ON q.cluster_id = n.cluster_id
-             WHERE q.vec_id % $QueryMod = 0 AND q.vec_id <> n.vec_id),
+             FROM cd$t d JOIN nrm nv ON d.vec_id = nv.vec_id
+                         JOIN cn$t nc ON d.cid = nc.cid),
+    asg$t AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY ccs DESC, cid) crn
+               FROM cc$t) WHERE crn = 1),
+    cent${t + 1} AS (SELECT cid, i,
+                     CAST(CASE WHEN s < 0 THEN -((-2*s + n) // (2*n))
+                               ELSE (2*s + n) // (2*n) END AS BIGINT) xi
+                     FROM (SELECT a.cid, cc.i, sum(cc.xi) s, count(*) n
+                           FROM asg$t a JOIN c cc ON a.vec_id = cc.vec_id
+                           GROUP BY a.cid, cc.i) sums$t)"""
+    }.mkString(",\n    ")
+    s"""u AS (SELECT vec_id, generate_subscripts(embedding,1) i, unnest(embedding) x
+               FROM embeddings),
+    c AS (SELECT vec_id, i, $quantSql xi FROM u),
+    nrm AS (SELECT vec_id, sum(xi*xi) n2 FROM c GROUP BY vec_id),
+    cent0 AS (SELECT vec_id cid, i, xi FROM c WHERE vec_id % $IvfMod = $IvfRem),
+    $iterCtes"""
+  }
+
+  /** Oracle CTEs from the trained codebook to per-vector cluster ranking:
+    * `rankedF(vec_id, cid, crn)` orders centroids per vector. */
+  private def searchRankSql: String = {
+    val cf = s"cent$KmIters"
+    s"""cnF AS (SELECT cid, sum(xi*xi) n2 FROM $cf GROUP BY cid),
+    cdF AS (SELECT a.vec_id, b.cid, sum(a.xi*b.xi) dot
+            FROM c a JOIN $cf b ON a.i = b.i GROUP BY a.vec_id, b.cid),
+    ccF AS (SELECT d.vec_id, d.cid,
+                   CASE WHEN nv.n2 = 0 OR nc.n2 = 0 THEN NULL
+                        ELSE CAST(dot AS DOUBLE)/sqrt(CAST(nv.n2 AS DOUBLE)*CAST(nc.n2 AS DOUBLE))
+                   END ccs
+            FROM cdF d JOIN nrm nv ON d.vec_id = nv.vec_id
+                       JOIN cnF nc ON d.cid = nc.cid),
+    rankedF AS (SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY ccs DESC, cid) crn
+                FROM ccF)"""
+  }
+
+  /** Oracle tail: candidates → exact rerank → top-K rows, given a `cand`
+    * CTE with (qid, nid). */
+  private val rerankTailSql: String = s"""
     d AS (SELECT qid, nid, sum(a.xi*b.xi) dot
           FROM cand JOIN c a ON qid = a.vec_id
                     JOIN c b ON nid = b.vec_id AND a.i = b.i
@@ -265,60 +293,139 @@ object QueriesSim {
           FROM s)
     SELECT query_id, rk, neighbor_id, cos_sim
     FROM r WHERE rk <= $K ORDER BY query_id, rk"""
+
+  private def ivfTrainedOracle(nprobe: Int): String = s"""
+    WITH $trainSql,
+    $searchRankSql,
+    cassign AS (SELECT vec_id, cid cluster_id FROM rankedF WHERE crn = 1),
+    qprobe AS (SELECT vec_id, cid cluster_id FROM rankedF
+               WHERE crn <= $nprobe AND vec_id % $QueryMod = 0),
+    cand AS (SELECT q.vec_id qid, n.vec_id nid
+             FROM qprobe q JOIN cassign n ON q.cluster_id = n.cluster_id
+             WHERE q.vec_id <> n.vec_id),
+    $rerankTailSql"""
+
+  /** IVF approximate top-k over the Lloyd-TRAINED codebook: the subsample
+    * seeds are converged for KmIters exact-integer k-means steps
+    * ([[SimilarityOps.trainCodebook]]), corpus vectors store under their
+    * nearest trained centroid, a query searches its own posting list only
+    * (nprobe=1), exact cosine rerank. */
+  def qEmbedIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    SimilarityOps.ivfTopKTrained(
+        emb.where(col("vec_id") % QueryMod === 0), emb, "vec_id", "embedding",
+        K, IvfMod, IvfRem, KmIters)
+      .orderBy("query_id", "rk")
+  }
+
+  val qEmbedIvfOracle: String = ivfTrainedOracle(nprobe = 1)
 
   val NdBands         = 8
   val NdPlanesPerBand = 8
   val NdThreshold     = 0.4
 
-  /** IVF with nprobe=2: each query searches its two nearest centroids'
-    * posting lists — the standard IVF recall lever (candidates scale with
-    * nprobe/nlist, never all-pairs). Corpus assignment stays single-list. */
+  /** Trained-codebook IVF with nprobe=2: each query searches its two
+    * nearest trained centroids' posting lists — the standard IVF recall
+    * lever (candidates scale with nprobe/nlist, never all-pairs). Corpus
+    * assignment stays single-list. */
   def qEmbedIvfProbe(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    SimilarityOps.ivfTopK(
+    SimilarityOps.ivfTopKTrained(
         emb.where(col("vec_id") % QueryMod === 0), emb, "vec_id", "embedding",
-        K, IvfMod, IvfRem, nprobe = 2)
+        K, IvfMod, IvfRem, KmIters, nprobe = 2)
       .orderBy("query_id", "rk")
   }
 
-  val qEmbedIvfProbeOracle: String = s"""
-    WITH u AS (SELECT vec_id, generate_subscripts(embedding,1) i, unnest(embedding) x
-               FROM embeddings),
-    c AS (SELECT vec_id, i, $quantSql xi FROM u),
-    nrm AS (SELECT vec_id, sum(xi*xi) n2 FROM c GROUP BY vec_id),
-    cent AS (SELECT vec_id cid FROM embeddings WHERE vec_id % $IvfMod = $IvfRem),
-    cdot AS (SELECT a.vec_id, cid, sum(a.xi*b.xi) dot
-             FROM c a JOIN cent ON TRUE JOIN c b ON b.vec_id = cid AND a.i = b.i
-             GROUP BY a.vec_id, cid),
-    ccos AS (SELECT v.vec_id, cid,
-                    CASE WHEN nv.n2 = 0 OR nc.n2 = 0 THEN NULL
-                         ELSE CAST(dot AS DOUBLE)/sqrt(CAST(nv.n2 AS DOUBLE)*CAST(nc.n2 AS DOUBLE))
-                    END ccs
-             FROM cdot v JOIN nrm nv ON v.vec_id = nv.vec_id
-                         JOIN nrm nc ON cid = nc.vec_id),
-    ranked AS (SELECT vec_id, cid,
-                      row_number() OVER (PARTITION BY vec_id
-                                         ORDER BY ccs DESC, cid) crn
-               FROM ccos),
-    cassign AS (SELECT vec_id, cid cluster_id FROM ranked WHERE crn = 1),
-    qprobe AS (SELECT vec_id, cid cluster_id FROM ranked
-               WHERE crn <= 2 AND vec_id % $QueryMod = 0),
-    cand AS (SELECT q.vec_id qid, n.vec_id nid
-             FROM qprobe q JOIN cassign n ON q.cluster_id = n.cluster_id
-             WHERE q.vec_id <> n.vec_id),
-    d AS (SELECT qid, nid, sum(a.xi*b.xi) dot
-          FROM cand JOIN c a ON qid = a.vec_id
-                    JOIN c b ON nid = b.vec_id AND a.i = b.i
-          GROUP BY qid, nid),
-    s AS (SELECT qid, nid,
-                 CAST(dot AS DOUBLE)/sqrt(CAST(na.n2 AS DOUBLE)*CAST(nb.n2 AS DOUBLE)) cos_sim
-          FROM d JOIN nrm na ON qid = na.vec_id JOIN nrm nb ON nid = nb.vec_id),
-    r AS (SELECT qid query_id, nid neighbor_id, cos_sim,
-                 CAST(row_number() OVER (PARTITION BY qid
-                        ORDER BY cos_sim DESC, nid) AS BIGINT) rk
-          FROM s)
-    SELECT query_id, rk, neighbor_id, cos_sim
-    FROM r WHERE rk <= $K ORDER BY query_id, rk"""
+  val qEmbedIvfProbeOracle: String = ivfTrainedOracle(nprobe = 2)
+
+  /** IVF recall audit, trained vs seed codebook: per query, recall@K of
+    * the nprobe=1 IVF search under (a) the raw subsample seeds and (b) the
+    * KmIters-trained codebook, against the exact brute-force top-K — the
+    * measurement that justifies spending the training iterations
+    * (IvfCodebookSpec asserts mean trained recall >= mean seed recall).
+    * Integer hit counts, one division each → engine-exact. */
+  def qIvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val qs  = emb.where(col("vec_id") % QueryMod === 0)
+    val exact = SimilarityOps.bruteForceTopK(qs, emb, "vec_id", "embedding", K)
+      .select("query_id", "neighbor_id")
+    def hitsOf(ap: DataFrame, name: String): DataFrame =
+      exact.join(ap.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as(name))
+    val seedHits = hitsOf(SimilarityOps.ivfTopK(
+      qs, emb, "vec_id", "embedding", K, IvfMod, IvfRem), "hits_seed")
+    val trainedHits = hitsOf(SimilarityOps.ivfTopKTrained(
+      qs, emb, "vec_id", "embedding", K, IvfMod, IvfRem, KmIters),
+      "hits_trained")
+    qs.select(col("vec_id").as("query_id"))
+      .join(seedHits, Seq("query_id"), "left")
+      .join(trainedHits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("hits_seed", "hits_trained"))
+      .select(col("query_id"), col("hits_seed"), col("hits_trained"),
+        (col("hits_seed").cast("double") / lit(K.toDouble)).as("recall_seed"),
+        (col("hits_trained").cast("double") / lit(K.toDouble)).as("recall_trained"))
+      .orderBy("query_id")
+  }
+
+  val qIvfRecallOracle: String = s"""
+    WITH $trainSql,
+    $searchRankSql,
+    dx AS (SELECT q.vec_id qid, c2.vec_id nid, sum(q.xi*c2.xi) dot
+           FROM c q JOIN c c2 ON q.i = c2.i
+           WHERE q.vec_id % $QueryMod = 0 AND q.vec_id <> c2.vec_id
+           GROUP BY 1, 2),
+    sx AS (SELECT qid, nid,
+                  CAST(dot AS DOUBLE)/sqrt(CAST(nq.n2 AS DOUBLE)*CAST(nc.n2 AS DOUBLE)) cos_sim
+           FROM dx JOIN nrm nq ON qid = nq.vec_id JOIN nrm nc ON nid = nc.vec_id),
+    ex AS (SELECT qid query_id, nid neighbor_id FROM (
+             SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                      ORDER BY cos_sim DESC, nid) rk FROM sx) WHERE rk <= $K),
+    sassign AS (SELECT vec_id, cid cluster_id FROM (
+                  SELECT vec_id, cid,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY ccs DESC, cid) crn
+                  FROM cc0) WHERE crn = 1),
+    scand AS (SELECT q.vec_id qid, n.vec_id nid
+              FROM sassign q JOIN sassign n ON q.cluster_id = n.cluster_id
+              WHERE q.vec_id % $QueryMod = 0 AND q.vec_id <> n.vec_id),
+    sd AS (SELECT qid, nid, sum(a.xi*b.xi) dot
+           FROM scand JOIN c a ON qid = a.vec_id
+                      JOIN c b ON nid = b.vec_id AND a.i = b.i
+           GROUP BY qid, nid),
+    ss AS (SELECT qid, nid,
+                  CAST(dot AS DOUBLE)/sqrt(CAST(na.n2 AS DOUBLE)*CAST(nb.n2 AS DOUBLE)) cos_sim
+           FROM sd JOIN nrm na ON qid = na.vec_id JOIN nrm nb ON nid = nb.vec_id),
+    sap AS (SELECT qid query_id, nid neighbor_id FROM (
+              SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                       ORDER BY cos_sim DESC, nid) rk FROM ss) WHERE rk <= $K),
+    shits AS (SELECT query_id, count(*) h FROM ex
+              JOIN sap USING (query_id, neighbor_id) GROUP BY 1),
+    tassign AS (SELECT vec_id, cid cluster_id FROM rankedF WHERE crn = 1),
+    tcand AS (SELECT q.vec_id qid, n.vec_id nid
+              FROM tassign q JOIN tassign n ON q.cluster_id = n.cluster_id
+              WHERE q.vec_id % $QueryMod = 0 AND q.vec_id <> n.vec_id),
+    td AS (SELECT qid, nid, sum(a.xi*b.xi) dot
+           FROM tcand JOIN c a ON qid = a.vec_id
+                      JOIN c b ON nid = b.vec_id AND a.i = b.i
+           GROUP BY qid, nid),
+    ts AS (SELECT qid, nid,
+                  CAST(dot AS DOUBLE)/sqrt(CAST(na.n2 AS DOUBLE)*CAST(nb.n2 AS DOUBLE)) cos_sim
+           FROM td JOIN nrm na ON qid = na.vec_id JOIN nrm nb ON nid = nb.vec_id),
+    tap AS (SELECT qid query_id, nid neighbor_id FROM (
+              SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                       ORDER BY cos_sim DESC, nid) rk FROM ts) WHERE rk <= $K),
+    thits AS (SELECT query_id, count(*) h FROM ex
+              JOIN tap USING (query_id, neighbor_id) GROUP BY 1)
+    SELECT q.vec_id AS query_id,
+           CAST(COALESCE(sh.h, 0) AS BIGINT) AS hits_seed,
+           CAST(COALESCE(th.h, 0) AS BIGINT) AS hits_trained,
+           CAST(COALESCE(sh.h, 0) AS DOUBLE) / ${K}.0 AS recall_seed,
+           CAST(COALESCE(th.h, 0) AS DOUBLE) / ${K}.0 AS recall_trained
+    FROM embeddings q LEFT JOIN shits sh ON q.vec_id = sh.query_id
+                      LEFT JOIN thits th ON q.vec_id = th.query_id
+    WHERE q.vec_id % $QueryMod = 0
+    ORDER BY query_id"""
 
   /** Embedding-cosine near-duplicate pairs via banded sign-LSH: candidates
     * are pairs agreeing on all 8 planes of at least one of 8 bands
@@ -472,5 +579,6 @@ object QueriesSim {
     QueryDef("q_embed_ivf_probe", qEmbedIvfProbe, Some(qEmbedIvfProbeOracle)),
     QueryDef("q_embed_neardup", qEmbedNearDup, Some(qEmbedNearDupOracle)),
     QueryDef("q_kmeans_iter", qKmeansIter, Some(qKmeansIterOracle)),
-    QueryDef("q_ann_recall", qAnnRecall, Some(qAnnRecallOracle)))
+    QueryDef("q_ann_recall", qAnnRecall, Some(qAnnRecallOracle)),
+    QueryDef("q_ivf_recall", qIvfRecall, Some(qIvfRecallOracle)))
 }
