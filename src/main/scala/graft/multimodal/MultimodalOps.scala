@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Typed row for an opaque media payload: the multimodal column model
   * (north-star extension). Real pipelines put image/audio/video bytes in
-  * `payload` (BinaryType) with typed metadata alongside; all Spark-side
-  * plumbing (schema, partitioning, batch-shaped decode) is real, only the
-  * codec is stubbed (this container has no image/audio libraries). */
+  * `payload` (BinaryType) with typed metadata alongside; the Spark-side
+  * plumbing (schema, partitioning, batch-shaped decode) is real, and the
+  * IMAGE codec is real too (`javax.imageio` PNG — in the JDK, no external
+  * libraries). Audio/video payloads fall back to codec-free byte
+  * featurization (no FFmpeg in this container). */
 case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
                     width: Int, height: Int, duration_ms: Long)
 
@@ -15,13 +17,86 @@ case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
 case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
                          feature: Array[Float])
 
+/** Decoded per-image facts from the real codec pass: dimensions and exact
+  * per-channel pixel sums (integers → oracle-comparable). */
+case class ImageMeta(media_id: Long, width: Long, height: Long,
+                     n_px: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
 object MultimodalOps {
 
-  /** STUB CODEC — deterministic fake "decode": derives a feature vector
-    * from payload bytes. Replace with a real decoder (JavaCPP/FFmpeg,
-    * ImageIO) in production; the signature and batch shape are the real
-    * contract. */
-  private def fakeDecode(payload: Array[Byte], dim: Int): Array[Float] = {
+  /** Deterministic synthetic raster: channel values are closed-form in
+    * (media_id, x, y), so a SQL oracle can recompute what the decoder
+    * must read back — PNG is lossless, making encode→decode a genuine
+    * differential test of the codec path. */
+  def synthW(id: Long): Int = (4 + id % 13).toInt
+  def synthH(id: Long): Int = (4 + id % 9).toInt
+  def synthR(id: Long, x: Int, y: Int): Int = ((id * 7 + x * 3 + y * 11) % 256).toInt
+  def synthG(id: Long, x: Int, y: Int): Int = ((id * 5 + x * 13 + y * 7) % 256).toInt
+  def synthB(id: Long, x: Int, y: Int): Int = ((id * 3 + x * 5 + y * 17) % 256).toInt
+
+  /** REAL ENCODE: render the deterministic raster for each id and encode
+    * it as PNG bytes with `javax.imageio` — a batch-shaped pass (one
+    * iterator per partition), producing genuine image payloads for the
+    * decode path to consume. */
+  def encodePngImages(spark: SparkSession, df: DataFrame,
+                      idCol: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val (w, h) = (synthW(id), synthH(id))
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y,
+              (synthR(id, x, y) << 16) | (synthG(id, x, y) << 8) | synthB(id, x, y))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRow(id, "image", bos.toByteArray, w, h, 0L)
+      }
+    }
+  }
+
+  /** REAL DECODE: parse each payload with `javax.imageio`, read the raster
+    * back, and emit exact integer per-channel sums. Fails loudly on a
+    * payload that is not a decodable image — a silent skip would hide
+    * codec breakage. Batch-shaped (iterator per partition): rows stream
+    * through without materializing the partition. */
+  def decodeImageMeta(ds: Dataset[MediaRow]): Dataset[ImageMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(img != null,
+          s"media ${r.media_id}: payload (${r.payload.length} bytes) is not a decodable image")
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        ImageMeta(r.media_id, img.getWidth.toLong, img.getHeight.toLong,
+          img.getWidth.toLong * img.getHeight, sr, sg, sb)
+      }
+    }
+  }
+
+  /** Codec-free byte featurization (folded byte-mass histogram) — the
+    * real fallback for kinds with no in-container codec (audio/video;
+    * FFmpeg would slot into the same batch pass in production). */
+  private def byteFold(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var i = 0
     while (i < payload.length) {
@@ -31,16 +106,51 @@ object MultimodalOps {
     out
   }
 
+  /** Pixel-space features from a decoded image: [w, h, mean_r, mean_g,
+    * mean_b, folded luma histogram…] — dim floats. */
+  private def imageFeatures(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    val (w, h) = (img.getWidth, img.getHeight)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val (r, g, b) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+        sr += r; sg += g; sb += b
+        if (dim > 5) out(5 + (r * 2 + g * 5 + b) % (dim - 5)) += 1.0f
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toFloat
+    out(0) = w.toFloat; out(1) = h.toFloat
+    if (n > 0) { out(2) = sr / n / 255f; out(3) = sg / n / 255f; out(4) = sb / n / 255f }
+    out
+  }
+
   /** Batch-shaped decode: one partition = one iterator pass (the Scala
     * analog of a pandas `mapInPandas` UDF) — codecs initialize once per
     * partition, not per row, and rows stream through without
-    * materializing the partition. */
+    * materializing the partition. Image payloads that parse get REAL
+    * pixel-space features (`javax.imageio`); everything else (audio/video
+    * kinds, or fixture text bytes standing in for payloads) gets the
+    * codec-free byte featurization. */
   def decodeFeatures(ds: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
-      // per-partition codec init would go here
-      rows.map(r => MediaFeatures(r.media_id, r.kind, r.payload.length,
-        fakeDecode(r.payload, dim)))
+      // per-partition codec init would go here (ImageIO readers are cheap;
+      // an FFmpeg context would be created once here)
+      rows.map { r =>
+        val feat =
+          if (r.kind == "image") {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.payload))
+            if (img != null) imageFeatures(img, dim) else byteFold(r.payload, dim)
+          } else byteFold(r.payload, dim)
+        MediaFeatures(r.media_id, r.kind, r.payload.length, feat)
+      }
     }
   }
 

@@ -6,12 +6,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Pack F — multimodal column plumbing (north-star extension; no reference
-  * analog). The payload decode itself is a loudly-declared stub
-  * (MultimodalOps.fakeDecode — this container has no codec libraries); the
-  * oracle-checked part is the pure-Catalyst side: frame-sampling a video
-  * duration into (media_id, ts_ms, frame_idx) rows via `explode(sequence)`
-  * — the plan shape a real frame extractor's batch decode would consume.
-  * Fixture adapter: documents.text bytes stand in for media payloads, so
+  * analog). The IMAGE codec is real (`javax.imageio` PNG, in the JDK):
+  * q_image_meta encodes a deterministic raster per document and decodes it
+  * back, oracle-checking the exact pixel sums. Audio/video decode falls
+  * back to codec-free byte featurization (no FFmpeg in this container);
+  * their oracle-checked parts are the pure-Catalyst plans: frame-sampling,
+  * patch grids and audio windows via `explode(sequence)` — the work-lists
+  * a production decoder's batch pass would consume. Fixture adapter:
+  * documents.text bytes stand in for audio/video payloads, so
   * duration_ms = length(text)·40 (MultimodalOps.fromStrings).
   */
 object QueriesMm {
@@ -98,8 +100,37 @@ object QueriesMm {
            CAST(max(start_s) AS BIGINT) last_start
     FROM w GROUP BY media_id ORDER BY media_id"""
 
+  /** REAL image codec round-trip (javax.imageio PNG, in the JDK): render a
+    * deterministic raster per doc_id, encode to PNG bytes, DECODE the bytes
+    * back, and emit exact per-channel pixel sums. PNG is lossless, so the
+    * DuckDB oracle recomputes the sums from the closed-form pixel function
+    * — any codec breakage (wrong channel order, row stride, color space)
+    * hash-mismatches. The decode is the batch-shaped mapPartitions pass a
+    * production FFmpeg/JPEG codec would slot into. */
+  def qImageMeta(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps.decodeImageMeta(
+        MultimodalOps.encodePngImages(spark,
+          Tables.documents(spark, dir), "doc_id"))
+      .toDF()
+      .orderBy("media_id")
+
+  val qImageMetaOracle: String = """
+    WITH dims AS (SELECT doc_id media_id,
+                         4 + doc_id % 13 w, 4 + doc_id % 9 h
+                  FROM documents),
+    px AS (SELECT media_id, w, h, unnest(range(0, w)) x FROM dims),
+    pxy AS (SELECT media_id, w, h, x, unnest(range(0, h)) y FROM px)
+    SELECT media_id,
+           CAST(max(w) AS BIGINT) width, CAST(max(h) AS BIGINT) height,
+           count(*) n_px,
+           CAST(sum((media_id*7 + x*3 + y*11) % 256) AS BIGINT) sum_r,
+           CAST(sum((media_id*5 + x*13 + y*7) % 256) AS BIGINT) sum_g,
+           CAST(sum((media_id*3 + x*5 + y*17) % 256) AS BIGINT) sum_b
+    FROM pxy GROUP BY media_id ORDER BY media_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_frame_sample", qFrameSample, Some(qFrameSampleOracle)),
     QueryDef("q_patch_grid", qPatchGrid, Some(qPatchGridOracle)),
-    QueryDef("q_audio_windows", qAudioWindows, Some(qAudioWindowsOracle)))
+    QueryDef("q_audio_windows", qAudioWindows, Some(qAudioWindowsOracle)),
+    QueryDef("q_image_meta", qImageMeta, Some(qImageMetaOracle)))
 }

@@ -4,12 +4,56 @@ import graft.multimodal.MultimodalOps
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: binary payload + typed metadata, batch-shaped
-  * decode (stub codec), frame-sample explode. The codec is a deterministic
-  * fake; the schema/partitioning/batch contract is the real thing under test. */
+  * decode, frame-sample explode. The IMAGE codec is real (`javax.imageio`
+  * PNG round-trip against closed-form pixel sums); audio/video byte
+  * featurization is the codec-free fallback. */
 class MultimodalSpec extends SparkSpec {
 
   private lazy val media = MultimodalOps.fromStrings(spark,
     Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text")
+
+  test("PNG encode -> imageio decode round-trips exact pixel sums") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
+    val encoded = MultimodalOps.encodePngImages(spark, docs, "doc_id")
+    // payloads are genuine PNG files (magic bytes)
+    val p = encoded.head().payload
+    assert((p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G')
+    val got = MultimodalOps.decodeImageMeta(encoded).collect()
+    assert(got.length == 50)
+    got.foreach { m =>
+      val id = m.media_id
+      val (w, h) = (MultimodalOps.synthW(id), MultimodalOps.synthH(id))
+      assert(m.width == w && m.height == h && m.n_px == w.toLong * h)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        sr += MultimodalOps.synthR(id, x, y)
+        sg += MultimodalOps.synthG(id, x, y)
+        sb += MultimodalOps.synthB(id, x, y)
+      }
+      assert(m.sum_r == sr && m.sum_g == sg && m.sum_b == sb,
+        s"channel sums diverged for media $id")
+    }
+  }
+
+  test("decodeImageMeta fails loudly on a non-image payload") {
+    import spark.implicits._
+    val bogus = Seq(graft.multimodal.MediaRow(
+      7L, "image", "not a png".getBytes("UTF-8"), 0, 0, 0L)).toDS()
+    val e = intercept[Exception] {
+      MultimodalOps.decodeImageMeta(bogus).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("decodeFeatures uses real pixel features for decodable images") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(5)
+    val encoded = MultimodalOps.encodePngImages(spark, docs, "doc_id")
+    val f = MultimodalOps.decodeFeatures(encoded, dim = 16)
+      .filter(_.media_id == 0L).head()
+    // feature[0], feature[1] are the decoded raster dims
+    assert(f.feature(0) == MultimodalOps.synthW(0L).toFloat)
+    assert(f.feature(1) == MultimodalOps.synthH(0L).toFloat)
+  }
 
   test("media dataset has binary payload and typed metadata") {
     val schema = media.schema
