@@ -184,6 +184,22 @@ object DedupOps {
     // eager lineage cut per phase — see nearDupsOnShingles: shingles feed
     // freq, prefixes, and the rerank; prefixes feed both self-join sides
     val sh = shingles.localCheckpoint(true)
+    val cand = ngramPrefixCandidates(sh, tNum, lengthFilter = true)
+    jaccardOnPairs(cand, sh).where(col("jaccard") >= threshold)
+      .localCheckpoint(true)
+  }
+
+  /** Prefix-filter candidate pairs for [[ngramJaccardNearDups]] (factored
+    * out so the spec can measure the candidate count with and without the
+    * length filter). With `lengthFilter`, the standard PPJoin length-ratio
+    * pruning is applied inside the posting-list join: J(A,B) ≥ t forces
+    * |A∩B| ≥ t·max(|A|,|B|), and |A∩B| ≤ min(|A|,|B|), so any true pair
+    * satisfies min ≥ t·max — pairs outside that band are dropped BEFORE
+    * the dedup/rerank, shrinking the quadratic-in-posting-list stage. The
+    * check uses the same floor'd integer threshold (tNum ≤ 100·t), which
+    * can only WEAKEN the filter — it never drops a true pair. */
+  private[graft] def ngramPrefixCandidates(sh: DataFrame, tNum: Long,
+                                           lengthFilter: Boolean): DataFrame = {
     val freq = sh.groupBy(col("h")).agg(count(lit(1)).as("dfreq"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("dfreq").asc, col("h").asc)
@@ -192,14 +208,20 @@ object DedupOps {
         org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= col("sz") - floor(col("sz") * tNum / 100) + 1)
-      .select("id", "h")
+      .select("id", "h", "sz")
       .localCheckpoint(true)
-    val cand = prefixes.select(col("h"), col("id").as("id_a"))
-      .join(prefixes.select(col("h"), col("id").as("id_b")), Seq("h"))
+    val joined = prefixes
+      .select(col("h"), col("id").as("id_a"), col("sz").as("sz_a"))
+      .join(prefixes
+        .select(col("h"), col("id").as("id_b"), col("sz").as("sz_b")), Seq("h"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    jaccardOnPairs(cand, sh).where(col("jaccard") >= threshold)
-      .localCheckpoint(true)
+    val pruned =
+      if (lengthFilter)
+        joined.where(
+          least(col("sz_a"), col("sz_b")) * 100 >=
+            greatest(col("sz_a"), col("sz_b")) * tNum)
+      else joined
+    pruned.select("id_a", "id_b").distinct()
   }
 
   /** Connected components over near-dup pairs → (id, cluster_id = minimum

@@ -42,6 +42,27 @@ class DedupSimSpec extends SparkSpec {
     assert(!got.keySet.exists { case (a, b) => b == 3L || a == 3L })
   }
 
+  test("PPJoin length filter prunes candidates without changing the result") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val sh = graft.ops.DedupOps
+      .shingleHashes(docs, "doc_id", "text", 5).localCheckpoint(true)
+    val t = 0.4
+    val tNum = math.floor(t * 100).toLong
+    val without = graft.ops.DedupOps
+      .ngramPrefixCandidates(sh, tNum, lengthFilter = false).count()
+    val withLf = graft.ops.DedupOps
+      .ngramPrefixCandidates(sh, tNum, lengthFilter = true).count()
+    info(s"prefix-join candidates: $without unfiltered -> $withLf with length filter")
+    assert(withLf <= without)
+    // the final pair set is invariant: every length-pruned candidate was a
+    // false positive (min >= t*max is implied by J >= t)
+    def pairs(lf: Boolean) = graft.ops.DedupOps.jaccardOnPairs(
+        graft.ops.DedupOps.ngramPrefixCandidates(sh, tNum, lengthFilter = lf), sh)
+      .where(col("jaccard") >= t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5))).toSet
+    assert(pairs(lf = true) == pairs(lf = false))
+  }
+
   test("dedupClusters: chained pairs collapse to one component with min-id label") {
     // components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,6}; singletons absent
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L))
