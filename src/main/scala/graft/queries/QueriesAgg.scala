@@ -212,6 +212,51 @@ object QueriesAgg {
     FROM fl LEFT JOIN nth ON fl.user_id = nth.user_id
             LEFT JOIN nthm ON fl.user_id = nthm.user_id ORDER BY fl.user_id"""
 
+  /** group_first/last/nth over an OPAQUE BINARY payload — the reference's
+    * PYOBJ arms (`src/lib.rs:1142-1153`, `src/lib.rs:1240-1252`) carry
+    * arbitrary Python objects through the ordered first/last/nth kernels
+    * without interpreting them; here the opaque value is a BinaryType
+    * column flowing through the same ordered-window path as
+    * [[qFirstLastNth]] (nulls skipped, ±n arms), with a hex digest only at
+    * the very end so the oracle can compare bytes. */
+  def qBinaryNth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("pl",
+        when(col("doc_id") % 7 =!= 0, encode(col("text"), "UTF-8")))
+    val w  = Window.partitionBy("lang").orderBy("doc_id")
+    val wd = Window.partitionBy("lang").orderBy(col("doc_id").desc)
+    val nn = docs.where(col("pl").isNotNull)
+    def pick(win: org.apache.spark.sql.expressions.WindowSpec, rn: Int,
+             name: String) =
+      nn.withColumn("rn", row_number().over(win)).where(col("rn") === rn)
+        .select(col("lang"), hex(col("pl")).as(name))
+    docs.groupBy("lang").agg(count(col("pl")).as("n_obs"))
+      .join(pick(w, 1, "first_hex"), Seq("lang"), "left")
+      .join(pick(wd, 1, "last_hex"), Seq("lang"), "left")
+      .join(pick(w, 3, "nth3_hex"), Seq("lang"), "left")
+      .join(pick(wd, 2, "nth_m2_hex"), Seq("lang"), "left")
+      .orderBy("lang")
+  }
+
+  val qBinaryNthOracle: String = """
+    WITH d AS (SELECT lang, doc_id,
+                      CASE WHEN doc_id % 7 <> 0 THEN encode(text) END pl
+               FROM documents),
+    nn AS (SELECT lang, doc_id, pl,
+                  row_number() OVER (PARTITION BY lang ORDER BY doc_id) rn,
+                  row_number() OVER (PARTITION BY lang ORDER BY doc_id DESC) rd
+           FROM d WHERE pl IS NOT NULL),
+    base AS (SELECT lang, count(pl) n_obs FROM d GROUP BY lang)
+    SELECT base.lang, n_obs,
+           f.h AS first_hex, l.h AS last_hex,
+           n3.h AS nth3_hex, nm.h AS nth_m2_hex
+    FROM base
+    LEFT JOIN (SELECT lang, hex(pl) h FROM nn WHERE rn = 1) f  ON base.lang = f.lang
+    LEFT JOIN (SELECT lang, hex(pl) h FROM nn WHERE rd = 1) l  ON base.lang = l.lang
+    LEFT JOIN (SELECT lang, hex(pl) h FROM nn WHERE rn = 3) n3 ON base.lang = n3.lang
+    LEFT JOIN (SELECT lang, hex(pl) h FROM nn WHERE rd = 2) nm ON base.lang = nm.lang
+    ORDER BY base.lang"""
+
   /** group_ohlc — documented intent (first, max, min, last) per group
     * (`src/groupby.rs:1405-1530`; reference binding bugs not replicated). */
   def qOhlc(spark: SparkSession, dir: String): DataFrame =
@@ -1240,6 +1285,7 @@ object QueriesAgg {
     QueryDef("q_moments", qMoments, Some(qMomentsOracle)),
     QueryDef("q_minmax", qMinMax, Some(qMinMaxOracle)),
     QueryDef("q_first_last_nth", qFirstLastNth, Some(qFirstLastNthOracle)),
+    QueryDef("q_binary_nth", qBinaryNth, Some(qBinaryNthOracle)),
     QueryDef("q_ohlc", qOhlc, Some(qOhlcOracle)),
     QueryDef("q_quantile", qQuantile, Some(qQuantileOracle)),
     QueryDef("q_weighted_mean", qWeightedMean, Some(qWeightedMeanOracle)),
