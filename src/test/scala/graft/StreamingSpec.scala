@@ -160,6 +160,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("AvailableNow backfill: multi-batch replay with watermark-bounded state") {
+    import spark.implicits._
+    // four time slices 10 min apart, written as separate files with
+    // distinct mod-times so maxFilesPerTrigger=1 yields one ordered
+    // micro-batch per slice — the standard backfill-then-stream shape
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val in = tmpPath("graft_backfill_in")
+    (0 until 4).foreach { slice =>
+      (0 until 100).map { i =>
+        (new java.sql.Timestamp(base + slice * 600000L + (i % 300) * 1000L),
+          (i % 7).toLong)
+      }.toDF("ts", "user_id")
+        .coalesce(1).write.mode("append").parquet(in)
+      Thread.sleep(60) // distinct file mod-times → deterministic batch order
+    }
+    val sch = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val agg = stream.withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "5 minutes")).count()
+      .select(unix_timestamp(col("window.start")).as("ws"), col("count"))
+    val q = agg.writeStream.outputMode("append")
+      .option("checkpointLocation", tmpPath("graft_backfill_ckpt"))
+      .format("memory").queryName("backfill_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+
+    val progresses = q.recentProgress.filter(_.numInputRows > 0)
+    assert(progresses.length >= 4,
+      s"expected >=4 data micro-batches, got ${progresses.length}")
+    // each slice spans 5 min starting on a 10-min boundary → exactly one
+    // 5-min window per slice, 4 distinct windows in total
+    val emitted = spark.table("backfill_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lastState = q.recentProgress.flatMap(_.stateOperators)
+      .lastOption.map(_.numRowsTotal).getOrElse(-1L)
+    // watermark (maxTs - 5min) closed every window except the final
+    // slice's: state is BOUNDED by the watermark horizon, not by the
+    // total number of windows seen during the backfill
+    assert(lastState >= 0 && lastState <= 2,
+      s"state not watermark-bounded: $lastState rows held after backfill")
+    assert(emitted.size + lastState >= 4 && emitted.size < 4,
+      s"eviction accounting off: ${emitted.size} emitted, $lastState in state")
+    // emitted windows carry the exact per-window counts (100 rows/slice)
+    emitted.values.foreach(c => assert(c == 100L))
+  }
+
   test("foreachBatch upsert snapshot: latest-state == batch argmax; replay is a no-op") {
     val root = tmpPath("graft_upsert_snap")
     val ev = Tables.events(spark, dir)
