@@ -61,6 +61,11 @@ object ScaleGen {
           fams.foldLeft(base.crossJoin(reps)) { case (df, (fam, c)) =>
             df.withColumn(c, col(c) + col("_rep") * familyMax(fam))
           }.drop("_rep")
+            // many moderate files, not one giant one: a single-file table
+            // caps scan parallelism at size/maxPartitionBytes (the sf0.1
+            // fixture's 1-file lineitem became one 80 MB file = 5 scan
+            // tasks on 32 cores); real lake layouts are many files
+            .repartition(32)
         }
       out.write.mode("overwrite").parquet(s"$dst/$t.parquet")
       println(s"[scalegen] $t x$factor -> $dst/$t.parquet")
