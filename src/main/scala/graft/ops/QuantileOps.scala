@@ -54,8 +54,11 @@ object QuantileOps {
       .withColumn("__cum", sum(col("__c")).over(w))
       .withColumn("__prev", col("__cum") - col("__c"))
     // 3. (group, q) targets from the tiny group spine: reference position
-    //    arithmetic `idx = trunc(q·(n−1))`, `frac = pos mod 1`
-    val spine = ranked.groupBy(keyCols: _*).agg(max(col("__cum")).as("__n"))
+    //    arithmetic `idx = trunc(q·(n−1))`, `frac = pos mod 1`. Group sizes
+    //    come from the domain AGG (not the window), so this branch shares
+    //    the domain exchange with the probe side (AQE ReusedExchange)
+    //    instead of paying a second window sort.
+    val spine = dom.groupBy(keyCols: _*).agg(sum(col("__c")).as("__n"))
       .withColumn("q", explode(array(qs.map(lit): _*)))
     val qidx = col("q") * (col("__n") - 1).cast("double")
     val targets = spine

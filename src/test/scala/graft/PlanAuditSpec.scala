@@ -25,6 +25,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(count(p, "Sort") <= 3, p)
   }
 
+  test("q_quantile: counting-sort plan — the fact table is never sorted") {
+    val p = plan("q_quantile")
+    // the round-7 rewrite: no per-row rank over the fact (the old plan's
+    // row_number window), and the only sorts are the domain window's
+    // in-partition sort + the output orderBy — any regression back to a
+    // fact-table sort shows up as an extra Sort or a row_number
+    assert(!p.contains("row_number"), p)
+    assert(count(p, "Sort") <= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_median: same counting-sort kernel (no fact-table rank window)") {
+    val p = plan("q_median")
+    assert(!p.contains("row_number"), p)
+    assert(count(p, "Sort") <= 2, p)
+  }
+
   test("q_join_agg: no count-distinct Expand; single wide pre-agg shuffle") {
     val p = plan("q_join_agg")
     assert(!p.contains("Expand"), p)
