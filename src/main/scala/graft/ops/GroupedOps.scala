@@ -16,8 +16,15 @@ import org.apache.spark.sql.functions._
   * With integer-valued inputs the power sums are exact in double, so the
   * final float formula is bitwise-reproducible across engines and partition
   * orders — that is what lets the DuckDB differential oracle hash-match.
-  * For general (non-integer) data at scale, Spark's built-in `var_samp` /
-  * `skewness` remain available; both forms are exposed.
+  * Validity bound: double addition of integer-valued terms stays exact
+  * while the running sum is < 2⁵³, i.e. up to ~2⁵³/max|x|ᵏ rows per group
+  * for the k-th power sum (l_quantity ≤ 50 → s3 exact to ~7e10 rows per
+  * group); past that the result degrades by IEEE rounding on BOTH engines
+  * symmetrically — there is no silent integer wrap anywhere in this family
+  * (the cents-scaled product sums in the query pack, which could wrap a
+  * long, accumulate in Decimal(38,0) instead). For general (non-integer)
+  * data at scale, Spark's built-in `var_samp` / `skewness` remain
+  * available; both forms are exposed.
   */
 object GroupedOps {
 

@@ -34,8 +34,14 @@ object QueriesAgg {
       .agg(
         sum("l_quantity").as("sum_qty"),
         (sum(col("pc")).cast("double") / 100.0).as("sum_base_price"),
-        (sum(col("pc") * (lit(100L) - col("dc"))).cast("double") / 10000.0).as("sum_disc_price"),
-        (sum(col("pc") * (lit(100L) - col("dc")) * (lit(100L) + col("tc"))).cast("double") / 1000000.0).as("sum_charge"),
+        // per-row products reach ~1e9 (disc) / ~2e11 (charge) cents-units:
+        // the LONG accumulator would wrap silently (non-ANSI) past ~1e9 /
+        // ~5e7 rows per group, so the products accumulate in Decimal(38,0)
+        // — exact like the oracle's HUGEINT — and convert to double once
+        (sum((col("pc") * (lit(100L) - col("dc"))).cast("decimal(38,0)"))
+          .cast("double") / 10000.0).as("sum_disc_price"),
+        (sum((col("pc") * (lit(100L) - col("dc")) * (lit(100L) + col("tc")))
+          .cast("decimal(38,0)")).cast("double") / 1000000.0).as("sum_charge"),
         avg("l_quantity").as("avg_qty"),
         (sum(col("pc")).cast("double") / 100.0 / count(lit(1)).cast("double")).as("avg_price"),
         (sum(col("dc")).cast("double") / 100.0 / count(lit(1)).cast("double")).as("avg_disc"),
@@ -357,7 +363,10 @@ object QueriesAgg {
     val e  = Tables.events(spark, dir).withColumn("xc", xc)
     val stats = e.groupBy("event_type").agg(
       count(col("xc")).as("n"),
-      sum(col("xc")).as("s1"), sum(col("xc") * col("xc")).as("s2"),
+      sum(col("xc")).as("s1"),
+      // xc² ≈ 1e10/row: Decimal(38,0) accumulator so the power sum cannot
+      // wrap past ~1e9 rows per group (same device as q_corr_matrix)
+      sum((col("xc") * col("xc")).cast("decimal(38,0)")).as("s2"),
       min(col("xc")).as("mn"), max(col("xc")).as("mx"))
     val n  = col("n").cast("double")
     val s1 = col("s1").cast("double"); val s2 = col("s2").cast("double")
@@ -439,7 +448,10 @@ object QueriesAgg {
     Tables.lineitem(spark, dir)
       .withColumn("pc", pc)
       .groupBy("l_returnflag", "l_linestatus")
-      .agg(sum(col("pc") * col("l_quantity").cast("long")).as("wsum"),
+      // pc·qty ≈ 5e8/row: decimal accumulator so the weighted sum cannot
+      // wrap silently past ~1.8e10 rows per group
+      .agg(sum((col("pc") * col("l_quantity").cast("long"))
+          .cast("decimal(38,0)")).as("wsum"),
         sum(col("l_quantity").cast("long")).as("w"))
       .select(col("l_returnflag"), col("l_linestatus"),
         (col("wsum").cast("double") / col("w").cast("double") / 100.0)
@@ -858,8 +870,12 @@ object QueriesAgg {
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
         sum("xc").cast("double").as("sx"), sum("yc").cast("double").as("sy"),
-        sum(col("xc") * col("xc")).cast("double").as("sxx"),
-        sum(col("xc") * col("yc")).cast("double").as("sxy"))
+        // cents products ≈ 1e7–1e10/row: decimal accumulators, not long
+        // (silent wrap past ~1e9 rows/group otherwise)
+        sum((col("xc") * col("xc")).cast("decimal(38,0)"))
+          .cast("double").as("sxx"),
+        sum((col("xc") * col("yc")).cast("decimal(38,0)"))
+          .cast("double").as("sxy"))
       .select(col("l_returnflag"), col("n"),
         ((col("n") * col("sxy") - col("sx") * col("sy")) /
           (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
