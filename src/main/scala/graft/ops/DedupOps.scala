@@ -50,13 +50,19 @@ object DedupOps {
       .agg(minhashAgg(col("h"), 0).as("mh0"),
         (1 until MinhashAB.size).map(i => minhashAgg(col("h"), i).as(s"mh$i")): _*)
 
-  /** LSH candidate pairs (id_a < id_b) sharing at least one band of `rows`
-    * consecutive minhash values. */
-  def lshCandidates(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
-    val banded = (0 until bands).map { b =>
+  /** (id, band, bkey) posting rows of a signature table — the LSH index
+    * relation both the self-join and the cross-side (incremental) join
+    * build on. */
+  private def bandedKeys(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
+    (0 until bands).map { b =>
       val key = concat_ws("_", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
       sigs.select(col("id"), lit(b).as("band"), key.as("bkey"))
     }.reduce(_ unionByName _)
+
+  /** LSH candidate pairs (id_a < id_b) sharing at least one band of `rows`
+    * consecutive minhash values. */
+  def lshCandidates(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val banded = bandedKeys(sigs, bands, rows)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.id") < col("y.id"))
@@ -122,6 +128,34 @@ object DedupOps {
     val sigs = minhashSignatures(sh).localCheckpoint(true)
     val cand = lshCandidates(sigs, bands, rows).localCheckpoint(true)
     jaccardOnPairs(cand, sh).where(col("jaccard") >= threshold)
+      .localCheckpoint(true)
+  }
+
+  /** Incremental near-dup: NEW documents against an existing CORPUS index
+    * — the production shape for "dedup today's crawl against the indexed
+    * lake". Candidates come from a CROSS-SIDE band equi-join (new postings
+    * × corpus postings — never an all-pairs product; the new side is the
+    * small one and hashes once). On a cluster the corpus side's shingles
+    * and signatures are the precomputed, stored index — here they are
+    * built in-query, which is the same plan with a scan swapped in. Ids
+    * must be disjoint across sides (output pairs are (new id, corpus id)).
+    * Same eager phase lineage-cuts as [[nearDupsOnShingles]]. */
+  def minhashNearDupsAgainstWords(newDf: DataFrame, corpusDf: DataFrame,
+                                  idCol: String, textCol: String,
+                                  bands: Int, rows: Int,
+                                  threshold: Double): DataFrame = {
+    require(bands * rows <= MinhashAB.size, "not enough hash functions")
+    val shN   = wordShingleHashes(newDf, idCol, textCol).localCheckpoint(true)
+    val shC   = wordShingleHashes(corpusDf, idCol, textCol).localCheckpoint(true)
+    val sigsN = minhashSignatures(shN).localCheckpoint(true)
+    val sigsC = minhashSignatures(shC).localCheckpoint(true)
+    val cand = bandedKeys(sigsN, bands, rows).as("x")
+      .join(bandedKeys(sigsC, bands, rows).as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct().localCheckpoint(true)
+    jaccardOnPairs(cand, shN.unionByName(shC))
+      .where(col("jaccard") >= threshold)
       .localCheckpoint(true)
   }
 

@@ -249,6 +249,70 @@ object QueriesText {
     SELECT * FROM j WHERE jaccard >= $JaccardThreshold ORDER BY id_a, id_b"""
   }
 
+  /** Sources treated as "today's crawl" for the incremental-dedup query. */
+  val IncomingSources = Seq("src0", "src1")
+
+  /** Incremental dedup — new docs vs the indexed corpus: per incoming
+    * document, how many near-dup matches it has in the existing corpus
+    * and the best Jaccard, via the cross-side band join
+    * ([[DedupOps.minhashNearDupsAgainstWords]]). The admit/reject verdict
+    * a crawl-ingest pipeline computes before a new document enters the
+    * lake; left join keeps clean documents in the output with n_dups=0. */
+  def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val inc  = docs.where(col("source").isin(IncomingSources: _*))
+    val cor  = docs.where(!col("source").isin(IncomingSources: _*))
+    val pairs = DedupOps.minhashNearDupsAgainstWords(
+      inc, cor, "doc_id", "text", Bands, Rows, JaccardThreshold)
+    inc.select(col("doc_id"))
+      .join(pairs.groupBy(col("id_a").as("doc_id"))
+          .agg(count(lit(1)).as("n_dups"), max("jaccard").as("best_jaccard")),
+        Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dups"))
+      .withColumn("is_dup", col("n_dups") > 0)
+      .orderBy("doc_id")
+  }
+
+  val qDedupIncrementalOracle: String = {
+    val mhs = MinhashAB.indices.map(minhashExprSql).mkString(", ")
+    val bandKeys = (0 until Bands).map { b =>
+      val key = (0 until Rows).map(r => s"CAST(mh${b * Rows + r} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT id, $b AS band, $key AS bkey FROM sigs"
+    }.mkString("\n      UNION ALL\n      ")
+    val incList = IncomingSources.map(s => s"'$s'").mkString(", ")
+    s"""
+    WITH $shingleCte,
+    sigs AS (SELECT id, $mhs FROM h GROUP BY id),
+    banded AS (
+      $bandKeys),
+    src AS (SELECT doc_id, source FROM documents),
+    cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+             FROM banded x JOIN banded y
+               ON x.band = y.band AND x.bkey = y.bkey
+             JOIN src sx ON x.id = sx.doc_id
+             JOIN src sy ON y.id = sy.doc_id
+             WHERE sx.source IN ($incList) AND sy.source NOT IN ($incList)),
+    sz AS (SELECT id, count(*) AS sz FROM h GROUP BY id),
+    inter AS (SELECT id_a, id_b, count(*) AS inter
+              FROM cand JOIN h sa ON id_a = sa.id
+                        JOIN h sb ON id_b = sb.id AND sa.h = sb.h
+              GROUP BY id_a, id_b),
+    j AS (SELECT cand.id_a, COALESCE(inter, 0) AS inter,
+                 CAST(COALESCE(inter, 0) AS DOUBLE) /
+                   CAST(x.sz + y.sz - COALESCE(inter, 0) AS DOUBLE) AS jaccard
+          FROM cand LEFT JOIN inter USING (id_a, id_b)
+                    JOIN sz x ON cand.id_a = x.id
+                    JOIN sz y ON cand.id_b = y.id),
+    m AS (SELECT id_a, count(*) AS n_dups, max(jaccard) AS best_jaccard
+          FROM j WHERE jaccard >= $JaccardThreshold GROUP BY 1)
+    SELECT d.doc_id, CAST(COALESCE(n_dups, 0) AS BIGINT) AS n_dups,
+           best_jaccard,
+           COALESCE(n_dups, 0) > 0 AS is_dup
+    FROM documents d LEFT JOIN m ON d.doc_id = m.id_a
+    WHERE d.source IN ($incList) ORDER BY d.doc_id"""
+  }
+
   /** Exact n-gram Jaccard near-dup pairs (no MinHash approximation): the
     * prefix-filtered similarity self-join (AllPairs/PPJoin family — see
     * DedupOps.ngramJaccardNearDups for the bound). The oracle states the
@@ -1569,6 +1633,8 @@ object QueriesText {
     QueryDef("q_dedup_exact", qDedupExact, Some(qDedupExactOracle)),
     QueryDef("q_minhash_sig", qMinhashSig, Some(qMinhashSigOracle)),
     QueryDef("q_neardup_lsh", qNearDupLsh, Some(qNearDupLshOracle)),
+    QueryDef("q_dedup_incremental", qDedupIncremental,
+      Some(qDedupIncrementalOracle)),
     QueryDef("q_ngram_jaccard", qNgramJaccard, Some(qNgramJaccardOracle)),
     QueryDef("q_tfidf", qTfidf, Some(qTfidfOracle)),
     QueryDef("q_split", qSplit, Some(qSplitOracle)),

@@ -42,6 +42,24 @@ class DedupSimSpec extends SparkSpec {
     assert(!got.keySet.exists { case (a, b) => b == 3L || a == 3L })
   }
 
+  test("incremental dedup: planted near-dup of a corpus doc is caught; clean docs pass") {
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (101L, "completely unrelated corpus content about database engines")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 100
+      (2L, "fresh original writing with no counterpart anywhere")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.DedupOps.minhashNearDupsAgainstWords(
+        incoming, corpus, "doc_id", "text", 4, 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 100L)))
+    assert(!got.exists(_._1 == 2L))
+    // pairs are always (new id, corpus id) — never corpus-corpus or new-new
+    assert(got.forall { case (a, b) => Set(1L, 2L)(a) && Set(100L, 101L)(b) })
+  }
+
   test("PPJoin length filter prunes candidates without changing the result") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val sh = graft.ops.DedupOps
