@@ -65,8 +65,20 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
+    import os
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        path = f"{sf_dir}/{t}.parquet"
+        # ScaleGen-produced SFs are directories of part files; the
+        # driver-generated fixtures are single files. events written by
+        # ScaleGen carries ts as a raw ns BIGINT (the nanosAsLong round
+        # trip) — rebuild the TIMESTAMP the fixture parquet exposes.
+        src = f"read_parquet('{path}/*.parquet')" if os.path.isdir(path) \
+          else f"read_parquet('{path}')"
+        if t == "events" and os.path.isdir(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * REPLACE "
+                        f"(make_timestamp(ts // 1000) AS ts) FROM {src}")
+        else:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_fail = 0
     for name, sql in sorted(oracles.items()):
