@@ -1417,20 +1417,26 @@ object QueriesText {
     val score = least(lit(1.0), wc.cast("double") / 100.0) * 0.5 +
       (lit(1.0) - least(lit(1.0), abs(awl - 4.5) / 4.5)) * 0.3 +
       least(lit(1.0), stopr * 5.0) * 0.2
+    // the per-doc score quantizes to integer micro-units BEFORE the sum:
+    // a raw double sum is accumulation-order-dependent (the sf1 sweep
+    // measured a last-ulp divergence at 10× rows), while the long sum is
+    // exact at any scale and any partitioning — one division at the end
     Tables.documents(spark, dir)
       .select(col("source"), col("lang"), col("n_chars"),
-        md5(col("text")).as("digest"), wc.as("toks"), score.as("q"))
+        md5(col("text")).as("digest"), wc.as("toks"),
+        round(score * 1e6).cast("long").as("q_ppm"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         countDistinct("digest").as("n_unique"),
         countDistinct("lang").as("n_langs"),
         sum("toks").as("n_tokens"),
         sum("n_chars").as("n_chars"),
-        sum("q").as("q_sum"))
+        sum("q_ppm").as("q_sum_ppm"))
       .select(col("source"), col("n_docs"), col("n_unique"), col("n_langs"),
         col("n_tokens"), col("n_chars"),
         expr("(n_docs - n_unique) * 1000000L div n_docs").as("dup_ppm"),
-        (col("q_sum") / col("n_docs").cast("double")).as("mean_quality"))
+        (col("q_sum_ppm").cast("double") / 1e6 / col("n_docs").cast("double"))
+          .as("mean_quality"))
       .orderBy("source")
   }
 
@@ -1441,7 +1447,8 @@ object QueriesText {
     val score = s"(least(1.0, CAST($wc AS DOUBLE) / 100.0) * 0.5 + (1.0 - least(1.0, abs($awl - 4.5) / 4.5)) * 0.3 + least(1.0, $stopr * 5.0) * 0.2)"
     s"""
     WITH d AS (SELECT source, lang, n_chars, md5(text) digest,
-                      $wc toks, $score q
+                      $wc toks,
+                      CAST(round($score * 1000000.0) AS BIGINT) q_ppm
                FROM documents)
     SELECT source, count(*) n_docs,
            count(DISTINCT digest) n_unique,
@@ -1450,7 +1457,8 @@ object QueriesText {
            CAST(sum(n_chars) AS BIGINT) n_chars,
            CAST((count(*) - count(DISTINCT digest)) * 1000000 // count(*)
                 AS BIGINT) dup_ppm,
-           sum(q) / CAST(count(*) AS DOUBLE) mean_quality
+           CAST(sum(q_ppm) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE)
+             mean_quality
     FROM d GROUP BY source ORDER BY source"""
   }
 
