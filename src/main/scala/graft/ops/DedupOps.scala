@@ -53,7 +53,7 @@ object DedupOps {
   /** (id, band, bkey) posting rows of a signature table — the LSH index
     * relation both the self-join and the cross-side (incremental) join
     * build on. */
-  private def bandedKeys(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
+  private[graft] def bandedKeys(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
     (0 until bands).map { b =>
       val key = concat_ws("_", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
       sigs.select(col("id"), lit(b).as("band"), key.as("bkey"))
@@ -155,6 +155,44 @@ object DedupOps {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct().localCheckpoint(true)
     jaccardOnPairs(cand, shN.unionByName(shC))
+      .where(col("jaccard") >= threshold)
+      .localCheckpoint(true)
+  }
+
+  /** PERSIST the corpus-side LSH index: band postings as a table BUCKETED
+    * on the join key (band, bkey) — the one-time shuffle is paid at index
+    * build, and every later [[probeLshIndex]] reads the corpus side with
+    * NO exchange (the incoming side, typically a day's crawl ≪ corpus,
+    * shuffles to the bucket count or broadcasts). The per-doc shingle
+    * sets are stored alongside (bucketed by id) for the exact rerank.
+    * This is the at-rest form of [[minhashNearDupsAgainstWords]]'s corpus
+    * phases — at 100 TB the index is built once and probed daily. */
+  def writeLshIndex(corpus: DataFrame, idCol: String, textCol: String,
+                    bands: Int, rows: Int, table: String,
+                    buckets: Int = 32): Unit = {
+    require(bands * rows <= MinhashAB.size, "not enough hash functions")
+    val sh = wordShingleHashes(corpus, idCol, textCol).localCheckpoint(true)
+    bandedKeys(minhashSignatures(sh), bands, rows)
+      .write.mode("overwrite").bucketBy(buckets, "band", "bkey")
+      .sortBy("band", "bkey").saveAsTable(s"${table}_postings")
+    sh.write.mode("overwrite").bucketBy(buckets, "id")
+      .saveAsTable(s"${table}_shingles")
+  }
+
+  /** Probe a persisted LSH index with new documents: cross-side band join
+    * against the bucketed postings (corpus side exchange-free), exact
+    * Jaccard rerank against the stored shingle sets. Output pairs are
+    * (new id, corpus id); ids must be disjoint across sides. */
+  def probeLshIndex(newDf: DataFrame, idCol: String, textCol: String,
+                    bands: Int, rows: Int, threshold: Double,
+                    table: String): DataFrame = {
+    val spark = newDf.sparkSession
+    val shN   = wordShingleHashes(newDf, idCol, textCol).localCheckpoint(true)
+    val cand = bandedKeys(minhashSignatures(shN), bands, rows).as("x")
+      .join(spark.table(s"${table}_postings").as("y"), Seq("band", "bkey"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct().localCheckpoint(true)
+    jaccardOnPairs(cand, shN.unionByName(spark.table(s"${table}_shingles")))
       .where(col("jaccard") >= threshold)
       .localCheckpoint(true)
   }

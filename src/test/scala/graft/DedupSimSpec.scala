@@ -60,6 +60,46 @@ class DedupSimSpec extends SparkSpec {
     assert(got.forall { case (a, b) => Set(1L, 2L)(a) && Set(100L, 101L)(b) })
   }
 
+  test("persisted LSH index: probe == in-query result; corpus side never shuffles") {
+    val documents = Tables.documents(spark, "/root/testdata/sf0.001")
+    val inc = documents.where(col("source").isin("src0", "src1"))
+    val cor = documents.where(!col("source").isin("src0", "src1"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      graft.ops.DedupOps.writeLshIndex(cor, "doc_id", "text", 4, 4,
+        "lsh_idx", buckets = 4)
+      // the probe result is identical to the single-query cross-side join
+      val probed = graft.ops.DedupOps.probeLshIndex(
+          inc, "doc_id", "text", 4, 4, 0.6, "lsh_idx")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5))).toSet
+      val inline = graft.ops.DedupOps.minhashNearDupsAgainstWords(
+          inc, cor, "doc_id", "text", 4, 4, 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5))).toSet
+      assert(probed == inline && probed.nonEmpty)
+      // plan: the bucketed postings scan feeds the band join with NO
+      // exchange on the corpus side — only the (small) incoming side
+      // shuffles to the bucket layout
+      val shN = graft.ops.DedupOps.wordShingleHashes(inc, "doc_id", "text")
+      val incPostings = graft.ops.DedupOps
+        .bandedKeys(graft.ops.DedupOps.minhashSignatures(shN), 4, 4)
+        .localCheckpoint(true) // leaf the incoming pipeline: the assertion
+                               // scopes to the probe join itself
+      val candPlan = incPostings.as("x")
+        .join(spark.table("lsh_idx_postings").as("y"), Seq("band", "bkey"))
+        .queryExecution.executedPlan.toString
+      assert(candPlan.contains("Bucketed: true"), candPlan)
+      val exchanges = "[+:]- Exchange[ \\[]".r.findAllIn(candPlan).size
+      assert(exchanges <= 1,
+        s"expected at most the incoming-side exchange, got $exchanges:\n$candPlan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS lsh_idx_postings")
+      spark.sql("DROP TABLE IF EXISTS lsh_idx_shingles")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("PPJoin length filter prunes candidates without changing the result") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val sh = graft.ops.DedupOps
