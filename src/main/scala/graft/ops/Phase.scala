@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Phase barriers and fan-out sizing for the multi-phase pipelines
+  * (MinHash-LSH near-dup, prefix-filtered similarity joins, connected
+  * components, IVF/k-means training).
+  *
+  * Every multi-phase pipeline materializes each phase with an eager
+  * LINEAGE CUT so downstream consumers plan against a LEAF scan and no
+  * re-plan/recompile path can re-execute the phase (see
+  * [[DedupOps.minhashNearDups]] for the measured failure mode a
+  * persist()+count() scheme leaves open). [[Phase.cut]] is the single
+  * chokepoint all of them go through, and it picks the DURABILITY of the
+  * cut from config:
+  *
+  *   - `spark.graft.checkpointDir` set → reliable `checkpoint()` to that
+  *     (HDFS/S3/any Hadoop FS) path. Blocks survive executor loss: on a
+  *     1000-executor cluster a preempted executor costs a re-read from
+  *     the reliable store, not a re-execution of the phase (or, for
+  *     localCheckpoint, the death of the whole query — local checkpoint
+  *     blocks are unrecoverable by design).
+  *   - unset → `localCheckpoint(eager = true)`: executor-memory/disk
+  *     blocks, zero external storage. Right for single-JVM local runs
+  *     (tests, the bench) where executor loss means JVM death anyway.
+  *
+  * Same plan either way — the phase result is a leaf RDD scan; only the
+  * storage of the materialized blocks differs.
+  */
+object Phase {
+
+  /** Runtime-conf key naming the reliable checkpoint directory. Set it to
+    * a durable filesystem path on clusters; leave unset for local runs. */
+  val ConfKey = "spark.graft.checkpointDir"
+
+  // setCheckpointDir resolves to <dir>/<uuid>, so the context's current
+  // value can't be string-compared to the config — track what we last set.
+  @volatile private var appliedDir: String = null
+
+  /** Materialize `df` and cut its lineage, durably when
+    * `spark.graft.checkpointDir` is set (reliable checkpoint), in
+    * executor storage otherwise (local checkpoint). */
+  def cut(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption(ConfKey).filter(_.nonEmpty) match {
+      case Some(dir) =>
+        if (appliedDir != dir) synchronized {
+          if (appliedDir != dir) {
+            df.sparkSession.sparkContext.setCheckpointDir(dir)
+            appliedDir = dir
+          }
+        }
+        df.checkpoint(eager = true)
+      case None =>
+        df.localCheckpoint(eager = true)
+    }
+
+  /** `.phaseCut` syntax for [[cut]]. */
+  implicit class PhaseSyntax(private val df: DataFrame) extends AnyVal {
+    def phaseCut: DataFrame = Phase.cut(df)
+  }
+
+  /** Widen `df` to full parallelism BEFORE a row-multiplying stage
+    * (shingle/word/band explodes, broadcast-join fan-outs) — but only when
+    * the input is actually under-parallel. Local fixture files are a
+    * single split, so the md5/dot-product-heavy stage downstream would
+    * serialize without this; a cluster-scale table already arrives in
+    * hundreds of splits, and an unconditional repartition there is a
+    * gratuitous full shuffle of the corpus. Partition count is read from
+    * the PHYSICAL plan of the frame, so file-split math (maxPartitionBytes)
+    * is respected. */
+  def fanout(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+}

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import graft.ops.Phase._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -63,7 +64,7 @@ object SimilarityOps {
     // Repartition the corpus: the broadcast join multiplies each corpus row
     // by |queries| and the per-pair dot-product fold is the CPU hot loop —
     // file-split parallelism (often 1 for a small corpus file) serializes it.
-    val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    val c = Phase.fanout(corpus)
       .select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
       .withColumn("cn", norm2Q(col("cv")))
     val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
@@ -149,14 +150,14 @@ object SimilarityOps {
     // LEAF scan and no re-plan/recompile path can re-run the quantize or
     // the bands·planes dot products (same phase structure and rationale
     // as DedupOps.nearDupsOnShingles; blocks are ContextCleaner-reclaimed)
-    val v = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    val v = Phase.fanout(emb)
       .select(col(idCol).as("id"), quantize(col(vecCol)).as("v"))
       .withColumn("n2", norm2Q(col("v")))
-      .localCheckpoint(true)
+      .phaseCut
     val posts = v.select(col("id"),
         posexplode(array((0 until bands).map(b =>
           bandSig(col("v"), b, planesPerBand, dim)): _*)).as(Seq("band", "sig")))
-      .localCheckpoint(true)
+      .phaseCut
     val cand = posts.select(col("band"), col("sig"), col("id").as("id_a"))
       .join(posts.select(col("band"), col("sig"), col("id").as("id_b")),
         Seq("band", "sig"))
@@ -171,7 +172,7 @@ object SimilarityOps {
             sqrt(col("na").cast("double") * col("nb").cast("double"))))
       .where(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
-      .localCheckpoint(true)
+      .phaseCut
   }
 
   /** Exact integer mean rounded half away from zero: sign(s)·⌊(2|s|+n)/(2n)⌋
@@ -201,13 +202,13 @@ object SimilarityOps {
   def trainCodebook(corpus: DataFrame, idCol: String, vecCol: String,
                     centroidMod: Int, centroidRem: Int, iters: Int): DataFrame = {
     val sp = corpus.sparkSession
-    val v = corpus.repartition(sp.sparkContext.defaultParallelism)
+    val v = Phase.fanout(corpus)
       .select(col(idCol).as("id"), quantize(col(vecCol)).as("v"))
       .withColumn("vn", norm2Q(col("v")))
-      .localCheckpoint(true)
+      .phaseCut
     var cent = corpus.where(col(idCol) % centroidMod === centroidRem)
       .select(col(idCol).as("cid"), quantize(col(vecCol)).as("centv"))
-      .localCheckpoint(true)
+      .phaseCut
     (1 to iters).foreach { _ =>
       val c = broadcast(cent.withColumn("centn", norm2Q(col("centv"))))
       val scored = v.join(c)
@@ -228,7 +229,7 @@ object SimilarityOps {
         .agg(transform(
           array_sort(collect_list(struct(col("i"), col("m")))),
           x => x.getField("m")).as("centv"))
-        .localCheckpoint(true)
+        .phaseCut
     }
     cent
   }
@@ -326,7 +327,7 @@ object SimilarityOps {
       corpus.where(col(idCol) % centroidMod === centroidRem)
         .select(col(idCol).as("cid"), quantize(col(vecCol)).as("centv"))
         .withColumn("centn", norm2Q(col("centv"))))
-    val v = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    val v = Phase.fanout(corpus)
       .select(col(idCol).as("id"), quantize(col(vecCol)).as("v"))
       .withColumn("vn", norm2Q(col("v")))
     val scored = v.join(cent)
@@ -363,7 +364,7 @@ object SimilarityOps {
     val probes = broadcast(q.withColumn("bucket",
       explode(array(col("qbucket") +:
         (0 until planes).map(p => col("qbucket").bitwiseXOR(lit(1L << p))): _*))))
-    val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    val c = Phase.fanout(corpus)
       .select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
       .withColumn("bucket", lshBucket(col("cv"), planes, dim))
       .withColumn("cn", norm2Q(col("cv")))
@@ -388,7 +389,7 @@ object SimilarityOps {
         quantize(col(vecCol)).as("qv"))
       .withColumn("bucket", lshBucket(col("qv"), planes, dim))
       .withColumn("qn", norm2Q(col("qv"))))
-    val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    val c = Phase.fanout(corpus)
       .select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
       .withColumn("bucket", lshBucket(col("cv"), planes, dim))
       .withColumn("cn", norm2Q(col("cv")))

@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{RelOps, TakeOps}
+import graft.ops.{Phase, RelOps, TakeOps}
+import graft.ops.Phase._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -399,7 +400,7 @@ object QueriesRel {
     // re-scanning + re-distincting the fact table per join
     val edges = Tables.lineitem(spark, dir)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
-      .localCheckpoint(true)
+      .phaseCut
     val degP = edges.groupBy("p").agg(count(lit(1)).as("deg_p"))
     val degS = edges.groupBy("s").agg(count(lit(1)).as("deg_s"))
     def suppRound(partRank: DataFrame): DataFrame =

@@ -316,7 +316,8 @@ object StreamOps {
     * driver-side collection); the pointer file is the only driver write.
     * Wire as: `stream.writeStream.foreachBatch(upsertSnapshot(dir, keys,
     * ver) _)`. */
-  def upsertSnapshot(snapshotRoot: String, keys: Seq[String], verCol: String)
+  def upsertSnapshot(snapshotRoot: String, keys: Seq[String], verCol: String,
+                     retainSnapshots: Int = 2)
                     (updates: DataFrame, batchId: Long): Unit = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
@@ -378,19 +379,31 @@ object StreamOps {
     try out.write(s"batch-$batchId".getBytes("UTF-8")) finally out.close()
     org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
       .rename(tmp, pointer, Options.Rename.OVERWRITE)
-    // Prune superseded snapshots now that the pointer moved: every
-    // batch-* directory except the newly committed one is unreachable
-    // (readers go through _CURRENT) and would otherwise grow storage by a
-    // full snapshot per batch, unbounded.
-    fs.listStatus(root).foreach { st =>
-      val name = st.getPath.getName
-      if (st.isDirectory && name.startsWith("batch-") &&
-          name != s"batch-$batchId")
-        fs.delete(st.getPath, true)
+    // Prune superseded snapshots now that the pointer moved — but keep the
+    // `retainSnapshots` most recent ones, NOT just the new commit: a
+    // reader that resolved _CURRENT a moment ago may still be scanning the
+    // previous snapshot directory (resolution and the scan are not one
+    // atomic step), and deleting it mid-scan fails that reader. Retaining
+    // the previous snapshot gives in-flight readers one full commit
+    // interval to finish (see [[readSnapshot]] for the contract); storage
+    // stays bounded at `retainSnapshots` full snapshots.
+    val batchDirs = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch-"))
+      .sortBy(st => st.getPath.getName.stripPrefix("batch-").toLong)
+    batchDirs.dropRight(math.max(retainSnapshots, 1)).foreach { st =>
+      fs.delete(st.getPath, true)
     }
   }
 
-  /** Read the current snapshot written by [[upsertSnapshot]]. */
+  /** Read the current snapshot written by [[upsertSnapshot]].
+    *
+    * Staleness/retention contract: the returned DataFrame is pinned to the
+    * snapshot directory `_CURRENT` named AT CALL TIME — later commits are
+    * not picked up (re-call to refresh), and the directory remains on disk
+    * for at least `retainSnapshots − 1` further commits (default: one).
+    * A scan that outlives that window can hit deleted files; raise
+    * `retainSnapshots` (or snapshot less often) if readers run longer
+    * than a commit interval. */
   def readSnapshot(spark: SparkSession, snapshotRoot: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     val root = new Path(snapshotRoot)

@@ -105,6 +105,40 @@ class CurationSpec extends SparkSpec {
     assert(rows.exists(!_.getBoolean(3)), "fixture should contain clean docs")
   }
 
+  test("blocklistCounts: token/phrase arms == naive replace formula (runs, phrases, clean docs)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "error error error at boot"),              // run of 3 -> ceil(3/2) = 2
+      (2L, "slow connection timeout slow slow"),      // word runs + a phrase hit
+      (3L, "clean text entirely"),
+      (4L, ""),                                       // empty doc
+      (5L, "drop drop slow drop")                     // interleaved runs
+    ).toDF("doc_id", "text")
+    val terms = Seq("error", "slow", "drop", "connection timeout")
+
+    val got = QueriesText.blocklistCounts(docs, "doc_id", "text", terms)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+
+    // naive oracle: the replace-count formula over the full doc × term
+    // product, replayed on the driver
+    def replCount(text: String, term: String): Long = {
+      val padded = s" $text "
+      val needle = s" $term "
+      (padded.length - padded.replace(needle, "").length) / needle.length
+    }
+    val expected = docs.collect().map { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      val ns = terms.map(replCount(text, _))
+      (id, ns.count(_ > 0).toLong, ns.sum, ns.sum > 0)
+    }.sortBy(_._1)
+    assert(got.sameElements(expected), s"got=${got.mkString(",")}")
+    // spot-check the run semantics the equi-join arm must reproduce
+    assert(got(0) == ((1L, 1L, 2L, true)))  // "error error error" -> 2
+    assert(got(1) == ((2L, 2L, 3L, true)))  // slow runs 2 + phrase 1
+    assert(got(3) == ((4L, 0L, 0L, false)))
+  }
+
   test("streaming funnel (transformWithState) matches a driver-side state-machine replay") {
     import org.apache.spark.sql.functions.unix_micros
     val ev = Tables.events(spark, dir)

@@ -98,10 +98,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q_blocklist: broadcast term relation, no shuffle join, <=2 exchanges") {
+  test("q_blocklist: word arm is a hash equi-join on term — no per-(doc×term) product") {
     val p = plan("q_blocklist")
-    assert(!p.contains("SortMergeJoin"), p)
-    assert(count(p, "Exchange") <= 2, p) // doc agg + output orderBy
+    // the round-8 rewrite: single-word terms tokenize the doc once and
+    // equi-join the (broadcast) term relation, so blocklist SIZE never
+    // multiplies document-side work; the BNLJ replace arm survives only
+    // for multi-word phrases (none in the default list)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
   }
 
   test("q_mix: pure scan + one agg shuffle, no joins") {

@@ -167,13 +167,23 @@ class StreamingSpec extends SparkSpec {
     // micro-batch per slice — the standard backfill-then-stream shape
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
     val in = tmpPath("graft_backfill_in")
+    // batch order comes from file mod-times; set them EXPLICITLY (1 min
+    // apart) rather than sleeping between writes — coarse-mtime
+    // filesystems (1 s granularity) would otherwise give all four slices
+    // the same stamp and randomize replay order
+    val stamped = scala.collection.mutable.Set[String]()
     (0 until 4).foreach { slice =>
       (0 until 100).map { i =>
         (new java.sql.Timestamp(base + slice * 600000L + (i % 300) * 1000L),
           (i % 7).toLong)
       }.toDF("ts", "user_id")
         .coalesce(1).write.mode("append").parquet(in)
-      Thread.sleep(60) // distinct file mod-times → deterministic batch order
+      new java.io.File(in).listFiles
+        .filter(f => f.getName.endsWith(".parquet") && !stamped(f.getName))
+        .foreach { f =>
+          assert(f.setLastModified(base + slice * 60000L))
+          stamped += f.getName
+        }
     }
     val sch = spark.read.parquet(in).schema
     val stream = spark.readStream.schema(sch)
@@ -251,14 +261,21 @@ class StreamingSpec extends SparkSpec {
     assert(after.contains((0L, "overridden")))
     assert(!after.contains((1L, "stale")))
 
-    // superseded snapshot directories are pruned after the pointer swap:
-    // only the committed batch-999 remains, so storage is O(1 snapshot),
-    // not O(batches)
+    // superseded snapshot directories are pruned after the pointer swap,
+    // but the PREVIOUS snapshot is retained for in-flight readers (the
+    // retention contract on readSnapshot): the committed batch-999 plus
+    // exactly one predecessor remain — storage is O(retainSnapshots), not
+    // O(batches)
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val batchDirs = fs.listStatus(rootPath)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch-"))
       .map(_.getPath.getName).toSet
-    assert(batchDirs == Set("batch-999"))
+    assert(batchDirs.size == 2 && batchDirs.contains("batch-999"),
+      s"expected batch-999 + one retained predecessor, got $batchDirs")
+    // a reader pinned to the PREVIOUS snapshot (resolved before the 999
+    // commit) can still complete its scan
+    val prev = (batchDirs - "batch-999").head
+    assert(spark.read.parquet(s"$root/$prev").count() > 0)
   }
 }
