@@ -26,6 +26,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // optional positional args restrict the run to the named headline
+    // queries (dev loop / targeted scale points); no args = full set
+    val selected = if (args.nonEmpty) headline.filter(args.contains) else headline
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -43,7 +46,7 @@ object Bench {
     // isn't charged to the timed run (cold md5/explode paths alone cost
     // ~10 s of C2 compilation on first use).
     val warmupDir = "/root/testdata/sf0.001"
-    headline.foreach { name =>
+    selected.foreach { name =>
       try noop(queries(name)(spark, warmupDir)) catch { case _: Throwable => }
     }
     System.gc() // drop warmup garbage so timed runs don't pay its GC debt
@@ -52,7 +55,7 @@ object Bench {
     // attributed to run-to-run variance vs a genuine plan/code drift
     // without rerunning (the box shows documented 2-3x co-tenant noise).
     val samples = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
-    headline.foreach { name =>
+    selected.foreach { name =>
       // best-of-3 with a GC fence per query: the heavy text pipelines
       // (md5 shingling + 16-way minhash) take 2-3 executions of the
       // full-SF plan before C2 reaches steady state, and accumulated

@@ -97,12 +97,24 @@ object QueriesRel {
     * that collapses ~4 lines/order at the first (and only wide) shuffle,
     * turns `count(DISTINCT o_orderkey)` into a plain `count` (orders are
     * unique per pre-aggregated row, so no distinct-Expand doubling and
-    * re-shuffling the joined fact), and lets the orders join reuse the
-    * hash partitioning the pre-aggregation already produced. Dims
-    * (customer at small SF, nation, region) are left to AQE's runtime
-    * broadcast conversion — customer scales with the fact at 100 TB, so a
-    * static broadcast hint would be wrong there; nation/region are
-    * constant-size and hinted. */
+    * re-shuffling the joined fact). The orders join is HINTED to a
+    * shuffled-hash join: both sides are fact-scaled (SMJ would sort each
+    * one — two O(n log n) passes bought nothing, measured ~15% of sf1
+    * wall-time), the build side is the narrower orders projection, and
+    * per-partition build maps stay bounded because AQE sizes shuffle
+    * partitions (and splits skew) before the join runs. The joined rows
+    * then collapse AGAIN to customer grain before touching the customer
+    * dim, so the dim join and everything after it carries |customers|
+    * rows, not |orders|. Dims (customer at small SF, nation, region) are
+    * left to AQE's runtime broadcast conversion — customer scales with
+    * the fact at 100 TB, so a static broadcast hint would be wrong there;
+    * nation/region are constant-size and hinted.
+    *
+    * Exactness: rev_c is cents·10⁻² integer units, ≤ ~1e9 per line; long
+    * accumulation overflows only past ~9e9 lines per output group —
+    * Decimal never enters the hot path (the sf1 gap attribution in
+    * SCALE.md showed the cost is scan+hash-agg constant factors, not
+    * arithmetic width). */
   def qJoinAgg(spark: SparkSession, dir: String): DataFrame = {
     val perOrder = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"),
@@ -114,14 +126,18 @@ object QueriesRel {
     val c   = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
     val nat = Tables.nation(spark, dir)
     val reg = Tables.region(spark, dir)
-    perOrder.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(c, col("o_custkey") === col("c_custkey"))
+    val perCust = perOrder
+      .join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum(col("rev_c")).as("rev_c"), count(lit(1)).as("n_orders"),
+        sum(col("nl")).as("nl"))
+    perCust.join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
       .agg(
         (sum(col("rev_c")).cast("double") / 10000.0).as("revenue"),
-        count(lit(1)).as("n_orders"),
+        sum(col("n_orders")).as("n_orders"),
         sum(col("nl")).as("n_lines"))
       .orderBy("r_name", "n_name")
   }
