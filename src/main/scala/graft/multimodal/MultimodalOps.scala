@@ -22,6 +22,11 @@ case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
 case class ImageMeta(media_id: Long, width: Long, height: Long,
                      n_px: Long, sum_r: Long, sum_g: Long, sum_b: Long)
 
+/** Decoded per-clip facts from the real audio codec pass: format fields
+  * read back from the WAV header plus exact integer amplitude sums. */
+case class AudioMeta(media_id: Long, sample_rate: Long, n_samples: Long,
+                     sum_amp: Long, sum_abs: Long)
+
 object MultimodalOps {
 
   /** Deterministic synthetic raster: channel values are closed-form in
@@ -93,8 +98,77 @@ object MultimodalOps {
     }
   }
 
+  /** Deterministic synthetic PCM signal: 16-bit signed samples closed-form
+    * in (media_id, sample index), so a SQL oracle can recompute what the
+    * decoder must read back — WAV/PCM is lossless, making encode→decode a
+    * genuine differential test of the audio codec path (the same role the
+    * PNG raster plays for images). */
+  val AudioRateHz = 16000
+  def synthNSamples(id: Long): Int = (200 + id % 301).toInt
+  def synthAmp(id: Long, i: Int): Int =
+    ((id * 31 + i * 17) % 65536 - 32768).toInt
+
+  /** REAL AUDIO ENCODE: render the deterministic PCM signal per id and
+    * encode it as a WAV container with `javax.sound.sampled` (in the JDK —
+    * WAV/PCM needs no FFmpeg). Batch-shaped like [[encodePngImages]]. */
+  def encodeWavAudio(spark: SparkSession, df: DataFrame,
+                     idCol: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      val fmt = new javax.sound.sampled.AudioFormat(
+        AudioRateHz.toFloat, 16, 1, true, false) // 16-bit signed LE mono
+      ids.map { id =>
+        val n = synthNSamples(id)
+        val pcm = java.nio.ByteBuffer.allocate(n * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < n) { pcm.putShort(synthAmp(id, i).toShort); i += 1 }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm.array), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        MediaRow(id, "audio", bos.toByteArray, 0, 0,
+          n.toLong * 1000 / AudioRateHz)
+      }
+    }
+  }
+
+  /** REAL AUDIO DECODE: parse each WAV payload with `javax.sound.sampled`,
+    * read the PCM frames back through the codec, and emit the format
+    * fields plus exact integer amplitude sums. Fails loudly on a payload
+    * the codec cannot parse or an unexpected format — a silent skip would
+    * hide codec breakage. Batch-shaped (iterator per partition). */
+  def decodeAudioMeta(ds: Dataset[MediaRow]): Dataset[AudioMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          s"media ${r.media_id}: unexpected WAV format $fmt")
+        val bytes = ais.readAllBytes()
+        val buf = java.nio.ByteBuffer.wrap(bytes).order(
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        var (sum, sumAbs) = (0L, 0L)
+        var i = 0
+        val n = bytes.length / 2
+        while (i < n) {
+          val s = buf.getShort(i * 2).toLong
+          sum += s; sumAbs += math.abs(s)
+          i += 1
+        }
+        AudioMeta(r.media_id, fmt.getSampleRate.toLong, n.toLong, sum, sumAbs)
+      }
+    }
+  }
+
   /** Codec-free byte featurization (folded byte-mass histogram) — the
-    * real fallback for kinds with no in-container codec (audio/video;
+    * real fallback for kinds with no in-container codec (video only, now
+    * that images decode via javax.imageio and WAV audio via javax.sound;
     * FFmpeg would slot into the same batch pass in production). */
   private def byteFold(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)

@@ -8,12 +8,14 @@ import org.apache.spark.sql.functions._
 /** Pack F — multimodal column plumbing (north-star extension; no reference
   * analog). The IMAGE codec is real (`javax.imageio` PNG, in the JDK):
   * q_image_meta encodes a deterministic raster per document and decodes it
-  * back, oracle-checking the exact pixel sums. Audio/video decode falls
-  * back to codec-free byte featurization (no FFmpeg in this container);
-  * their oracle-checked parts are the pure-Catalyst plans: frame-sampling,
+  * back (javax.imageio PNG), oracle-checking the exact pixel sums;
+  * q_audio_meta does the same for audio (javax.sound.sampled WAV/PCM),
+  * oracle-checking exact amplitude sums. Video decode falls back to
+  * codec-free byte featurization (no container codec in the JDK); its
+  * oracle-checked parts are the pure-Catalyst plans: frame-sampling,
   * patch grids and audio windows via `explode(sequence)` — the work-lists
   * a production decoder's batch pass would consume. Fixture adapter:
-  * documents.text bytes stand in for audio/video payloads, so
+  * documents.text bytes stand in for video payloads, so
   * duration_ms = length(text)·40 (MultimodalOps.fromStrings).
   */
 object QueriesMm {
@@ -128,9 +130,40 @@ object QueriesMm {
            CAST(sum((media_id*3 + x*5 + y*17) % 256) AS BIGINT) sum_b
     FROM pxy GROUP BY media_id ORDER BY media_id"""
 
+  /** REAL audio codec round-trip (javax.sound.sampled WAV/PCM, in the
+    * JDK): render a deterministic 16-bit PCM signal per doc_id, encode it
+    * into a WAV container, DECODE the container back through the codec,
+    * and emit the header-read sample rate plus exact amplitude sums. PCM
+    * is lossless, so the DuckDB oracle recomputes the sums from the
+    * closed-form signal — wrong endianness, header offset, or sign
+    * convention hash-mismatches. Mirrors q_image_meta; video remains the
+    * one byte-featurized kind (no container codec in the JDK). */
+  def qAudioMeta(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps.decodeAudioMeta(
+        MultimodalOps.encodeWavAudio(spark,
+          Tables.documents(spark, dir), "doc_id"))
+      .toDF()
+      .orderBy("media_id")
+
+  val qAudioMetaOracle: String = s"""
+    WITH m AS (SELECT doc_id media_id,
+                      CAST(200 + doc_id % 301 AS BIGINT) n
+               FROM documents),
+    s AS (SELECT media_id, n, unnest(range(0, n)) i FROM m),
+    amp AS (SELECT media_id, n,
+                   CAST((media_id*31 + i*17) % 65536 - 32768 AS BIGINT) a
+            FROM s)
+    SELECT media_id,
+           CAST(${MultimodalOps.AudioRateHz} AS BIGINT) sample_rate,
+           max(n) n_samples,
+           sum(a) sum_amp,
+           sum(abs(a)) sum_abs
+    FROM amp GROUP BY media_id ORDER BY media_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_frame_sample", qFrameSample, Some(qFrameSampleOracle)),
     QueryDef("q_patch_grid", qPatchGrid, Some(qPatchGridOracle)),
     QueryDef("q_audio_windows", qAudioWindows, Some(qAudioWindowsOracle)),
-    QueryDef("q_image_meta", qImageMeta, Some(qImageMetaOracle)))
+    QueryDef("q_image_meta", qImageMeta, Some(qImageMetaOracle)),
+    QueryDef("q_audio_meta", qAudioMeta, Some(qAudioMetaOracle)))
 }

@@ -35,6 +35,39 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WAV encode -> javax.sound decode round-trips exact amplitude sums") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
+    val encoded = MultimodalOps.encodeWavAudio(spark, docs, "doc_id")
+    // payloads are genuine RIFF/WAVE containers (magic bytes)
+    val p = encoded.head().payload
+    assert(new String(p.slice(0, 4), "US-ASCII") == "RIFF" &&
+      new String(p.slice(8, 12), "US-ASCII") == "WAVE")
+    val got = MultimodalOps.decodeAudioMeta(encoded).collect()
+    assert(got.length == 50)
+    got.foreach { m =>
+      val id = m.media_id
+      val n = MultimodalOps.synthNSamples(id)
+      assert(m.sample_rate == MultimodalOps.AudioRateHz && m.n_samples == n)
+      var (s, sa) = (0L, 0L)
+      for (i <- 0 until n) {
+        val a = MultimodalOps.synthAmp(id, i)
+        s += a; sa += math.abs(a)
+      }
+      assert(m.sum_amp == s && m.sum_abs == sa,
+        s"amplitude sums diverged for media $id")
+    }
+  }
+
+  test("decodeAudioMeta fails loudly on a non-audio payload") {
+    import spark.implicits._
+    val bogus = Seq(graft.multimodal.MediaRow(
+      7L, "audio", "not a wav".getBytes("UTF-8"), 0, 0, 0L)).toDS()
+    val e = intercept[Exception] {
+      MultimodalOps.decodeAudioMeta(bogus).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("decodeImageMeta fails loudly on a non-image payload") {
     import spark.implicits._
     val bogus = Seq(graft.multimodal.MediaRow(
