@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProductQ, KahanSum, TopKByValue}
+import graft.functions.{DotProductQ, KahanSum, QuantileAgg, TextFunctions, TopKByValue}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -32,6 +32,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKByValue].getName, "topk_agg"),
       exprs => TopKByValue(exprs(0), exprs(1), exprs(2))
         .toAggregateExpression()))
+    // quantile_agg(v, q, 'linear'|'lower'|'higher'|'nearest'|'midpoint'):
+    // the engine's exact grouped-quantile kernel (5 reference interpolation
+    // modes) as a plain SQL aggregate — value→count map buffer, map-side
+    // combinable, O(distinct values) state (see QuantileAgg).
+    e.injectFunction((
+      FunctionIdentifier("quantile_agg"),
+      new ExpressionInfo(classOf[QuantileAgg].getName, "quantile_agg"),
+      exprs => QuantileAgg(exprs(0), exprs(1), exprs(2))
+        .toAggregateExpression()))
+    // minhash_agg(h, i): i-th minwise signature component over a shingle-
+    // hash column — the EXACT expression tree TextFunctions.minhashAgg
+    // builds on the DataFrame path (min((h·aᵢ + bᵢ) % P32)), so SQL and
+    // DataFrame pipelines plan identically.
+    e.injectFunction((
+      FunctionIdentifier("minhash_agg"),
+      new ExpressionInfo(TextFunctions.getClass.getName, "minhash_agg"),
+      exprs => {
+        require(exprs(1).foldable, "minhash_agg: i must be a literal")
+        val i = exprs(1).eval().asInstanceOf[Number].intValue
+        require(i >= 0 && i < TextFunctions.MinhashAB.size,
+          s"minhash_agg: i must be in [0, ${TextFunctions.MinhashAB.size})")
+        val (a, b) = TextFunctions.MinhashAB(i)
+        org.apache.spark.sql.catalyst.expressions.aggregate.Min(
+          org.apache.spark.sql.catalyst.expressions.Remainder(
+            org.apache.spark.sql.catalyst.expressions.Add(
+              org.apache.spark.sql.catalyst.expressions.Multiply(
+                exprs(0),
+                org.apache.spark.sql.catalyst.expressions.Literal(a)),
+              org.apache.spark.sql.catalyst.expressions.Literal(b)),
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              TextFunctions.P32))).toAggregateExpression()
+      }))
     e.injectOptimizerRule(_ => new graft.plans.RangeJoinBinRule)
   }
 }

@@ -216,9 +216,22 @@ object QueriesSim {
     ORDER BY query_id"""
   }
 
-  val IvfMod   = 25 // vec_id % IvfMod == IvfRem → centroid seed
+  /** IVF configuration — adopted from the round-8 IvfProbe sweep over
+    * (nlist, iters, nprobe) at sf0.01 (full table in SCALE.md): nlist = 10
+    * (IvfMod 50), 4 Lloyd steps, nprobe 2 is the Pareto point at candidate
+    * fraction ≈ nprobe/nlist = 0.2 ≤ 1/4 with trained recall@3 ≈ 0.52 —
+    * ~2.6× better than the scanned fraction. The fixture's embeddings are
+    * near-uniform random, which is IVF's information-theoretic worst case
+    * (recall cannot beat the scanned fraction by much when there is no
+    * cluster structure to learn); the sweep shows exactly that shape
+    * (recall ≈ 1.3–2.6 × fraction everywhere). On clusterable real
+    * embedding distributions the same machinery reaches the standard
+    * high-recall/low-fraction IVF trade-off; the sweep IS the tuning loop
+    * a pipeline owner reruns on their corpus. */
+  val IvfMod   = 50 // vec_id % IvfMod == IvfRem → centroid seed (nlist ≈ n/50)
   val IvfRem   = 7
-  val KmIters  = 2  // Lloyd steps converging the seed codebook
+  val KmIters  = 4  // Lloyd steps converging the seed codebook
+  val NprobeDefault = 2 // probed lists per query (q_embed_ivf_probe, recall audit)
 
   /** The shared oracle-SQL training chain: CTEs `c` (quantized coords),
     * `nrm` (corpus norms), and `cent$KmIters` — the codebook after KmIters
@@ -332,18 +345,20 @@ object QueriesSim {
     val emb = Tables.embeddings(spark, dir)
     SimilarityOps.ivfTopKTrained(
         emb.where(col("vec_id") % QueryMod === 0), emb, "vec_id", "embedding",
-        K, IvfMod, IvfRem, KmIters, nprobe = 2)
+        K, IvfMod, IvfRem, KmIters, nprobe = NprobeDefault)
       .orderBy("query_id", "rk")
   }
 
-  val qEmbedIvfProbeOracle: String = ivfTrainedOracle(nprobe = 2)
+  val qEmbedIvfProbeOracle: String = ivfTrainedOracle(nprobe = NprobeDefault)
 
   /** IVF recall audit, trained vs seed codebook: per query, recall@K of
-    * the nprobe=1 IVF search under (a) the raw subsample seeds and (b) the
-    * KmIters-trained codebook, against the exact brute-force top-K — the
-    * measurement that justifies spending the training iterations
-    * (IvfCodebookSpec asserts mean trained recall >= mean seed recall).
-    * Integer hit counts, one division each → engine-exact. */
+    * the SHIPPED search config (nprobe = NprobeDefault) under (a) the raw
+    * subsample seeds and (b) the KmIters-trained codebook, against the
+    * exact brute-force top-K — the measurement that justifies spending the
+    * training iterations (IvfCodebookSpec asserts mean trained recall >=
+    * mean seed recall). Integer hit counts, one division each →
+    * engine-exact. See the IvfMod doc for the sweep that fixed this
+    * config and the uniform-fixture recall ceiling it ran into. */
   def qIvfRecall(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val qs  = emb.where(col("vec_id") % QueryMod === 0)
@@ -353,11 +368,14 @@ object QueriesSim {
       exact.join(ap.select("query_id", "neighbor_id"),
           Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy("query_id").agg(count(lit(1)).as(name))
+    // both arms audited at the SHIPPED search config (NprobeDefault), so
+    // the reported recall is the one q_embed_ivf_probe actually delivers
     val seedHits = hitsOf(SimilarityOps.ivfTopK(
-      qs, emb, "vec_id", "embedding", K, IvfMod, IvfRem), "hits_seed")
+      qs, emb, "vec_id", "embedding", K, IvfMod, IvfRem,
+      nprobe = NprobeDefault), "hits_seed")
     val trainedHits = hitsOf(SimilarityOps.ivfTopKTrained(
-      qs, emb, "vec_id", "embedding", K, IvfMod, IvfRem, KmIters),
-      "hits_trained")
+      qs, emb, "vec_id", "embedding", K, IvfMod, IvfRem, KmIters,
+      nprobe = NprobeDefault), "hits_trained")
     qs.select(col("vec_id").as("query_id"))
       .join(seedHits, Seq("query_id"), "left")
       .join(trainedHits, Seq("query_id"), "left")
@@ -381,14 +399,16 @@ object QueriesSim {
     ex AS (SELECT qid query_id, nid neighbor_id FROM (
              SELECT qid, nid, row_number() OVER (PARTITION BY qid
                       ORDER BY cos_sim DESC, nid) rk FROM sx) WHERE rk <= $K),
-    sassign AS (SELECT vec_id, cid cluster_id FROM (
-                  SELECT vec_id, cid,
-                         row_number() OVER (PARTITION BY vec_id
-                                            ORDER BY ccs DESC, cid) crn
-                  FROM cc0) WHERE crn = 1),
+    sranked AS (SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY ccs DESC, cid) crn
+                FROM cc0),
+    sassign AS (SELECT vec_id, cid cluster_id FROM sranked WHERE crn = 1),
+    sprobe AS (SELECT vec_id, cid cluster_id FROM sranked
+               WHERE crn <= $NprobeDefault AND vec_id % $QueryMod = 0),
     scand AS (SELECT q.vec_id qid, n.vec_id nid
-              FROM sassign q JOIN sassign n ON q.cluster_id = n.cluster_id
-              WHERE q.vec_id % $QueryMod = 0 AND q.vec_id <> n.vec_id),
+              FROM sprobe q JOIN sassign n ON q.cluster_id = n.cluster_id
+              WHERE q.vec_id <> n.vec_id),
     sd AS (SELECT qid, nid, sum(a.xi*b.xi) dot
            FROM scand JOIN c a ON qid = a.vec_id
                       JOIN c b ON nid = b.vec_id AND a.i = b.i
@@ -402,9 +422,11 @@ object QueriesSim {
     shits AS (SELECT query_id, count(*) h FROM ex
               JOIN sap USING (query_id, neighbor_id) GROUP BY 1),
     tassign AS (SELECT vec_id, cid cluster_id FROM rankedF WHERE crn = 1),
+    tprobe AS (SELECT vec_id, cid cluster_id FROM rankedF
+               WHERE crn <= $NprobeDefault AND vec_id % $QueryMod = 0),
     tcand AS (SELECT q.vec_id qid, n.vec_id nid
-              FROM tassign q JOIN tassign n ON q.cluster_id = n.cluster_id
-              WHERE q.vec_id % $QueryMod = 0 AND q.vec_id <> n.vec_id),
+              FROM tprobe q JOIN tassign n ON q.cluster_id = n.cluster_id
+              WHERE q.vec_id <> n.vec_id),
     td AS (SELECT qid, nid, sum(a.xi*b.xi) dot
            FROM tcand JOIN c a ON qid = a.vec_id
                       JOIN c b ON nid = b.vec_id AND a.i = b.i

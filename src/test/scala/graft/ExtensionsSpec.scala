@@ -31,6 +31,59 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("quantile_agg and minhash_agg resolve via withExtensions") {
+    spark.sparkContext
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      // quantile_agg: all 5 interpolation modes == the DataFrame kernel
+      // (QuantileOps.groupedQuantiles) on the same grouped data
+      import s2.implicits._
+      val df = kernelData(2000, 7, 0.1).toDF("id", "g", "v")
+        .select($"g", $"v".cast("double").as("v"))
+      df.createOrReplaceTempView("qa_in")
+      val modes = Seq("linear", "lower", "higher", "nearest", "midpoint")
+      val got = s2.sql(
+        "SELECT g, " + modes.map(m =>
+          s"quantile_agg(v, 0.35D, '$m') AS $m").mkString(", ") +
+        " FROM qa_in GROUP BY g").collect()
+        .map(r => r.getLong(0) -> modes.indices.map(i => r.getDouble(i + 1))).toMap
+      val want = graft.ops.QuantileOps
+        .groupedQuantiles(df, Seq("g"), "v", Seq(0.35)).collect()
+        .map(r => r.getLong(0) -> modes.indices.map(i => r.getDouble(i + 2))).toMap
+      assert(got == want, s"quantile_agg diverged from QuantileOps: $got vs $want")
+      // all-null group -> NULL (reference all-NA contract)
+      val nullRow = s2.sql(
+        "SELECT quantile_agg(v, 0.5D, 'linear') FROM VALUES (CAST(NULL AS DOUBLE)) t(v)")
+        .head()
+      assert(nullRow.isNullAt(0))
+
+      // minhash_agg: identical values AND identical plan vs the DataFrame
+      // path (the injected function builds the same expression tree)
+      val docs = Seq((0L, "the quick brown fox jumps over the lazy dog"),
+        (1L, "completely different content here")).toDF("doc_id", "text")
+      val sh = graft.ops.DedupOps.wordShingleHashes(docs, "doc_id", "text")
+      sh.createOrReplaceTempView("mh_in")
+      val sqlDf = s2.sql(
+        "SELECT id, minhash_agg(h, 0) mh0, minhash_agg(h, 3) mh3 FROM mh_in GROUP BY id")
+      val dfDf = sh.groupBy($"id").agg(
+        graft.functions.TextFunctions.minhashAgg($"h", 0).as("mh0"),
+        graft.functions.TextFunctions.minhashAgg($"h", 3).as("mh3"))
+      assert(sqlDf.orderBy("id").collect().toSeq ==
+        dfDf.orderBy("id").collect().toSeq)
+      assert(sqlDf.queryExecution.optimizedPlan.canonicalized ==
+        dfDf.queryExecution.optimizedPlan.canonicalized,
+        "SQL and DataFrame minhash plans should be identical")
+    } finally {
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
+
   test("RangeJoinBinRule: pure range join becomes a binned equi-join when enabled") {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
