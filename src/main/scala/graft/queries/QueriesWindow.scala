@@ -166,54 +166,83 @@ object QueriesWindow {
   /** group_rank — all pandas tie methods + pct + na_option (completes the
     * reference stub `src/lib.rs:1259-1274`).
     *
-    * Fused plan: all nine variants are arithmetic over TWO physical sorts
-    * (events.value is non-null, which the oracle verifies):
-    *   sort 1 — (event_type, value, event_id): rank/dense_rank (prefix
-    *     ordering), row_number ("first"), per-(key,value) tie counts and
-    *     per-key counts (prefix-satisfied, no re-sort). avg/min/max/pct are
-    *     rank + tie-count arithmetic; desc-rank over a non-null column is
-    *     n − max_asc_rank + 1 — no descending sort at all.
-    *   sort 2 — (event_type, v2 nulls-last): the na_option variants over
-    *     the nullable column.
-    * One-variant callers use [[WindowOps.rank]]; this query is the fused
-    * all-variants form (the reference computes each call separately —
-    * `src/lib.rs:1259-1274` is one kernel per method). */
+    * COUNTING-SORT DOMAIN PLAN (round 8 — the q_quantile device
+    * generalized to ranks): every tie-based rank of a row is a function of
+    * its (group, value) pair alone, so the ranks are computed ONCE on the
+    * distinct (group, value) DOMAIN — one parallel hash-agg (20:1
+    * contraction at sf1, 200:1 at sf10, where value domains are fixed
+    * while rows replicate) plus a window over that tiny domain — and the
+    * fact rows pick their ranks up through a BROADCAST equi-join. The
+    * fact table is sorted exactly ONCE, for the one variant whose rank is
+    * genuinely per-row ("first" = row_number): its tie-break window
+    * partitions by (group, VALUE), whose cardinality is the whole domain,
+    * so that sort runs at full cluster parallelism — unlike the classic
+    * per-group window, whose parallelism is capped by the GROUP count
+    * (~5 event types here; the sf10 plan audit measured that cap at
+    * 37 s vs DuckDB's 26 s for exactly this reason). Rank identities used
+    * (all integer-count arithmetic, bit-equal to the window forms):
+    * min-rank = cum − cnt + 1 over the ordered domain, dense = domain
+    * row_number, max = min + cnt − 1, average = min + (cnt−1)/2,
+    * first = min-rank + per-tie row_number − 1, desc = n − max + 1;
+    * na_option ranks come from a second domain over the nullable column
+    * (nulls-last → the null bucket ranks after n_nonnull). */
   def qRank(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(spark, dir)
       .withColumn("v2", when(col("event_id") % 9 =!= 0, col("value")))
-    val wFull = Window.partitionBy(col("event_type"))
-      .orderBy(col("value").asc, col("event_id").asc)
-    val wVal  = Window.partitionBy(col("event_type")).orderBy(col("value").asc)
-    // Tie count via the RANGE peer-group frame over the SAME (type, value)
-    // ordering — partitioning by the raw double would get wrapped in
-    // NaN/-0.0 normalization and force its own sort.
-    val wTie  = wVal.rangeBetween(Window.currentRow, Window.currentRow)
-    val wAll  = Window.partitionBy(col("event_type"))
-    val wNa   = Window.partitionBy(col("event_type")).orderBy(col("v2").asc_nulls_last)
-    // The withColumn chain fixes the WindowExec stacking order: the full
-    // (value, event_id) sort runs first, and every later asc window's
-    // required ordering is a prefix of it — so no re-sort until the one
-    // genuinely different ordering (v2 nulls-last).
-    val staged = ev
-      .withColumn("__rf", row_number().over(wFull).cast("double"))
-      .withColumn("__rk", org.apache.spark.sql.functions.rank().over(wVal).cast("double"))
-      .withColumn("__dr", dense_rank().over(wVal).cast("double"))
-      .withColumn("__tc", count(lit(1)).over(wTie).cast("double"))
-      .withColumn("__nv", count(col("value")).over(wAll).cast("double"))
-      .withColumn("__na", count(lit(1)).over(wAll).cast("double"))
-      .withColumn("__r2", org.apache.spark.sql.functions.rank().over(wNa).cast("double"))
-    val rk = col("__rk"); val tcnt = col("__tc")
+
+    // domain A: distinct (type, value), value non-null — cum counts give
+    // every tie-based rank; `nv`/`na` per-type totals ride the same agg
+    def domainRanks(src: DataFrame, vcol: String, nullsLast: Boolean) = {
+      val ord = if (nullsLast) col(vcol).asc_nulls_last else col(vcol).asc
+      val w = Window.partitionBy(col("event_type")).orderBy(ord)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      src.groupBy(col("event_type"), col(vcol))
+        .agg(count(lit(1)).as("__cnt"))
+        .withColumn("__cum", sum(col("__cnt")).over(w))
+        .withColumn("__dr",
+          row_number().over(Window.partitionBy(col("event_type")).orderBy(ord)))
+        .withColumn("__rk", col("__cum") - col("__cnt") + 1)
+    }
+    val wType = Window.partitionBy(col("event_type"))
+    val domA = domainRanks(ev, "value", nullsLast = false)
+      // nv = non-null count (the pandas pct denominator under keep);
+      // n_all = all rows — equal here (value is non-null, oracle-checked)
+      // but kept distinct so the identity survives nullable inputs
+      .withColumn("__nv",
+        sum(when(col("value").isNotNull, col("__cnt"))).over(wType))
+      .withColumn("__na", sum(col("__cnt")).over(wType))
+      .select(col("event_type").as("ta"), col("value").as("va"),
+        col("__rk").as("rk"), col("__cnt").as("tcnt"), col("__dr").as("dr"),
+        col("__nv").as("nv"), col("__na").as("n_all"))
+    val domB = domainRanks(ev, "v2", nullsLast = true)
+      .select(col("event_type").as("tb"), col("v2").as("vb"),
+        col("__rk").as("rk2"))
+
+    val joined = ev
+      .join(broadcast(domA),
+        col("event_type") === col("ta") && col("value") <=> col("va"))
+      .join(broadcast(domB),
+        col("event_type") === col("tb") && col("v2") <=> col("vb"))
+    // the ONE per-row rank: row_number within the (type, value) tie group,
+    // ordered by event_id — partition cardinality = |domain|, so the only
+    // fact-table sort in the plan is embarrassingly parallel
+    val wTieBreak = Window.partitionBy(col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+    val staged = joined.withColumn("__tb", row_number().over(wTieBreak))
+
+    val rk = col("rk").cast("double"); val tcnt = col("tcnt").cast("double")
     staged.select(col("event_id"), col("event_type"), col("value"),
         (rk + (tcnt - 1) / 2).as("r_avg"),
         rk.as("r_min"),
         (rk + tcnt - 1).as("r_max"),
-        col("__dr").as("r_dense"),
-        col("__rf").as("r_first"),
-        ((rk + (tcnt - 1) / 2) / col("__nv")).as("r_pct"),
-        when(col("v2").isNull, lit(null)).otherwise(col("__r2")).as("r_na_keep"),
-        col("__r2").as("r_na_bottom"),
-        (col("__na") - (rk + tcnt - 1) + 1).as("r_desc"))
+        col("dr").cast("double").as("r_dense"),
+        (rk + col("__tb") - 1).cast("double").as("r_first"),
+        ((rk + (tcnt - 1) / 2) / col("nv").cast("double")).as("r_pct"),
+        when(col("v2").isNull, lit(null))
+          .otherwise(col("rk2").cast("double")).as("r_na_keep"),
+        col("rk2").cast("double").as("r_na_bottom"),
+        (col("n_all").cast("double") - (rk + tcnt - 1) + 1).as("r_desc"))
       .orderBy("event_id")
   }
 

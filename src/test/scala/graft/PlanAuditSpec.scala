@@ -20,9 +20,17 @@ class PlanAuditSpec extends SparkSpec {
   private def count(hay: String, node: String): Int =
     s"[+:]- $node[ \\[]".r.findAllIn(hay).size
 
-  test("q_rank: at most 3 sorts total (2 interior + the output orderBy)") {
+  test("q_rank: counting-sort domain plan — one parallel fact sort, ranks ride broadcasts") {
     val p = plan("q_rank")
-    assert(count(p, "Sort") <= 3, p)
+    // round-8 shape: tie-based ranks come from windows over the two tiny
+    // (group, value) DOMAINS (post-agg), the fact picks them up via
+    // broadcast joins, and the only fact-scale sort is the "first"
+    // tie-break window partitioned by (type, value) — parallelism =
+    // |domain|, not |groups|. Sorts: 2 domain + 1 fact + output orderBy.
+    assert(count(p, "Sort") <= 5, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("q_quantile: counting-sort plan — the fact table is never sorted") {
