@@ -593,6 +593,90 @@ object QueriesText {
            CAST(top_bigram AS DOUBLE) / CAST(nb AS DOUBLE) AS top_bigram_frac
     FROM wst JOIN bst USING (doc_id) ORDER BY doc_id"""
 
+  // ---- cross-document repeated-span mining (ExactSubstr-style) ----
+  /** Duplicated-substring spans ACROSS documents — the exact-substring
+    * dedup device of "Deduplicating Training Data Makes Language Models
+    * Better" (Lee et al., 2022; suffix-array ExactSubstr), re-expressed
+    * relationally: a positional k-gram (k=5) inverted index finds every
+    * gram occurring in ≥2 DISTINCT docs; per doc, overlapping hit
+    * intervals [i, i+k−1] merge into maximal duplicated spans. Because all
+    * intervals have equal length k and arrive sorted by start, interval
+    * merging reduces to the lag rule `start ≤ prev_start + k−1` (spans
+    * sharing ≥1 token merge; abutting-but-disjoint spans stay separate —
+    * they are distinct maximal duplicated substrings). Output is the
+    * per-doc span profile a curation pipeline thresholds on
+    * (`dup_tokens/n` or `longest_span`), complementing [[qRepetition]]
+    * (intra-doc) and the MinHash family (whole-doc similarity): this is
+    * the only operator that localizes WHICH tokens are shared.
+    *
+    * Physical shape (scale rationale): "gram in ≥2 distinct docs" is
+    * `min(doc_id) ≠ max(doc_id)` — ONE map-side-combined hash-agg on `g`,
+    * not a count-distinct (whose partial (g, doc_id) dedup would pay a
+    * second full gram-relation exchange). The probe join of grams against
+    * the surviving dup-gram set is left to AQE: a near-dup-free corpus
+    * broadcasts it; a heavily-duplicated one falls back to a partitioned
+    * equi-join on `g` — no static hint hardcodes either. The island merge
+    * is a per-doc running window — parallelism = |docs|, state = one lag
+    * value, group size bounded by DOC length, never corpus size. At
+    * 100 TB the gram string would be xxhash64-compressed before the
+    * shuffle (8-byte keys vs ~40-byte strings; a collision can only ever
+    * MERGE spans, not drop one) — kept as the raw string here for
+    * bit-exact oracle parity. */
+  val DupSpanK = 5
+  def qDupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val w    = org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val ws   = split(col("text"), " ")
+    // Spark's sequence(1, n) DESCENDS when n < 1 (DuckDB's range is empty
+    // there) — docs shorter than k tokens need the explicit guard
+    val starts = when(size(ws) >= DupSpanK,
+      sequence(lit(1), size(ws) - (DupSpanK - 1)))
+      .otherwise(array().cast("array<int>"))
+    val grams = Phase.fanout(docs)
+      .select(col("doc_id"), explode(transform(starts,
+        i => struct(i.as("i"),
+          concat_ws(" ", slice(ws, i, lit(DupSpanK))).as("g")))).as("t"))
+      .select(col("doc_id"), col("t.i").as("i"), col("t.g").as("g"))
+    val dupg = grams.groupBy("g")
+      .agg(min(col("doc_id")).as("__lo"), max(col("doc_id")).as("__hi"))
+      .where(col("__lo") =!= col("__hi"))
+      .select("g")
+    val hits = grams.join(dupg, "g").select("doc_id", "i")
+    val wDoc = w.partitionBy(col("doc_id")).orderBy(col("i"))
+    val spans = hits
+      .withColumn("__brk",
+        when(col("i") <= lag(col("i"), 1).over(wDoc) + (DupSpanK - 1), lit(0))
+          .otherwise(lit(1)))
+      .withColumn("__gid", sum(col("__brk"))
+        .over(wDoc.rowsBetween(w.unboundedPreceding, w.currentRow)))
+      .groupBy(col("doc_id"), col("__gid"))
+      .agg(min(col("i")).as("s"), (max(col("i")) + (DupSpanK - 1)).as("e"))
+    spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"),
+        max(col("e") - col("s") + 1).cast("long").as("longest_span"))
+      .orderBy("doc_id")
+  }
+
+  val qDupSpansOracle: String = """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+    pos AS (SELECT doc_id, ws, unnest(range(1, greatest(len(ws)-4,0)+1)) i FROM d),
+    grams AS (SELECT doc_id, i,
+                     array_to_string(ws[CAST(i AS INT):CAST(i AS INT)+4], ' ') g
+              FROM pos),
+    df AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT doc_id, i FROM grams WHERE g IN (SELECT g FROM df)),
+    isl AS (SELECT doc_id, i,
+                   CASE WHEN i <= lag(i) OVER (PARTITION BY doc_id ORDER BY i) + 4
+                        THEN 0 ELSE 1 END brk FROM hits),
+    grp AS (SELECT doc_id, i,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY i) gid FROM isl),
+    spans AS (SELECT doc_id, gid, min(i) s, max(i)+4 e FROM grp GROUP BY 1, 2)
+    SELECT doc_id, count(*) AS n_spans,
+           CAST(sum(e-s+1) AS BIGINT) AS dup_tokens,
+           CAST(max(e-s+1) AS BIGINT) AS longest_span
+    FROM spans GROUP BY doc_id ORDER BY doc_id"""
+
   // ---- BM25 (Robertson/Spärck Jones) over a fixed query-term set ----
   /** Rational idf variant `(N − df + 0.5)/(df + 0.5)` — same ranking
     * monotonicity as the usual ln() form for df < N/2, chosen because
@@ -1696,6 +1780,7 @@ object QueriesText {
     QueryDef("q_normalize", qNormalize, Some(qNormalizeOracle)),
     QueryDef("q_simhash", qSimhash, Some(qSimhashOracle)),
     QueryDef("q_repetition", qRepetition, Some(qRepetitionOracle)),
+    QueryDef("q_dup_spans", qDupSpans, Some(qDupSpansOracle)),
     QueryDef("q_bm25", qBm25, Some(qBm25Oracle)),
     QueryDef("q_minhash_est", qMinhashEst, Some(qMinhashEstOracle)),
     QueryDef("q_blocklist", qBlocklist, Some(qBlocklistOracle)),

@@ -257,4 +257,31 @@ class CurationSpec extends SparkSpec {
     val (tot, kept) = (a.map(_.getLong(1)).sum, a.map(_.getLong(2)).sum)
     assert(kept > 0 && kept < tot, s"mix rates should be partial: $kept/$tot")
   }
+
+  test("dup_spans: overlap-merge, abutting spans stay separate, short/unique docs absent") {
+    // k=5. Shared run S = s1..s8 (8 tokens) between docs 10 and 11: hit
+    // starts 1..4 merge into ONE span of 8. Doc 12: shared 5-run A,
+    // one unique token, shared 5-run B — hits at 1 and 7; 7 > 1+4 so TWO
+    // disjoint maximal spans (abutting dup regions, not one substring).
+    // Doc 14 (unique text) and doc 15 (< 5 tokens) produce no rows.
+    val s = (1 to 8).map(i => s"s$i").mkString(" ")
+    val a = (1 to 5).map(i => s"a$i").mkString(" ")
+    val b = (1 to 5).map(i => s"b$i").mkString(" ")
+    val planted = Seq(
+      (10L, s),                    // whole doc = the 8-token shared run
+      (11L, s"pre1 pre2 $s"),      // same run, offset by 2
+      (12L, s"$a gap $b"),         // A + unique + B
+      (13L, s"$a $b"),             // carries A and B so 12's hits duplicate
+      (14L, "totally unique words only once here now"),
+      (15L, "s1 s2 s3")            // shorter than k -> zero grams
+    ).toDF("doc_id", "text")
+    val dsDir = tmpPath("dupspans-docs")
+    planted.write.mode("overwrite").parquet(s"$dsDir/documents.parquet")
+    val got = SparkEntry.queries("q_dup_spans")(spark, dsDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(10L) == ((1L, 8L, 8L)), s"doc 10: ${got.get(10L)}")
+    assert(got(11L) == ((1L, 8L, 8L)), s"doc 11: ${got.get(11L)}")
+    assert(got(12L) == ((2L, 10L, 5L)), s"doc 12: ${got.get(12L)}")
+    assert(!got.contains(14L) && !got.contains(15L), got.toString)
+  }
 }

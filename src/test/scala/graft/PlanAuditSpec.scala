@@ -33,6 +33,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_dup_spans: one gram exchange (min≠max doc-frequency agg), windows per doc") {
+    val p = plan("q_dup_spans")
+    // dup-gram detection must stay a single map-side-combined hash-agg on
+    // the gram (a count-distinct regression adds a second full
+    // gram-relation exchange via its (g, doc_id) partial dedup), the
+    // island merge must partition by doc (never SinglePartition), and the
+    // probe must stay an equi-join
+    assert(!p.contains("count(distinct"), p)
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val gramExchanges = "Exchange hashpartitioning\\(g#".r.findAllIn(p).size
+    assert(gramExchanges == 1, s"expected 1 gram exchange, got $gramExchanges\n$p")
+  }
+
   test("q_quantile: counting-sort plan — the fact table is never sorted") {
     val p = plan("q_quantile")
     // the round-7 rewrite: no per-row rank over the fact (the old plan's
