@@ -347,6 +347,54 @@ object SimilarityOps {
             count(lit(1)).cast("double")).as(s"c$d")): _*)
   }
 
+  /** Cluster-balanced prototype selection — the diversity-sampling step of
+    * an embedding-curation pipeline (the quota device of SemDeDup-style
+    * cluster pruning, Abbas et al. 2023: cluster, then keep a bounded
+    * per-cluster subset so no dense region dominates the training mix).
+    * Every vector is assigned to its nearest centroid by quantized-integer
+    * cosine (same deterministic coarse quantizer as [[ivfTopK]] /
+    * [[kmeansIterate]]); within each cluster the `cap` most central
+    * vectors (highest cosine to the centroid, id tie-break) are selected.
+    *
+    * Scale shape: centroids are a broadcast k·dim relation; the
+    * per-vector argmax window partitions by VECTOR id (k-row groups —
+    * parallelism = corpus size); the per-cluster quota rank is exactly the
+    * rank-filter pattern Spark rewrites to WindowGroupLimit, so each task
+    * keeps ≤ cap rows per cluster before the cluster shuffle ever runs —
+    * the shuffle carries O(clusters·cap), not the corpus. Cluster sizes
+    * come from a map-side-combined hash-agg, NOT a cluster-partitioned
+    * window (which would serialize at |clusters| parallelism). */
+  def clusterQuotaSample(corpus: DataFrame, idCol: String, vecCol: String,
+                         centroidMod: Int, centroidRem: Int,
+                         cap: Int): DataFrame = {
+    val cent = broadcast(
+      corpus.where(col(idCol) % centroidMod === centroidRem)
+        .select(col(idCol).as("cid"), quantize(col(vecCol)).as("centv"))
+        .withColumn("centn", norm2Q(col("centv"))))
+    val v = Phase.fanout(corpus)
+      .select(col(idCol).as("id"), quantize(col(vecCol)).as("v"))
+      .withColumn("vn", norm2Q(col("v")))
+    val scored = v.join(cent)
+      .withColumn("ccos",
+        when(col("vn") === 0 || col("centn") === 0, lit(null))
+          .otherwise(dotQ(col("v"), col("centv")).cast("double") /
+            sqrt(col("vn").cast("double") * col("centn").cast("double"))))
+    val wAssign = Window.partitionBy(col("id"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val assigned = scored.withColumn("crn", row_number().over(wAssign))
+      .where(col("crn") === 1)
+      .select(col("id"), col("cid").as("cluster_id"), col("ccos"))
+    val sizes = assigned.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_cluster"))
+    val wQuota = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("ccos").desc, col("id").asc)
+    assigned.withColumn("rk", row_number().over(wQuota).cast("long"))
+      .where(col("rk") <= cap)
+      .join(broadcast(sizes), "cluster_id")
+      .select(col("cluster_id"), col("rk"), col("id").as("vec_id"),
+        col("ccos").as("centrality"), col("n_cluster"))
+  }
+
   /** Multi-probe LSH top-k: with more planes (finer buckets — the 100 TB
     * direction, since bucket population shrinks 2× per plane) recall is
     * restored by ALSO probing every bucket at Hamming distance ≤ 1 from

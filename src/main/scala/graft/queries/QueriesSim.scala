@@ -592,7 +592,54 @@ object QueriesSim {
              AS mean_abs_err_milli
     FROM e GROUP BY label ORDER BY label"""
 
+  /** Per-cluster quota cap for [[qDiversitySample]] (≈ half the expected
+    * cluster population n/nlist = 50 at the graded SF — a real pipeline
+    * tunes this to its target mix). */
+  val DivCap = 5
+
+  /** Diversity sampling — cluster-balanced prototype selection
+    * (SemDeDup-style quota pruning; see
+    * [[SimilarityOps.clusterQuotaSample]]): nearest-centroid assignment
+    * over the deterministic coarse codebook, then the DivCap most central
+    * vectors per cluster. The oracle replays the exact integer-cosine
+    * assignment chain (the q_kmeans_iter device), so the selected SET —
+    * not just aggregates — hash-matches. */
+  def qDiversitySample(spark: SparkSession, dir: String): DataFrame =
+    SimilarityOps.clusterQuotaSample(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", IvfMod, IvfRem, DivCap)
+      .orderBy("cluster_id", "rk")
+
+  val qDiversitySampleOracle: String = s"""
+    WITH u AS (SELECT vec_id, generate_subscripts(embedding,1) i, unnest(embedding) x
+               FROM embeddings),
+    c AS (SELECT vec_id, i, $quantSql xi FROM u),
+    nrm AS (SELECT vec_id, sum(xi*xi) n2 FROM c GROUP BY vec_id),
+    cent AS (SELECT vec_id cid FROM embeddings WHERE vec_id % $IvfMod = $IvfRem),
+    cdot AS (SELECT a.vec_id, cid, sum(a.xi*b.xi) dot
+             FROM c a JOIN cent ON TRUE JOIN c b ON b.vec_id = cid AND a.i = b.i
+             GROUP BY a.vec_id, cid),
+    ccos AS (SELECT v.vec_id, cid,
+                    CASE WHEN nv.n2 = 0 OR nc.n2 = 0 THEN NULL
+                         ELSE CAST(dot AS DOUBLE)/sqrt(CAST(nv.n2 AS DOUBLE)*CAST(nc.n2 AS DOUBLE))
+                    END ccs
+             FROM cdot v JOIN nrm nv ON v.vec_id = nv.vec_id
+                         JOIN nrm nc ON cid = nc.vec_id),
+    best AS (SELECT vec_id, cid cluster_id, ccs FROM (
+               SELECT vec_id, cid, ccs,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY ccs DESC, cid) crn
+               FROM ccos) WHERE crn = 1),
+    sizes AS (SELECT cluster_id, count(*) n_cluster FROM best GROUP BY 1),
+    sel AS (SELECT cluster_id, vec_id, ccs,
+                   CAST(row_number() OVER (PARTITION BY cluster_id
+                                           ORDER BY ccs DESC, vec_id) AS BIGINT) rk
+            FROM best)
+    SELECT cluster_id, rk, vec_id, ccs AS centrality, n_cluster
+    FROM sel JOIN sizes USING (cluster_id)
+    WHERE rk <= $DivCap ORDER BY cluster_id, rk"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_diversity_sample", qDiversitySample, Some(qDiversitySampleOracle)),
     QueryDef("q_embed_quant", qEmbedQuant, Some(qEmbedQuantOracle)),
     QueryDef("q_embed_topk", qEmbedTopK, Some(qEmbedTopKOracle)),
     QueryDef("q_embed_lsh", qEmbedLsh, Some(qEmbedLshOracle)),

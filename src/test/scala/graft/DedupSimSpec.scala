@@ -247,4 +247,25 @@ class DedupSimSpec extends SparkSpec {
       assert(rs.count(_.getInt(4) == 1) == 1) // exactly one top successor
     }
   }
+
+  test("diversity sample: per-cluster quota, contiguous ranks, central-first, full coverage") {
+    val rows = SparkEntry.queries("q_diversity_sample")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val byCluster = rows.groupBy(_.getLong(0))
+    byCluster.foreach { case (cid, rs) =>
+      assert(rs.length <= graft.queries.QueriesSim.DivCap, s"cluster $cid over quota")
+      val byRank = rs.sortBy(_.getLong(1))
+      assert(byRank.map(_.getLong(1)).toSeq == (1L to rs.length).toSeq,
+        s"cluster $cid ranks not contiguous")
+      // centrality is non-increasing in rank (most-central-first selection)
+      val cents = byRank.map(_.getDouble(3))
+      assert(cents.zip(cents.tail).forall { case (a, b) => a >= b }, s"cluster $cid")
+      // a cluster smaller than the quota is kept whole
+      val n = rs.head.getLong(4)
+      if (n <= graft.queries.QueriesSim.DivCap) assert(rs.length == n.toInt)
+    }
+    // every corpus vector is assigned to exactly one cluster: sizes sum to n
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001").count()
+    assert(byCluster.values.map(_.head.getLong(4)).sum == corpus)
+  }
 }

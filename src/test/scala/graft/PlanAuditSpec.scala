@@ -47,6 +47,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(gramExchanges == 1, s"expected 1 gram exchange, got $gramExchanges\n$p")
   }
 
+  test("q_diversity_sample: quota rank is pushed down to WindowGroupLimit") {
+    val p = plan("q_diversity_sample")
+    // the per-cluster quota filter must ride Spark's rank-pushdown so each
+    // task keeps <= cap rows per cluster BEFORE the cluster shuffle — the
+    // shuffle then carries O(clusters*cap), not the corpus
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_quantile: counting-sort plan — the fact table is never sorted") {
     val p = plan("q_quantile")
     // the round-7 rewrite: no per-row rank over the fact (the old plan's
