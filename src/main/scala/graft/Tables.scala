@@ -64,5 +64,14 @@ object GraftSession {
       // unique per JVM so concurrent test runs don't collide on table paths
       .config("spark.sql.warehouse.dir", warehouseDir)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // TypedImperativeAggregate (topk_agg, minhash) plans as
+      // ObjectHashAggregate, which abandons the hash map for a sort-based
+      // fallback after 128 distinct keys by default — turning the ANN
+      // top-k's k-sized-heap design back into a full map-side sort of the
+      // scored pairs once |queries| > 128. The buffers are bounded (k
+      // entries each), so a 6-figure group count is a few MB of heaps:
+      // raise the fallback far above any realistic per-task group count.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1048576")
       .config("spark.ui.enabled", "false")
 }

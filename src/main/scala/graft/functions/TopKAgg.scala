@@ -27,6 +27,13 @@ import org.apache.spark.sql.types._
   * to the smallest id, so results are reproducible on any partitioning.
   * Null values (or null ids) are skipped, matching `row_number() OVER
   * (... ORDER BY v DESC, id)` over non-null rows.
+  *
+  * Values may be BIGINT or DOUBLE. Doubles are stored in the heap as
+  * order-preserving sortable long bits (IEEE-754 sign-fold: nonnegative
+  * keeps its bit pattern, negative flips the 63 value bits) and decoded
+  * bit-exactly on output — so double ordering matches SQL's
+  * `ORDER BY v DESC` (NaN greatest) with zero rounding, and the heap /
+  * serialization stays a flat (long, long) pair either way.
   */
 case class TopKByValue(
     valueExpr: Expression, idExpr: Expression, kExpr: Expression,
@@ -35,15 +42,32 @@ case class TopKByValue(
 
   private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue
 
-  // Analysis-time contract: value/id are LongType and k is a literal
-  // >= 1 — SQL callers passing an int column or k=0 get a plan-time error
-  // instead of a runtime ClassCastException / empty-heap dequeue.
-  // (AbstractDataType is private[sql] in Spark 4, so the check is spelled
-  // out here rather than via ImplicitCastInputTypes.)
+  private lazy val isDouble: Boolean = valueExpr.dataType == DoubleType
+
+  /** Order-preserving double→long: x ≤ y  ⇔  enc(x) ≤ enc(y) (signed),
+    * with NaN mapping above +Inf (Spark's sort order). Bit-exact inverse
+    * below, so no precision is lost through the heap. */
+  private def encode(v: Any): Long =
+    if (isDouble) {
+      // doubleToLongBits (not Raw): canonicalizes NaN payloads so any NaN
+      // compares identically regardless of its bit pattern
+      val bits = java.lang.Double.doubleToLongBits(v.asInstanceOf[Double])
+      bits ^ ((bits >> 63) & Long.MaxValue)
+    } else v.asInstanceOf[Long]
+
+  private def decode(s: Long): Any =
+    if (isDouble) java.lang.Double.longBitsToDouble(s ^ ((s >> 63) & Long.MaxValue))
+    else s
+
+  // Analysis-time contract: value is BIGINT or DOUBLE, id is BIGINT and
+  // k is a literal >= 1 — SQL callers passing an int column or k=0 get a
+  // plan-time error instead of a runtime ClassCastException / empty-heap
+  // dequeue. (AbstractDataType is private[sql] in Spark 4, so the check
+  // is spelled out here rather than via ImplicitCastInputTypes.)
   override def checkInputDataTypes(): TypeCheckResult = {
-    if (valueExpr.dataType != LongType)
+    if (valueExpr.dataType != LongType && valueExpr.dataType != DoubleType)
       TypeCheckResult.TypeCheckFailure(
-        s"topk_agg: value must be BIGINT, got ${valueExpr.dataType.sql}")
+        s"topk_agg: value must be BIGINT or DOUBLE, got ${valueExpr.dataType.sql}")
     else if (idExpr.dataType != LongType)
       TypeCheckResult.TypeCheckFailure(
         s"topk_agg: id must be BIGINT, got ${idExpr.dataType.sql}")
@@ -61,9 +85,15 @@ case class TopKByValue(
 
   // scala.PriorityQueue dequeues the MAX under its ordering; key the heap
   // so the WORST kept pair (smallest value, then largest id) is the max
-  // and can be evicted in O(log k)
-  private def worstFirst: Ordering[(Long, Long)] =
-    Ordering.by((t: (Long, Long)) => (-t._1, t._2))
+  // and can be evicted in O(log k). Explicit compare (not Ordering.by with
+  // negation): -Long.MinValue overflows, which matters now that encoded
+  // doubles span the full long range.
+  private def worstFirst: Ordering[(Long, Long)] = new Ordering[(Long, Long)] {
+    def compare(a: (Long, Long), b: (Long, Long)): Int = {
+      val c = java.lang.Long.compare(b._1, a._1)
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }
+  }
 
   override def createAggregationBuffer(): mutable.PriorityQueue[(Long, Long)] =
     mutable.PriorityQueue.empty(worstFirst)
@@ -84,7 +114,7 @@ case class TopKByValue(
     val v  = valueExpr.eval(input)
     val id = idExpr.eval(input)
     if (v != null && id != null)
-      offer(buf, (v.asInstanceOf[Long], id.asInstanceOf[Long]))
+      offer(buf, (encode(v), id.asInstanceOf[Long]))
     buf
   }
 
@@ -96,9 +126,10 @@ case class TopKByValue(
   }
 
   override def eval(buf: mutable.PriorityQueue[(Long, Long)]): Any = {
-    val sorted = buf.toArray.sortBy(t => (-t._1, t._2))
+    val sorted = buf.toArray
+      .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
     new GenericArrayData(sorted.map(t =>
-      new GenericInternalRow(Array[Any](t._1, t._2)): Any))
+      new GenericInternalRow(Array[Any](decode(t._1), t._2)): Any))
   }
 
   override def serialize(buf: mutable.PriorityQueue[(Long, Long)]): Array[Byte] = {
@@ -118,7 +149,8 @@ case class TopKByValue(
   }
 
   override def dataType: DataType = ArrayType(
-    StructType(Seq(StructField("v", LongType), StructField("id", LongType))),
+    StructType(Seq(StructField("v", valueExpr.dataType),
+      StructField("id", LongType))),
     containsNull = false)
   override def nullable: Boolean = false
   override def children: Seq[Expression] = Seq(valueExpr, idExpr, kExpr)

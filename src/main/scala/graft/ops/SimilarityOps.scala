@@ -51,8 +51,18 @@ object SimilarityOps {
     * of `corpus` (excluding self-matches by id), ranked by (similarity desc,
     * candidate id) for determinism.
     *
-    * `queries` is broadcast: the cross join is map-side (no shuffle of the
-    * corpus); the only shuffle is the per-query window top-k. */
+    * `queries` is broadcast so the pair scoring is map-side (no shuffle of
+    * the corpus), and the per-query top-k is a heap AGGREGATE
+    * ([[graft.functions.TopKByValue]]) with map-side partials — each task
+    * folds its |corpus slice| × |queries| scored pairs into k-sized heaps,
+    * so the only shuffle carries O(|queries| · k) rows. The previous
+    * window/row_number formulation shuffled EVERY scored pair (with both
+    * quantized vectors still attached): at 200k vectors × 10k queries that
+    * is 2B × ~1 KB rows through one exchange — it OOM'd. Heap ordering is
+    * (cos_sim desc, neighbor_id asc), bit-exact on the double (sortable
+    * IEEE bits, no rounding), identical to the window order over non-null
+    * sims; zero-norm pairs (null sim) never outrank real ones and are
+    * dropped rather than padded when a query has < k non-null candidates. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
     // Norms are per-vector, not per-pair: compute them once on each side of
@@ -68,15 +78,21 @@ object SimilarityOps {
       .select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
       .withColumn("cn", norm2Q(col("cv")))
     val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos_sim",
+      .select(col("query_id"), col("neighbor_id"),
         when(col("qn") === 0 || col("cn") === 0, lit(null))
           .otherwise(dotQ(col("qv"), col("cv")).cast("double") /
-            sqrt(col("qn").cast("double") * col("cn").cast("double"))))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .where(col("rk") <= k)
-      .select("query_id", "rk", "neighbor_id", "cos_sim")
+            sqrt(col("qn").cast("double") * col("cn").cast("double")))
+          .as("cos_sim"))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val topk = ColumnBridge.column(graft.functions.TopKByValue(
+      ColumnBridge.expression(col("cos_sim")),
+      ColumnBridge.expression(col("neighbor_id")),
+      ColumnBridge.expression(lit(k))).toAggregateExpression())
+    scored.groupBy("query_id")
+      .agg(topk.as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as("neighbor_id"), col("col.v").as("cos_sim"))
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane p, dim j):
