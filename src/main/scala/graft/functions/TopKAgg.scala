@@ -2,8 +2,6 @@ package graft.functions
 
 import java.nio.ByteBuffer
 
-import scala.collection.mutable
-
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
@@ -38,7 +36,7 @@ import org.apache.spark.sql.types._
 case class TopKByValue(
     valueExpr: Expression, idExpr: Expression, kExpr: Expression,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.PriorityQueue[(Long, Long)]] {
+  extends TypedImperativeAggregate[LongPairHeap] {
 
   private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue
 
@@ -83,68 +81,45 @@ case class TopKByValue(
     else TypeCheckResult.TypeCheckSuccess
   }
 
-  // scala.PriorityQueue dequeues the MAX under its ordering; key the heap
-  // so the WORST kept pair (smallest value, then largest id) is the max
-  // and can be evicted in O(log k). Explicit compare (not Ordering.by with
-  // negation): -Long.MinValue overflows, which matters now that encoded
-  // doubles span the full long range.
-  private def worstFirst: Ordering[(Long, Long)] = new Ordering[(Long, Long)] {
-    def compare(a: (Long, Long), b: (Long, Long)): Int = {
-      val c = java.lang.Long.compare(b._1, a._1)
-      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
-    }
-  }
+  override def createAggregationBuffer(): LongPairHeap = new LongPairHeap(k)
 
-  override def createAggregationBuffer(): mutable.PriorityQueue[(Long, Long)] =
-    mutable.PriorityQueue.empty(worstFirst)
-
-  private def offer(buf: mutable.PriorityQueue[(Long, Long)],
-                    cand: (Long, Long)): Unit = {
-    if (buf.size < k) buf.enqueue(cand)
-    else {
-      val worst = buf.head
-      if (cand._1 > worst._1 || (cand._1 == worst._1 && cand._2 < worst._2)) {
-        buf.dequeue(); buf.enqueue(cand)
-      }
-    }
-  }
-
-  override def update(buf: mutable.PriorityQueue[(Long, Long)],
-                      input: InternalRow): mutable.PriorityQueue[(Long, Long)] = {
+  override def update(buf: LongPairHeap, input: InternalRow): LongPairHeap = {
     val v  = valueExpr.eval(input)
     val id = idExpr.eval(input)
-    if (v != null && id != null)
-      offer(buf, (encode(v), id.asInstanceOf[Long]))
+    if (v != null && id != null) buf.offer(encode(v), id.asInstanceOf[Long])
     buf
   }
 
-  override def merge(buf: mutable.PriorityQueue[(Long, Long)],
-                     other: mutable.PriorityQueue[(Long, Long)])
-      : mutable.PriorityQueue[(Long, Long)] = {
-    other.foreach(offer(buf, _))
+  override def merge(buf: LongPairHeap, other: LongPairHeap): LongPairHeap = {
+    var i = 0
+    while (i < other.size) { buf.offer(other.vs(i), other.ids(i)); i += 1 }
     buf
   }
 
-  override def eval(buf: mutable.PriorityQueue[(Long, Long)]): Any = {
-    val sorted = buf.toArray
-      .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
-    new GenericArrayData(sorted.map(t =>
-      new GenericInternalRow(Array[Any](decode(t._1), t._2)): Any))
+  override def eval(buf: LongPairHeap): Any = {
+    val idx = Array.range(0, buf.size).sortWith { (a, b) =>
+      buf.vs(a) > buf.vs(b) ||
+        (buf.vs(a) == buf.vs(b) && buf.ids(a) < buf.ids(b))
+    }
+    new GenericArrayData(idx.map(i =>
+      new GenericInternalRow(
+        Array[Any](decode(buf.vs(i)), buf.ids(i))): Any))
   }
 
-  override def serialize(buf: mutable.PriorityQueue[(Long, Long)]): Array[Byte] = {
+  override def serialize(buf: LongPairHeap): Array[Byte] = {
     val bb = ByteBuffer.allocate(4 + 16 * buf.size)
     bb.putInt(buf.size)
-    buf.foreach { case (v, id) => bb.putLong(v); bb.putLong(id) }
+    var i = 0
+    while (i < buf.size) { bb.putLong(buf.vs(i)); bb.putLong(buf.ids(i)); i += 1 }
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Long, Long)] = {
+  override def deserialize(bytes: Array[Byte]): LongPairHeap = {
     val bb  = ByteBuffer.wrap(bytes)
     val n   = bb.getInt
     val buf = createAggregationBuffer()
     var i = 0
-    while (i < n) { buf.enqueue((bb.getLong, bb.getLong)); i += 1 }
+    while (i < n) { buf.offer(bb.getLong, bb.getLong); i += 1 }
     buf
   }
 
@@ -164,4 +139,48 @@ case class TopKByValue(
       newChildren: IndexedSeq[Expression]): TopKByValue =
     copy(valueExpr = newChildren(0), idExpr = newChildren(1),
       kExpr = newChildren(2))
+}
+
+/** Bounded top-k heap of (value, id) long pairs in two parallel primitive
+  * arrays — zero allocation per offer. This is the per-group aggregation
+  * buffer: at ANN scale the update path runs once per scored pair
+  * (billions of calls), where a boxed `PriorityQueue[(Long, Long)]` costs
+  * a Tuple2 + two Long boxes per offer. Heap invariant: the WORST kept
+  * pair (smallest value, then largest id) is at the root, so a full heap
+  * rejects a non-improving candidate with one comparison and no writes. */
+final class LongPairHeap(k: Int) {
+  var size: Int = 0
+  val vs: Array[Long]  = new Array[Long](k)
+  val ids: Array[Long] = new Array[Long](k)
+
+  // "pair a is worse than pair b" under (value desc, id asc) ranking
+  @inline private def worse(va: Long, ia: Long, vb: Long, ib: Long): Boolean =
+    va < vb || (va == vb && ia > ib)
+
+  def offer(v: Long, id: Long): Unit = {
+    if (size < k) {
+      var i = size; vs(i) = v; ids(i) = id; size += 1
+      // sift up: parent must be worse-or-equal than child
+      while (i > 0 && worse(vs(i), ids(i), vs((i - 1) / 2), ids((i - 1) / 2))) {
+        val p = (i - 1) / 2
+        val tv = vs(i); vs(i) = vs(p); vs(p) = tv
+        val ti = ids(i); ids(i) = ids(p); ids(p) = ti
+        i = p
+      }
+    } else if (worse(vs(0), ids(0), v, id)) {
+      vs(0) = v; ids(0) = id
+      // sift down: swap with the worse child while it is worse than us
+      var i = 0
+      while (true) {
+        val l = 2 * i + 1; val r = l + 1
+        var w = i
+        if (l < size && worse(vs(l), ids(l), vs(w), ids(w))) w = l
+        if (r < size && worse(vs(r), ids(r), vs(w), ids(w))) w = r
+        if (w == i) return
+        val tv = vs(i); vs(i) = vs(w); vs(w) = tv
+        val ti = ids(i); ids(i) = ids(w); ids(w) = ti
+        i = w
+      }
+    }
+  }
 }

@@ -338,6 +338,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(count(p, "Sort") <= 1, p)
   }
 
+  test("q_embed_topk: pair scoring never shuffles — heap agg, not a window") {
+    val p = plan("q_embed_topk")
+    // the 2B-pair regression shape: a Window/row_number over the scored
+    // pairs shuffles |Q|x|C| rows with both vectors attached (OOM at sf10);
+    // the heap aggregate folds pairs map-side and shuffles O(|Q|*k) heaps
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_topk_agg"), p)
+    // scoring stays OUTSIDE the interpreted aggregate: the heap's value
+    // argument must be the projected cos_sim attribute, not a collapsed
+    // inline CASE/dotq expression re-evaluated per heap offer
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("partial_topk_agg(CASE"), p)
+    // queries broadcast; corpus side never exchanged before scoring
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("every declared query plans without error and never goes cartesian") {
     // catches analysis regressions (renamed columns, bad SQL in expr())
     // across the whole surface at plan time, and pins the global
