@@ -20,7 +20,7 @@ object IvfProbe {
       .select("query_id", "neighbor_id").localCheckpoint(true)
     val nq = qs.count()
 
-    for (mod <- Seq(25, 50, 100, 125); iters <- Seq(2, 4); nprobe <- Seq(1, 2, 4)) {
+    for (mod <- Seq(40, 50); iters <- Seq(4, 6, 8); nprobe <- Seq(2, 3)) {
       val ap = SimilarityOps.ivfTopKTrained(
         qs, emb, "vec_id", "embedding", K, mod, 7, iters, nprobe)
       val hits = exact.join(ap.select("query_id", "neighbor_id"),

@@ -216,22 +216,22 @@ object QueriesSim {
     ORDER BY query_id"""
   }
 
-  /** IVF configuration — adopted from the round-8 IvfProbe sweep over
-    * (nlist, iters, nprobe) at sf0.01 (full table in SCALE.md): nlist = 10
-    * (IvfMod 50), 4 Lloyd steps, nprobe 2 is the Pareto point at candidate
-    * fraction ≈ nprobe/nlist = 0.2 ≤ 1/4 with trained recall@3 ≈ 0.52 —
+  /** IVF configuration — adopted from the round-8 IvfProbe sweeps over
+    * (nlist, iters, nprobe) at sf0.01 (tables in SCALE.md): nlist = 13
+    * (IvfMod 40), 4 Lloyd steps, nprobe 3 is the Pareto point at candidate
+    * fraction ≈ nprobe/nlist = 0.23 ≤ 1/4 with trained recall@3 = 0.60 —
     * ~2.6× better than the scanned fraction. The fixture's embeddings are
     * near-uniform random, which is IVF's information-theoretic worst case
     * (recall cannot beat the scanned fraction by much when there is no
     * cluster structure to learn); the sweep shows exactly that shape
-    * (recall ≈ 1.3–2.6 × fraction everywhere). On clusterable real
+    * (recall ≈ 1.3–2.8 × fraction everywhere). On clusterable real
     * embedding distributions the same machinery reaches the standard
     * high-recall/low-fraction IVF trade-off; the sweep IS the tuning loop
     * a pipeline owner reruns on their corpus. */
-  val IvfMod   = 50 // vec_id % IvfMod == IvfRem → centroid seed (nlist ≈ n/50)
+  val IvfMod   = 40 // vec_id % IvfMod == IvfRem → centroid seed (nlist ≈ n/40)
   val IvfRem   = 7
   val KmIters  = 4  // Lloyd steps converging the seed codebook
-  val NprobeDefault = 2 // probed lists per query (q_embed_ivf_probe, recall audit)
+  val NprobeDefault = 3 // probed lists per query (q_embed_ivf_probe, recall audit)
 
   /** The shared oracle-SQL training chain: CTEs `c` (quantized coords),
     * `nrm` (corpus norms), and `cent$KmIters` — the codebook after KmIters
