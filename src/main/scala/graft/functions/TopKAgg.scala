@@ -47,9 +47,12 @@ case class TopKByValue(
     * below, so no precision is lost through the heap. */
   private def encode(v: Any): Long =
     if (isDouble) {
-      // doubleToLongBits (not Raw): canonicalizes NaN payloads so any NaN
-      // compares identically regardless of its bit pattern
-      val bits = java.lang.Double.doubleToLongBits(v.asInstanceOf[Double])
+      // Canonicalize like Spark's own comparison semantics: -0.0 == 0.0
+      // (nanSafeCompareDoubles) and all NaN payloads compare equal
+      // (doubleToLongBits, not Raw, collapses them) — otherwise the heap
+      // would strict-order pairs Spark's sorts treat as ties.
+      val d    = v.asInstanceOf[Double]
+      val bits = java.lang.Double.doubleToLongBits(if (d == 0.0) 0.0 else d)
       bits ^ ((bits >> 63) & Long.MaxValue)
     } else v.asInstanceOf[Long]
 
