@@ -6,12 +6,19 @@ import org.apache.spark.sql.functions._
 /** Fixture table loaders (see FIXTURES.md).
   *
   * All loads are plain `spark.read.parquet` so Catalyst keeps pushdown /
-  * pruning; the only special case is `events`, whose `ts` column is
-  * nanosecond-precision parquet (INT64 TIMESTAMP(NANOS)) which Spark cannot
-  * read natively. We read it as a raw long (`spark.sql.legacy.parquet.
-  * nanosAsLong=true`, set in [[GraftSession]]) and truncate to microseconds
-  * with integer division — matching DuckDB's own ns→µs truncation on read,
-  * so differential results agree exactly.
+  * pruning; the only special case is `events`, whose `ts` column has shipped
+  * in two driver layouts: INT64 TIMESTAMP(NANOS) (which Spark cannot read
+  * natively — we read it as a raw long via `spark.sql.legacy.parquet.
+  * nanosAsLong=true` and truncate to microseconds with integer division,
+  * matching DuckDB's own ns→µs truncation on read) and plain
+  * TIMESTAMP(MICROS), which loads directly. [[events]] dispatches on the
+  * loaded dtype so both layouts produce the identical TimestampType column.
+  *
+  * All timestamp columns load as TimestampType (not TIMESTAMP_NTZ): the
+  * fixtures are written `isAdjustedToUTC=false`, so [[GraftSession]] sets
+  * `spark.sql.parquet.inferTimestampNTZ.enabled=false` and the UTC session
+  * timezone makes the instant values identical either way — this keeps one
+  * timestamp type throughout the engine and the differential gate.
   */
 object Tables {
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
@@ -30,12 +37,19 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** events with `ts` converted ns-long → µs TimestampType (truncating, like
-    * DuckDB). Column order preserved. */
+  /** events with `ts` normalized to µs TimestampType whichever layout the
+    * driver wrote (ns-long → truncating DIV, like DuckDB; µs timestamp /
+    * NTZ → direct cast). Column order preserved. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path(dir, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = spark.read.parquet(path(dir, "events"))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => // TIMESTAMP_NTZ (session without GraftSession defaults)
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 }
 
@@ -64,6 +78,10 @@ object GraftSession {
       // unique per JVM so concurrent test runs don't collide on table paths
       .config("spark.sql.warehouse.dir", warehouseDir)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Fixture timestamps are parquet isAdjustedToUTC=false; read them as
+      // TimestampType (not NTZ) — with the UTC session timezone the instant
+      // is identical and the engine keeps a single timestamp type.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // TypedImperativeAggregate (topk_agg, minhash) plans as
       // ObjectHashAggregate, which abandons the hash map for a sort-based
       // fallback after 128 distinct keys by default — turning the ANN
