@@ -143,16 +143,39 @@ object DedupOps {
                              threshold: Double,
                              shingler: DataFrame => DataFrame,
                              bands: Int, rows: Int): DataFrame = {
-    // membership (mid, rep): digest groupBy + join back — two narrow
-    // shuffles on the 16-byte digest, never on the full text
+    // Adaptive skip: the contraction is a pure performance device — the
+    // direct pipeline is ALWAYS output-identical (identical texts have
+    // identical shingle sets → identical signatures → the band join pairs
+    // them and the rerank scores them jaccard 1.0, exactly what the intra
+    // arm emits; empty-shingle docs drop out of both paths). Contracting
+    // pays only when exact duplicates are a substantial fraction of the
+    // corpus; on a mostly-unique corpus it would still cost the
+    // membership join, expansion joins, and intra arm (several extra
+    // jobs — measured ~2× the whole query at fixture scale). One digest
+    // aggregate decides (its driver-side action is a documented phase
+    // barrier, same as the convergence counts in dedupClusters) and is
+    // REUSED as the membership table when contraction wins, so the dup
+    // path pays nothing extra for the decision.
     val ids = df.select(col(idCol).as("mid"), md5(col(textCol)).as("d"))
-    val m = ids.join(ids.groupBy(col("d")).agg(min(col("mid")).as("rep")), Seq("d"))
+    val g = ids.groupBy(col("d"))
+      .agg(min(col("mid")).as("rep"), count(lit(1)).as("n")).phaseCut
+    val stats = g.agg(sum(col("n")).as("total"), count(lit(1)).as("uniq")).head()
+    val (total, uniq) = (stats.getLong(0), stats.getLong(1))
+    // contract when uniques ≤ 2/3 of docs (≥ ~1/3 exact-dup mass — the
+    // crawl-scale regime the contraction exists for)
+    if (uniq * 3L > total * 2L)
+      return nearDupsOnShingles(shingler(df).phaseCut, bands, rows, threshold)
+
+    // membership (mid, rep): digest join-back against the aggregate — two
+    // narrow shuffles on the 16-byte digest, never on the full text
+    val m = ids.join(g.select(col("d"), col("rep")), Seq("d"))
       .select("mid", "rep").phaseCut
     val repDocs = df.join(m.where(col("mid") === col("rep")).select("mid"),
       col(idCol) === col("mid")).drop("mid")
     val sh = shingler(repDocs).phaseCut
     val repPairs = nearDupsOnShingles(sh, bands, rows, threshold)
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("rsz")).phaseCut
+    // single consumer (the intra arm) over the cut `sh` leaf — no cut
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("rsz"))
 
     val ma = m.select(col("mid").as("a_mid"), col("rep").as("a_rep"))
     val mb = m.select(col("mid").as("b_mid"), col("rep").as("b_rep"))
@@ -192,26 +215,32 @@ object DedupOps {
   private def nearDupsOnShingles(sh: DataFrame, bands: Int, rows: Int,
                                  threshold: Double): DataFrame = {
     require(bands * rows <= MinhashAB.size, "not enough hash functions")
-    // Every intermediate feeds ≥2 downstream plan branches (shingles →
-    // signatures + intersection counts + set sizes; signatures → both
-    // sides of the band self-join; candidates → intersection + final
-    // join). Each phase is materialized with an eager LINEAGE CUT
-    // (Phase.cut — reliable checkpoint() when spark.graft.checkpointDir
-    // is set, localCheckpoint otherwise): the downstream plan then
-    // references the phase result as a LEAF scan, so no consumer can ever
-    // re-execute the phase computation. A persist()+count() scheme leaves
-    // the full lineage in every dependent plan — a cache-entry recompile
-    // (any unpersist, cascade=false), block eviction, or AQE re-plan of a
-    // branch silently re-runs the whole explode+md5+distinct pipeline,
-    // once per consuming branch (measured 7–20× on the sf0.1 bench: 3 s
-    // → 24–63 s). With the cut, that failure mode is unexpressible.
-    // Checkpoint blocks are reclaimed by the ContextCleaner once the
-    // driver references go out of scope. `sh` arrives already cut from
-    // contractExpand.
+    // A phase is materialized with an eager LINEAGE CUT (Phase.cut —
+    // reliable checkpoint() when spark.graft.checkpointDir is set,
+    // localCheckpoint otherwise) exactly when it feeds ≥2 downstream plan
+    // branches: shingles → signatures + intersection counts + set sizes;
+    // signatures → both sides of the band self-join + both sides of the
+    // estimate filter; the pruned candidate list → both the intersection
+    // build and the join-back inside jaccardOnPairs (cut inside
+    // rerankThresholded). The downstream plan then references the phase
+    // result as a LEAF scan, so no consumer can ever re-execute the phase
+    // computation. A persist()+count() scheme leaves the full lineage in
+    // every dependent plan — a cache-entry recompile (any unpersist,
+    // cascade=false), block eviction, or AQE re-plan of a branch silently
+    // re-runs the whole explode+md5+distinct pipeline, once per consuming
+    // branch (measured 7–20× on the sf0.1 bench: 3 s → 24–63 s). With the
+    // cut, that failure mode is unexpressible. Single-consumer
+    // intermediates (band candidates, estimate-filter output) are NOT cut
+    // — their lineage executes exactly once anyway, and each defensive
+    // cut is an extra eager job whose fixed scheduling cost dominates at
+    // fixture scale (removing three such cuts took the sf0.1 query from
+    // ~5 s to ~2 s). Checkpoint blocks are reclaimed by the
+    // ContextCleaner once the driver references go out of scope. `sh`
+    // arrives already cut from contractExpand.
     val sigs = minhashSignatures(sh).phaseCut
-    val cand = lshCandidates(sigs, bands, rows).phaseCut
-    val pre  = estimateFiltered(cand, sigs, threshold, rows).phaseCut
-    rerankThresholded(pre, sh, threshold).phaseCut
+    val cand = lshCandidates(sigs, bands, rows)
+    val pre  = estimateFiltered(cand, sigs, threshold, rows)
+    rerankThresholded(pre, sh, threshold)
   }
 
   /** Signature-estimate pre-filter (VERDICT r7 item 2): before the
@@ -252,12 +281,17 @@ object DedupOps {
                                 threshold: Double): DataFrame = {
     val tNum = math.floor(threshold * 100).toLong
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("psz"))
+    // jaccardOnPairs consumes its pair list in TWO branches (intersection
+    // build + join-back), so the pruned list — whose lineage carries the
+    // band self-join and the estimate filter — is the one candidate-side
+    // phase that must be cut (see nearDupsOnShingles).
     val pruned = pairs
       .join(sizes.select(col("id").as("id_a"), col("psz").as("pa")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("psz").as("pb")), Seq("id_b"))
       .where(least(col("pa"), col("pb")) * 100 >=
         greatest(col("pa"), col("pb")) * tNum)
       .select("id_a", "id_b")
+      .phaseCut
     jaccardOnPairs(pruned, sh).where(col("jaccard") >= threshold)
   }
 

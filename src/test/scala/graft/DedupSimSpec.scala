@@ -268,4 +268,41 @@ class DedupSimSpec extends SparkSpec {
     val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001").count()
     assert(byCluster.values.map(_.head.getLong(4)).sum == corpus)
   }
+
+  test("exact-dup contraction is output-identical on BOTH adaptive branches") {
+    // uncontracted reference semantics, assembled from the public pieces:
+    // band candidates → exact jaccard ≥ t (no contraction, no pre-filter)
+    def reference(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long, Long, Double)] = {
+      val sh = DedupOps.wordShingleHashes(df, "doc_id", "text")
+      val cand = DedupOps.lshCandidates(DedupOps.minhashSignatures(sh), 4, 4)
+      DedupOps.jaccardOnPairs(cand, sh).where(col("jaccard") >= 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    }
+    def engine(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long, Long, Double)] =
+      DedupOps.minhashNearDupsWords(df, "doc_id", "text", 4, 4, 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+
+    val base = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota mu"),   // near dup of 0
+      (2L, "totally different words in this particular document body"),
+      (3L, "short"), (4L, "short")) // empty shingle sets (word-3-grams need 3 words)
+    // dup-heavy corpus (contraction branch): 3 exact copies of every doc
+    val heavy = (0 until 3).flatMap(r => base.map { case (id, t) => (id + 100L * r, t) })
+      .toDF("doc_id", "text")
+    // mostly-unique corpus (skip branch): one exact dup among many uniques
+    val unique = (base ++ Seq((10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (11L, "yet another fully distinct sentence with plenty of words here"),
+      (12L, "and one more unique document to keep the dup fraction low"),
+      (13L, "unique content four about spark catalyst optimizer internals"),
+      (14L, "unique content five about parquet row group pruning rules")))
+      .toDF("doc_id", "text")
+
+    assert(engine(heavy) == reference(heavy))
+    assert(engine(unique) == reference(unique))
+    // sanity: the heavy corpus actually produced intra-group (jaccard=1) pairs
+    assert(engine(heavy).exists(_._6 == 1.0))
+  }
 }
