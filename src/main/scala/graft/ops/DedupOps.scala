@@ -516,6 +516,51 @@ object DedupOps {
     labels
   }
 
+  /** Per-node triangle counts over an undirected pair graph (input rows
+    * (id_a, id_b) with id_a < id_b, duplicates not expected) — the
+    * density signal a dedup pipeline reads on top of connected components:
+    * a component that is also triangle-rich is a true duplicate cluster,
+    * while a triangle-free chain a-b-c is often LSH transitivity noise.
+    *
+    * Degree-oriented wedge closing (the standard distributed formulation):
+    * orient every edge from its (degree, id)-smaller endpoint to the
+    * larger; every triangle {x ≺ y ≺ z} then has oriented edges (x,y),
+    * (x,z), (y,z) and is found EXACTLY once, as the wedge (y,z) at its
+    * minimum vertex x closed by the (y,z) edge. Orientation bounds the
+    * wedge join's fan-out by the out-degree, which the (degree, id) order
+    * caps at O(√|E|) per node — a hub of degree d contributes d·√|E|
+    * wedges instead of the d² an id-only orientation can produce when a
+    * low-id node happens to be the hub. Both shuffles are equi-joins on
+    * node ids; nothing is ever all-pairs. Returns (doc_id, n_tri) for
+    * nodes in ≥1 triangle. */
+  def triangleCounts(pairs: DataFrame): DataFrame = {
+    // edges feeds the degree agg and the orientation join → cut
+    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b")).phaseCut
+    val deg = edges.select(col("a").as("id"))
+      .unionByName(edges.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("dg"))
+    val lt = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    // oriented feeds both wedge sides and the closing join → cut
+    val oriented = edges
+      .join(deg.select(col("id").as("a"), col("dg").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("dg").as("db")), Seq("b"))
+      .select(
+        when(lt, col("a")).otherwise(col("b")).as("src"),
+        when(lt, col("b")).otherwise(col("a")).as("dst"),
+        when(lt, col("db")).otherwise(col("da")).as("ddeg"))
+      .phaseCut
+    val wedges = oriented.select(col("src"), col("dst").as("v"), col("ddeg").as("dv"))
+      .join(oriented.select(col("src"), col("dst").as("w"), col("ddeg").as("dw")),
+        Seq("src"))
+      .where(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+    val tris = wedges
+      .join(oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+    tris.select(explode(array(col("src"), col("v"), col("w"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri"))
+  }
+
   /** Benchmark-decontamination report: for each candidate document (those
     * NOT matching `benchPred`), how many of its distinct word-3-gram
     * shingles also occur anywhere in the benchmark set (`benchPred`

@@ -513,6 +513,57 @@ object QueriesText {
     SELECT doc_id, cluster_id FROM cc ORDER BY doc_id"""
   }
 
+  /** Triangle counts over the near-dup graph
+    * ([[DedupOps.triangleCounts]]) — cluster-density audit on top of the
+    * connected components: triangle-rich components are true duplicate
+    * clusters, triangle-free chains are LSH transitivity noise. The
+    * engine runs the degree-oriented wedge-close (out-degree bounded by
+    * O(√|E|), never all-pairs); the oracle closes id-ordered pair joins
+    * directly — same triangle set by symmetry of the undirected graph. */
+  def qTriangles(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.triangleCounts(
+        DedupOps.minhashNearDupsWords(Tables.documents(spark, dir), "doc_id",
+          "text", Bands, Rows, JaccardThreshold))
+      .orderBy("doc_id")
+
+  val qTrianglesOracle: String = {
+    val mhs = MinhashAB.indices.map(minhashExprSql).mkString(", ")
+    val bandKeys = (0 until Bands).map { b =>
+      val key = (0 until Rows).map(r => s"CAST(mh${b * Rows + r} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT id, $b AS band, $key AS bkey FROM sigs"
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+    WITH $shingleCte,
+    sigs AS (SELECT id, $mhs FROM h GROUP BY id),
+    banded AS (
+      $bandKeys),
+    cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+             FROM banded x JOIN banded y
+               ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id),
+    sz AS (SELECT id, count(*) AS sz FROM h GROUP BY id),
+    inter AS (SELECT id_a, id_b, count(*) AS inter
+              FROM cand JOIN h sa ON id_a = sa.id
+                        JOIN h sb ON id_b = sb.id AND sa.h = sb.h
+              GROUP BY id_a, id_b),
+    pairs AS (SELECT cand.id_a, cand.id_b
+          FROM cand LEFT JOIN inter USING (id_a, id_b)
+                    JOIN sz x ON cand.id_a = x.id
+                    JOIN sz y ON cand.id_b = y.id
+          WHERE CAST(COALESCE(inter, 0) AS DOUBLE) /
+                  CAST(x.sz + y.sz - COALESCE(inter, 0) AS DOUBLE)
+                >= $JaccardThreshold),
+    tri AS (SELECT p1.id_a x, p1.id_b y, p2.id_b z
+            FROM pairs p1
+            JOIN pairs p2 ON p1.id_b = p2.id_a
+            JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b),
+    nodes AS (SELECT x AS doc_id FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri)
+    SELECT doc_id, count(*) AS n_tri FROM nodes GROUP BY doc_id
+    ORDER BY doc_id"""
+  }
+
   /** SimHash signatures (word-level, ${SimhashBits}-bit). */
   def qSimhash(spark: SparkSession, dir: String): DataFrame =
     DedupOps.simhash(Tables.documents(spark, dir), "doc_id", "text", SimhashBits)
@@ -1777,6 +1828,7 @@ object QueriesText {
     QueryDef("q_tfidf", qTfidf, Some(qTfidfOracle)),
     QueryDef("q_split", qSplit, Some(qSplitOracle)),
     QueryDef("q_dedup_clusters", qDedupClusters, Some(qDedupClustersOracle)),
+    QueryDef("q_triangles", qTriangles, Some(qTrianglesOracle)),
     QueryDef("q_normalize", qNormalize, Some(qNormalizeOracle)),
     QueryDef("q_simhash", qSimhash, Some(qSimhashOracle)),
     QueryDef("q_repetition", qRepetition, Some(qRepetitionOracle)),

@@ -305,4 +305,33 @@ class DedupSimSpec extends SparkSpec {
     // sanity: the heavy corpus actually produced intra-group (jaccard=1) pairs
     assert(engine(heavy).exists(_._6 == 1.0))
   }
+
+  test("triangleCounts: degree-oriented close == naive id-ordered close") {
+    def naive(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val es = pairs.toSet
+      val tris = for {
+        (x, y) <- es.toSeq; (y2, z) <- es.toSeq
+        if y2 == y && es((x, z))
+      } yield (x, y, z)
+      tris.flatMap { case (x, y, z) => Seq(x, y, z) }
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    }
+    def engine(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+      graft.ops.DedupOps.triangleCounts(pairs.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // K4: every vertex in C(3,2)=3 triangles
+    val k4 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    assert(engine(k4) == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    assert(engine(k4) == naive(k4))
+    // path graph: no triangles → empty result
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+    assert(engine(path).isEmpty)
+    // hub + one closing edge: node 0 connected to 1..9, plus edge (3,7):
+    // exactly one triangle {0,3,7} — a low-id hub, the id-only-orientation
+    // worst case the degree orientation exists for
+    val hub = (1L to 9L).map(i => (0L, i)) :+ (3L, 7L)
+    assert(engine(hub) == Map(0L -> 1L, 3L -> 1L, 7L -> 1L))
+    assert(engine(hub) == naive(hub))
+  }
 }

@@ -23,7 +23,11 @@ def main():
             continue
         src = (f"read_parquet('{path}/*.parquet')" if os.path.isdir(path)
                else f"read_parquet('{path}')")
-        if t == "events" and os.path.isdir(path):
+        ts_is_long = (t == "events" and con.execute(
+            f"SELECT typeof(ts) FROM {src} LIMIT 1").fetchone()[0] == "BIGINT")
+        if ts_is_long:
+            # old fixture layout: ts stored as raw ns-long (ScaleGen round-trip
+            # of the INT64 TIMESTAMP(NANOS) files); truncate to us like Spark
             con.execute(f"CREATE VIEW {t} AS SELECT * REPLACE "
                         f"(make_timestamp(ts // 1000) AS ts) FROM {src}")
         else:
