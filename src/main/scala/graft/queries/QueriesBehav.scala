@@ -14,6 +14,58 @@ import org.apache.spark.sql.functions._
   */
 object QueriesBehav {
 
+  /** Multi-touch attribution: every purchase credits the view/click
+    * touches of the same user in the 24 h before it — last-touch (full
+    * credit to the latest touch, event_id tiebreak) and linear (each of a
+    * purchase's n touches gets ⌊1e6/n⌋ ppm, exact integer arithmetic so
+    * both engines hash-match) — rolled up per touch channel.
+    *
+    * Scale shape: the touch↔purchase match is a USER-keyed equi-join with
+    * the 24 h predicate as a residual filter — co-partitioned by user, the
+    * natural key both sides already cluster on; per-user event counts are
+    * bounded (sessions, not the corpus), so the join never goes
+    * quadratic in the fact. The per-purchase window (count + latest-touch
+    * row_number) is partitioned by purchase id — millions of independent
+    * partitions. */
+  def qAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"),
+        unix_micros(col("ts")).as("pus"))
+    val t = ev.where(col("event_type").isin("view", "click"))
+      .select(col("event_id").as("tid"), col("user_id"),
+        col("event_type").as("channel"), unix_micros(col("ts")).as("tus"))
+    val j = p.join(t, Seq("user_id"))
+      .where(col("tus") >= col("pus") - lit(86400000000L) &&
+        col("tus") < col("pus"))
+    val w = Window.partitionBy(col("pid"))
+    val wOrd = w.orderBy(col("tus").desc, col("tid").desc)
+    j.withColumn("n", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(wOrd))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("last_touch_credits"),
+        sum(expr("1000000L div n")).as("linear_credit_ppm"))
+      .orderBy("channel")
+  }
+
+  val qAttributionOracle: String = """
+    WITH p AS (SELECT event_id pid, user_id, epoch_us(ts) pus
+               FROM events WHERE event_type = 'purchase'),
+    t AS (SELECT event_id tid, user_id, event_type channel, epoch_us(ts) tus
+          FROM events WHERE event_type IN ('view', 'click')),
+    j AS (SELECT pid, tid, channel, tus FROM p JOIN t USING (user_id)
+          WHERE tus >= pus - 86400000000 AND tus < pus),
+    w AS (SELECT channel,
+                 count(*) OVER (PARTITION BY pid) n,
+                 row_number() OVER (PARTITION BY pid
+                                    ORDER BY tus DESC, tid DESC) rn
+          FROM j)
+    SELECT channel, count(*) AS n_touches,
+           sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS last_touch_credits,
+           sum(1000000 // n) AS linear_credit_ppm
+    FROM w GROUP BY channel ORDER BY channel"""
+
   /** RFM segmentation (recency / frequency / monetary quintiles): one
     * order-grain agg per customer, then three ntile(5) rankings over the
     * (customer-grain, much smaller) aggregate with full deterministic
@@ -294,6 +346,7 @@ object QueriesBehav {
     ORDER BY st.wk"""
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_attribution", qAttribution, Some(qAttributionOracle)),
     QueryDef("q_anomaly", qAnomaly, Some(qAnomalyOracle)),
     QueryDef("q_growth_acct", qGrowthAcct, Some(qGrowthAcctOracle)),
     QueryDef("q_rfm", qRfm, Some(qRfmOracle)),
