@@ -176,6 +176,30 @@ object RelOps {
         finalAgg.tail.map { case (n, c) => c.as(n) }: _*)
   }
 
+  /** Skew-resistant equi-join by key salting: the probe (skewed) side gets
+    * an arbitrary salt in [0, buckets) — the value never affects the
+    * result, only the shuffle spread — and the build side is replicated
+    * once per salt via a generator (an explode, not a cartesian), so the
+    * join runs on (keys, salt) and a hot key's probe rows fan over
+    * `buckets` reducers instead of one. Output equals the plain join
+    * (the salt column is dropped). AQE's skew-join covers shuffle joins
+    * it can re-plan at runtime; this covers the cases it cannot — joins
+    * whose exchanges were removed (bucketed tables, co-partitioned
+    * reuse), stream-stream joins, and static plans — at the cost of
+    * build-side replication ×buckets, so size `buckets` to the skew
+    * factor, not higher. Inner and left joins only: right/full would
+    * duplicate unmatched build rows per salt. */
+  def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
+                 buckets: Int, joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left", "left_outer", "leftouter")(joinType),
+      s"saltedJoin supports inner/left joins, not $joinType")
+    val salted = probe.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    val reps = build.withColumn("__salt",
+      explode(sequence(lit(0L), lit(buckets - 1L))))
+    salted.join(reps, keys :+ "__salt", joinType).drop("__salt")
+  }
+
   /** Top-k rows per group by `ord` (descending), deterministic via the
     * caller-supplied tiebreaker in `ord`. Window row_number + filter: one
     * shuffle, k rows kept per group per partition — no global sort. */

@@ -60,6 +60,29 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("saltedJoin equals the plain join on a skewed key, inner and left") {
+    // 90% of probe rows share one key; build has matched and unmatched keys
+    val probe = (0 until 20000).map { i =>
+      val k = if (i % 10 == 0) (i % 7).toLong else 999L
+      (k, i.toLong)
+    }.toDF("k", "pv")
+    val build = (0L to 7L).map(k => (k, s"b$k")).toDF("k", "bv") // 999 unmatched
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)))).toSeq.sorted(
+        Ordering.Tuple3[Long, Long, Option[String]])
+    assert(rows(RelOps.saltedJoin(probe, build, Seq("k"), 16)) ==
+      rows(probe.join(build, Seq("k"))))
+    assert(rows(RelOps.saltedJoin(probe, build, Seq("k"), 16, "left")) ==
+      rows(probe.join(build, Seq("k"), "left")))
+    // the salted plan is still an equi-join — build replication is a
+    // generator, never a cartesian
+    val plan = RelOps.saltedJoin(probe, build, Seq("k"), 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Generate"), plan)
+  }
+
   test("take2dAxis1 projects columns by position") {
     val df  = Seq((1, "a", 2.0)).toDF("c0", "c1", "c2")
     val got = TakeOps.take2dAxis1(df, Seq(2, 0))
