@@ -21,7 +21,18 @@ object TimeQ {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     args.tail.foreach { name =>
-      val q = SparkEntry.queries(name)
+      // "micro" = the Bench micro control (grouped sum, 10M×200) — run it
+      // alongside scale points so every SCALE.md row carries a same-moment
+      // box-weather reading (the box has documented 2-8x co-tenant noise).
+      val q: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+        if (name == "micro")
+          (s, _) => s.range(10000000L)
+            .select((org.apache.spark.sql.functions.col("id") % 200).as("k"),
+              (org.apache.spark.sql.functions.col("id") % 1000)
+                .cast("double").as("v"))
+            .groupBy("k")
+            .agg(org.apache.spark.sql.functions.sum("v").as("s"))
+        else SparkEntry.queries(name)
       try noop(q(spark, "/root/testdata/sf0.001")) catch { case _: Throwable => }
       System.gc()
       val samples = (1 to 3).map(_ => time(noop(q(spark, sfDir))))

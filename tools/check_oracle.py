@@ -70,11 +70,14 @@ def main():
         path = f"{sf_dir}/{t}.parquet"
         # ScaleGen-produced SFs are directories of part files; the
         # driver-generated fixtures are single files. events written by
-        # ScaleGen carries ts as a raw ns BIGINT (the nanosAsLong round
-        # trip) — rebuild the TIMESTAMP the fixture parquet exposes.
         src = f"read_parquet('{path}/*.parquet')" if os.path.isdir(path) \
           else f"read_parquet('{path}')"
-        if t == "events" and os.path.isdir(path):
+        # Old-layout ScaleGen dirs carry ts as a raw ns BIGINT (the
+        # nanosAsLong round trip) — rebuild the TIMESTAMP then; new-layout
+        # fixtures already expose TIMESTAMP(MICROS) and pass through.
+        ts_is_long = (t == "events" and con.execute(
+            f"SELECT typeof(ts) FROM {src} LIMIT 1").fetchone()[0] == "BIGINT")
+        if ts_is_long:
             con.execute(f"CREATE VIEW {t} AS SELECT * REPLACE "
                         f"(make_timestamp(ts // 1000) AS ts) FROM {src}")
         else:
