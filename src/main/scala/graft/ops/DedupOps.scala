@@ -160,7 +160,10 @@ object DedupOps {
     val g = ids.groupBy(col("d"))
       .agg(min(col("mid")).as("rep"), count(lit(1)).as("n")).phaseCut
     val stats = g.agg(sum(col("n")).as("total"), count(lit(1)).as("uniq")).head()
-    val (total, uniq) = (stats.getLong(0), stats.getLong(1))
+    // sum over an empty corpus is NULL — treat as 0 (either branch is
+    // trivially correct on empty input)
+    val total = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+    val uniq  = stats.getLong(1)
     // contract when uniques ≤ 2/3 of docs (≥ ~1/3 exact-dup mass — the
     // crawl-scale regime the contraction exists for)
     if (uniq * 3L > total * 2L)

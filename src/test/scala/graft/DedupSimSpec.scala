@@ -304,6 +304,8 @@ class DedupSimSpec extends SparkSpec {
     assert(engine(unique) == reference(unique))
     // sanity: the heavy corpus actually produced intra-group (jaccard=1) pairs
     assert(engine(heavy).exists(_._6 == 1.0))
+    // empty corpus: no NPE from the adaptive-decision aggregate, empty out
+    assert(engine(Seq.empty[(Long, String)].toDF("doc_id", "text")).isEmpty)
   }
 
   test("triangleCounts: degree-oriented close == naive id-ordered close") {
