@@ -1138,6 +1138,86 @@ object QueriesAgg {
               sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr
     FROM p ORDER BY var_a, var_b"""
 
+  /** Poisson-bootstrap confidence band for the per-flag mean revenue —
+    * error bars on a 100 TB aggregate in ONE scan. The classic resample-B-
+    * times bootstrap multiplies the data ×B; the Poisson bootstrap
+    * (Chamandy et al. 2012, "Estimating uncertainty for massive data
+    * streams") replaces each replicate's multinomial resample with an
+    * independent Poisson(1) weight per (row, replicate), so all B
+    * replicates ride one pass as conditional sums — here B=16 weighted
+    * (Σw·cents, Σw) pairs in a single codegen'd hash aggregate.
+    *
+    * Determinism: the per-(row, b) weight is an INTEGER threshold lookup
+    * on a 32-bit md5 hash (thresholds = ⌊CDF_Poisson(1)(k)·2³²⌋, weights
+    * capped at 5 ≈ CDF 0.9994) — no float in the draw, so both engines
+    * assign identical weights; replicate means divide the same exact
+    * longs and the ±band picks the 2nd/15th of the 16 sorted means
+    * (≈87.5% central band). Weight sums stay in long comfortably at any
+    * realistic per-group cardinality (5·cents·rows ≲ 10¹⁸ to ~2e9 rows
+    * per group; beyond that the cents sums move to Decimal like the
+    * other cents queries document). */
+  def qBootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val B = 16
+    val ts = Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L,
+      4279248373L)
+    val cents = round(col("l_extendedprice") * 100).cast("long")
+    def w(b: Int): Column = {
+      val h = conv(substring(md5(concat_ws("_",
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        lit(b))), 1, 8), 16, 10).cast("long")
+      // fold from the LARGEST threshold so the smallest ends up outermost
+      // (the CASE must test h < t0 first)
+      ts.zipWithIndex.reverse.foldLeft(lit(5L)) { case (acc, (t, k)) =>
+        when(h < t, k.toLong).otherwise(acc)
+      }
+    }
+    val aggs =
+      Seq(count(lit(1)).as("n_rows"), sum(cents).as("sum_cents")) ++
+        (0 until B).flatMap(b => Seq(
+          sum(w(b) * cents).as(s"sw$b"), sum(w(b)).as(s"nw$b")))
+    val means = array((0 until B).map(b =>
+      col(s"sw$b").cast("double") / col(s"nw$b").cast("double")): _*)
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("l_returnflag"), col("n_rows"),
+        (col("sum_cents").cast("double") / col("n_rows").cast("double"))
+          .as("mean_cents"),
+        element_at(array_sort(means), 2).as("ci_lo_cents"),
+        element_at(array_sort(means), B - 1).as("ci_hi_cents"))
+      .orderBy("l_returnflag")
+  }
+
+  val qBootstrapCiOracle: String = {
+    val B = 16
+    val ts = Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L,
+      4279248373L)
+    def w(b: Int): String = {
+      val h = s"('0x' || substr(md5(l_orderkey || '_' || l_linenumber || " +
+        s"'_' || l_partkey || '_' || $b), 1, 8))::BIGINT"
+      val cases = ts.zipWithIndex.map { case (t, k) =>
+        s"WHEN $h < $t THEN $k"
+      }.mkString(" ")
+      s"(CASE $cases ELSE 5 END)"
+    }
+    val sums = (0 until B).map(b =>
+      s"sum(${w(b)} * c) AS sw$b, sum(${w(b)}) AS nw$b").mkString(",\n      ")
+    val means = (0 until B).map(b =>
+      s"sw$b::DOUBLE / nw$b::DOUBLE").mkString(", ")
+    s"""
+    WITH base AS (SELECT l_returnflag, l_orderkey, l_linenumber, l_partkey,
+                         CAST(round(l_extendedprice * 100) AS BIGINT) c
+                  FROM lineitem),
+    agg AS (SELECT l_returnflag, count(*) AS n_rows, sum(c) AS sum_cents,
+      $sums
+      FROM base GROUP BY l_returnflag)
+    SELECT l_returnflag, n_rows,
+           sum_cents::DOUBLE / n_rows::DOUBLE AS mean_cents,
+           list_sort([$means])[2] AS ci_lo_cents,
+           list_sort([$means])[${B - 1}] AS ci_hi_cents
+    FROM agg ORDER BY l_returnflag"""
+  }
+
   /** Two-sample A/B comparison (Welch's t) between purchase and click
     * values: per-arm exact integer power sums (n, Σc, Σc²) from ONE
     * conditional-aggregation scan (no per-arm scans), then the t statistic
@@ -1286,6 +1366,7 @@ object QueriesAgg {
     QueryDef("q_ks_test", qKsTest, Some(qKsTestOracle)),
     QueryDef("q_topk_agg", qTopkAgg, Some(qTopkAggOracle)),
     QueryDef("q_ab_test", qAbTest, Some(qAbTestOracle)),
+    QueryDef("q_bootstrap_ci", qBootstrapCi, Some(qBootstrapCiOracle)),
     QueryDef("q_corr_matrix", qCorrMatrix, Some(qCorrMatrixOracle)),
     QueryDef("q1_flagship", q1, Some(q1Oracle)),
     QueryDef("q_kahan_sum", qKahan, Some(qKahanOracle)),
