@@ -30,6 +30,21 @@ object QueriesTime {
            CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 sum_value
     FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** The SAME tumbling aggregation executed through the real streaming
+    * engine (readStream → AvailableNow → memory sink, complete mode) —
+    * puts the micro-batch planner, state store, and sink commit under the
+    * DuckDB oracle gate instead of only stream==batch specs. Shares
+    * q_window_tumbling's oracle semantics. */
+  def qStreamTumbling(spark: SparkSession, dir: String): DataFrame =
+    StreamOps.tumblingViaStream(spark,
+        Tables.events(spark, dir)
+          .withColumn("c", round(col("value") * 100).cast("long")),
+        "ts", "1 hour", Seq(col("event_type")),
+        Seq(count(lit(1)).as("n"),
+          (sum(col("c")).cast("double") / 100.0).as("sum_value")))
+      .select("window_start", "event_type", "n", "sum_value")
+      .orderBy("window_start", "event_type")
+
   /** Sliding 1-hour windows every 30 minutes (each event in 2 windows). */
   def qSliding(spark: SparkSession, dir: String): DataFrame =
     StreamOps.slidingAgg(
@@ -597,6 +612,7 @@ object QueriesTime {
     QueryDef("q_mom", qMom, Some(qMomOracle)),
     QueryDef("q_roll_time", qRollTime, Some(qRollTimeOracle)),
     QueryDef("q_window_tumbling", qTumbling, Some(qTumblingOracle)),
+    QueryDef("q_stream_tumbling", qStreamTumbling, Some(qTumblingOracle)),
     QueryDef("q_window_sliding", qSliding, Some(qSlidingOracle)),
     QueryDef("q_session_window", qSession, Some(qSessionOracle)),
     QueryDef("q_datetime", qDatetime, Some(qDatetimeOracle)),

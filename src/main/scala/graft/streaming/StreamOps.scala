@@ -18,6 +18,41 @@ object StreamOps {
   private lazy val graftLog =
     org.slf4j.LoggerFactory.getLogger(StreamOps.getClass)
 
+  /** Run the tumbling aggregation through the REAL streaming engine and
+    * return the drained result as a batch DataFrame: the source is staged
+    * to a temp directory, read back with `readStream`, aggregated, and
+    * written to a memory sink in COMPLETE output mode under an
+    * `AvailableNow` trigger (process everything already there, then stop
+    * — the batch-backfill trigger, so the result is deterministic and
+    * equals the batch plan's answer). This puts the streaming engine
+    * itself — micro-batch planner, state store, sink commit — under the
+    * DuckDB differential gate rather than only under stream==batch specs.
+    * Complete mode re-emits the full aggregate each micro-batch, so no
+    * watermark is needed and no window is withheld at the end. */
+  def tumblingViaStream(spark: SparkSession, source: DataFrame, tsCol: String,
+                        duration: String, keys: Seq[Column],
+                        aggs: Seq[Column]): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft-stream-src")
+      .toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
+      .toString
+    source.write.mode("overwrite").parquet(stage)
+    val agg = spark.readStream.schema(source.schema).parquet(stage)
+      .groupBy(window(col(tsCol), duration) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", unix_timestamp(col("window.start")))
+      .drop("window")
+    val name = "graft_stream_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Tumbling event-time windows: one row per (window, extra keys). */
   def tumblingAgg(df: DataFrame, tsCol: String, duration: String,
                   keys: Seq[Column], aggs: Seq[Column]): DataFrame =
