@@ -406,4 +406,30 @@ class PropertySpec extends SparkSpec {
       }
     })
   }
+
+  test("triangleCounts: degree-oriented close == naive close on random graphs") {
+    val graphGen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(2, 14) // vertices
+      m <- Gen.choose(0, 30) // candidate edges
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n - 1L); b <- Gen.choose(0L, n - 1L)
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield es.filter { case (a, b) => a != b }.distinct
+    check(Prop.forAll(graphGen) { edges =>
+      val naive = {
+        val es = edges.toSet
+        val tris = for {
+          (x, y) <- es.toSeq; z <- (y + 1) to edges.map(_._2).maxOption.getOrElse(0L)
+          if es((y, z)) && es((x, z))
+        } yield (x, y, z)
+        tris.flatMap { case (x, y, z) => Seq(x, y, z) }
+          .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      }
+      val got =
+        if (edges.isEmpty) Map.empty[Long, Long]
+        else graft.ops.DedupOps.triangleCounts(edges.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == naive
+    })
+  }
 }
