@@ -45,6 +45,20 @@ object QueriesTime {
       .select("window_start", "event_type", "n", "sum_value")
       .orderBy("window_start", "event_type")
 
+  /** Sliding windows through the real streaming engine (same gate as
+    * [[qStreamTumbling]]) — sliding aggregation state is a distinct
+    * streaming code path (one row feeds duration/slide windows). */
+  def qStreamSliding(spark: SparkSession, dir: String): DataFrame =
+    StreamOps.tumblingViaStream(spark,
+        Tables.events(spark, dir)
+          .withColumn("c", round(col("value") * 100).cast("long")),
+        "ts", "1 hour", Seq(col("event_type")),
+        Seq(count(lit(1)).as("n"),
+          (sum(col("c")).cast("double") / 100.0).as("sum_value")),
+        slide = Some("30 minutes"))
+      .select("window_start", "event_type", "n", "sum_value")
+      .orderBy("window_start", "event_type")
+
   /** Sliding 1-hour windows every 30 minutes (each event in 2 windows). */
   def qSliding(spark: SparkSession, dir: String): DataFrame =
     StreamOps.slidingAgg(
@@ -614,6 +628,7 @@ object QueriesTime {
     QueryDef("q_window_tumbling", qTumbling, Some(qTumblingOracle)),
     QueryDef("q_stream_tumbling", qStreamTumbling, Some(qTumblingOracle)),
     QueryDef("q_window_sliding", qSliding, Some(qSlidingOracle)),
+    QueryDef("q_stream_sliding", qStreamSliding, Some(qSlidingOracle)),
     QueryDef("q_session_window", qSession, Some(qSessionOracle)),
     QueryDef("q_datetime", qDatetime, Some(qDatetimeOracle)),
     QueryDef("q_funnel", qFunnel, Some(qFunnelOracle)),

@@ -31,14 +31,17 @@ object StreamOps {
     * watermark is needed and no window is withheld at the end. */
   def tumblingViaStream(spark: SparkSession, source: DataFrame, tsCol: String,
                         duration: String, keys: Seq[Column],
-                        aggs: Seq[Column]): DataFrame = {
+                        aggs: Seq[Column], slide: Option[String] = None)
+      : DataFrame = {
     val stage = java.nio.file.Files.createTempDirectory("graft-stream-src")
       .toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
       .toString
     source.write.mode("overwrite").parquet(stage)
+    val win = slide.map(s => window(col(tsCol), duration, s))
+      .getOrElse(window(col(tsCol), duration))
     val agg = spark.readStream.schema(source.schema).parquet(stage)
-      .groupBy(window(col(tsCol), duration) +: keys: _*)
+      .groupBy(win +: keys: _*)
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("window_start", unix_timestamp(col("window.start")))
       .drop("window")
