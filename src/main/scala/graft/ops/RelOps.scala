@@ -193,8 +193,16 @@ object RelOps {
                  buckets: Int, joinType: String = "inner"): DataFrame = {
     require(Set("inner", "left", "left_outer", "leftouter")(joinType),
       s"saltedJoin supports inner/left joins, not $joinType")
+    require(buckets >= 1, s"saltedJoin needs buckets >= 1, got $buckets " +
+      "(0 would make every probe salt NULL and silently drop all matches)")
+    // Deterministic salt (hash of the whole probe row): legal on streaming
+    // DataFrames — monotonically_increasing_id is rejected by the
+    // UnsupportedOperationChecker — and stable under task retries.
+    // Caveat: probe rows that are bit-identical across ALL columns land in
+    // the same bucket; a hot key still spreads as long as its rows differ
+    // in any non-key column (the normal case for fact rows).
     val salted = probe.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+      pmod(xxhash64(probe.columns.map(col): _*), lit(buckets.toLong)))
     val reps = build.withColumn("__salt",
       explode(sequence(lit(0L), lit(buckets - 1L))))
     salted.join(reps, keys :+ "__salt", joinType).drop("__salt")

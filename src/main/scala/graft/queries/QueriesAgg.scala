@@ -1175,8 +1175,16 @@ object QueriesAgg {
       Seq(count(lit(1)).as("n_rows"), sum(cents).as("sum_cents")) ++
         (0 until B).flatMap(b => Seq(
           sum(w(b) * cents).as(s"sw$b"), sum(w(b)).as(s"nw$b")))
+    // Total expression: a replicate whose Poisson weights all drew 0
+    // (possible only for tiny groups) falls back to the unweighted mean —
+    // identically on both engines — instead of a NULL/NaN whose sort
+    // position differs between Spark (NULLS LAST) and DuckDB list_sort
+    // (NULLS FIRST).
+    val mean0 =
+      col("sum_cents").cast("double") / col("n_rows").cast("double")
     val means = array((0 until B).map(b =>
-      col(s"sw$b").cast("double") / col(s"nw$b").cast("double")): _*)
+      when(col(s"nw$b") === 0L, mean0).otherwise(
+        col(s"sw$b").cast("double") / col(s"nw$b").cast("double"))): _*)
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(aggs.head, aggs.tail: _*)
@@ -1202,8 +1210,10 @@ object QueriesAgg {
     }
     val sums = (0 until B).map(b =>
       s"sum(${w(b)} * c) AS sw$b, sum(${w(b)}) AS nw$b").mkString(",\n      ")
+    // same totality fallback as the Spark side: nw=0 -> unweighted mean
     val means = (0 until B).map(b =>
-      s"sw$b::DOUBLE / nw$b::DOUBLE").mkString(", ")
+      s"CASE WHEN nw$b = 0 THEN sum_cents::DOUBLE / n_rows::DOUBLE " +
+        s"ELSE sw$b::DOUBLE / nw$b::DOUBLE END").mkString(", ")
     s"""
     WITH base AS (SELECT l_returnflag, l_orderkey, l_linenumber, l_partkey,
                          CAST(round(l_extendedprice * 100) AS BIGINT) c

@@ -62,8 +62,9 @@ object QueriesBehav {
                                     ORDER BY tus DESC, tid DESC) rn
           FROM j)
     SELECT channel, count(*) AS n_touches,
-           sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS last_touch_credits,
-           sum(1000000 // n) AS linear_credit_ppm
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS last_touch_credits,
+           CAST(sum(1000000 // n) AS BIGINT) AS linear_credit_ppm
     FROM w GROUP BY channel ORDER BY channel"""
 
   /** RFM segmentation (recency / frequency / monetary quintiles): one

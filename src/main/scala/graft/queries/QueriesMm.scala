@@ -156,8 +156,8 @@ object QueriesMm {
     SELECT media_id,
            CAST(${MultimodalOps.AudioRateHz} AS BIGINT) sample_rate,
            max(n) n_samples,
-           sum(a) sum_amp,
-           sum(abs(a)) sum_abs
+           CAST(sum(a) AS BIGINT) sum_amp,
+           CAST(sum(abs(a)) AS BIGINT) sum_abs
     FROM amp GROUP BY media_id ORDER BY media_id"""
 
   val defs: Seq[QueryDef] = Seq(

@@ -172,7 +172,11 @@ object QueriesWindow {
     * distinct (group, value) DOMAIN — one parallel hash-agg (20:1
     * contraction at sf1, 200:1 at sf10, where value domains are fixed
     * while rows replicate) plus a window over that tiny domain — and the
-    * fact rows pick their ranks up through a BROADCAST equi-join. The
+    * fact rows pick the ranks up through equi-joins whose strategy AQE
+    * chooses from the measured domain size (broadcast in the common
+    * contracted case; sort-merge when the measure is near-unique and the
+    * domain approaches the fact — a hardcoded broadcast there would OOM
+    * the driver at 100×). The
     * fact table is sorted exactly ONCE, for the one variant whose rank is
     * genuinely per-row ("first" = row_number): its tie-break window
     * partitions by (group, VALUE), whose cardinality is the whole domain,
@@ -219,10 +223,15 @@ object QueriesWindow {
       .select(col("event_type").as("tb"), col("v2").as("vb"),
         col("__rk").as("rk2"))
 
+    // No broadcast() hint on the domains: for near-unique measures the
+    // distinct (group, value) domain approaches |fact|, and a hardcoded
+    // broadcast would OOM the driver at scale. AQE sizes the built domain
+    // at runtime — BHJ when it is genuinely small (the common case, and
+    // what the fixture-scale final plan shows), SMJ when it degenerates.
     val joined = ev
-      .join(broadcast(domA),
+      .join(domA,
         col("event_type") === col("ta") && col("value") <=> col("va"))
-      .join(broadcast(domB),
+      .join(domB,
         col("event_type") === col("tb") && col("v2") <=> col("vb"))
     // the ONE per-row rank: row_number within the (type, value) tie group,
     // ordered by event_id — partition cardinality = |domain|, so the only

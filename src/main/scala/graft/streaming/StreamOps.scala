@@ -53,7 +53,26 @@ object StreamOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    // Drain the memory sink into a local relation and release everything
+    // the run staged: the sink already holds the full (bounded, windowed
+    // aggregate) result in driver memory, so the copy adds no new scale
+    // hazard, and it lets repeated Bench/Verify/TimeQ invocations run
+    // leak-free — temp view dropped, stage parquet + checkpoint deleted.
+    val result = spark.table(name)
+    val out = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(result.collect(): _*)),
+      result.schema)
+    spark.catalog.dropTempView(name)
+    Seq(stage, ckpt).foreach { d =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
+          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case e: Throwable =>
+        graftLog.warn(s"tumblingViaStream: could not clean $d: ${e.getMessage}")
+      }
+    }
+    out
   }
 
   /** Tumbling event-time windows: one row per (window, extra keys). */

@@ -42,6 +42,40 @@ class DedupSimSpec extends SparkSpec {
     assert(!got.keySet.exists { case (a, b) => b == 3L || a == 3L })
   }
 
+  test("hot-bucket guard: a planted degenerate band is capped, mass reported") {
+    // 1000 docs share ONE identical band (band 0: mh0..mh3 all 7) — the
+    // boilerplate shape that turns the band self-join quadratic (499500
+    // pairs from a single bucket). All other minhash values are unique per
+    // doc, so every candidate pair can only come from the planted bucket.
+    val n = 1000
+    val sigRows = (0 until n).map { i =>
+      org.apache.spark.sql.Row(
+        (i.toLong +: Seq.fill(4)(7L)) ++
+          (4 until 16).map(j => (i * 16 + j + 100).toLong): _*)
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false) +:
+        (0 until 16).map(j => org.apache.spark.sql.types.StructField(
+          s"mh$j", org.apache.spark.sql.types.LongType, nullable = false)))
+    val sigs = spark.createDataFrame(
+      spark.sparkContext.parallelize(sigRows, 4), schema)
+
+    // capped: the degenerate bucket is dropped entirely -> zero candidates
+    // (bounded fan-out; no m^2 blowup survives the guard)
+    assert(DedupOps.lshCandidates(sigs, 4, 4, maxBucket = 100).count() == 0L)
+    // uncapped (default 5000 > 1000): the same input yields all C(1000,2)
+    // pairs — proving the cap, not the data, is what bounds the join
+    assert(DedupOps.lshCandidates(sigs, 4, 4).count() == n.toLong * (n - 1) / 2)
+    // drop mass is reported: 1000 postings in 1 heavy bucket out of 4000
+    val st = DedupOps.lshBucketStats(sigs, 4, 4, maxBucket = 100).head()
+    assert(st.getAs[Long]("n_postings") == 4L * n)
+    assert(st.getAs[Long]("max_bucket") == n.toLong)
+    assert(st.getAs[Long]("n_heavy_buckets") == 1L)
+    assert(st.getAs[Long]("dropped_postings") == n.toLong)
+    assert(st.getAs[Long]("dropped_ppm") == 1000000L / 4)
+  }
+
   test("incremental dedup: planted near-dup of a corpus doc is caught; clean docs pass") {
     val corpus = Seq(
       (100L, "the quick brown fox jumps over the lazy dog again and again today"),

@@ -83,6 +83,40 @@ class ScaleOpsSpec extends SparkSpec {
     assert(plan.contains("Generate"), plan)
   }
 
+  test("saltedJoin rejects buckets < 1 instead of silently returning empty") {
+    // buckets=0 used to make pmod(x, 0) = NULL probe salts: inner join
+    // silently empty, left join all-NULL build columns
+    val probe = Seq((1L, 2L)).toDF("k", "pv")
+    val build = Seq((1L, "b")).toDF("k", "bv")
+    intercept[IllegalArgumentException] {
+      RelOps.saltedJoin(probe, build, Seq("k"), 0)
+    }
+  }
+
+  test("saltedJoin runs on streaming inputs (deterministic salt)") {
+    // the salt is a hash of the probe row, not monotonically_increasing_id
+    // (which the UnsupportedOperationChecker rejects on streams) — so the
+    // advertised stream-stream use actually starts and matches the batch
+    // join
+    val probe = (0 until 200).map(i => ((i % 5).toLong, i.toLong)).toDF("k", "pv")
+    val build = (0L to 5L).map(k => (k, s"b$k")).toDF("k", "bv")
+    probe.write.mode("overwrite").parquet(tmpPath("salt_probe_in"))
+    build.write.mode("overwrite").parquet(tmpPath("salt_build_in"))
+    val sp = spark.readStream.schema(probe.schema).parquet(tmpPath("salt_probe_in"))
+    val sb = spark.readStream.schema(build.schema).parquet(tmpPath("salt_build_in"))
+    val q = RelOps.saltedJoin(sp, sb, Seq("k"), 8)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("salt_join_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("salt_join_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq.sorted
+      val want = probe.join(build, Seq("k")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq.sorted
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("take2dAxis1 projects columns by position") {
     val df  = Seq((1, "a", 2.0)).toDF("c0", "c1", "c2")
     val got = TakeOps.take2dAxis1(df, Seq(2, 0))

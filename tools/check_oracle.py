@@ -75,8 +75,11 @@ def main():
         # Old-layout ScaleGen dirs carry ts as a raw ns BIGINT (the
         # nanosAsLong round trip) — rebuild the TIMESTAMP then; new-layout
         # fixtures already expose TIMESTAMP(MICROS) and pass through.
-        ts_is_long = (t == "events" and con.execute(
-            f"SELECT typeof(ts) FROM {src} LIMIT 1").fetchone()[0] == "BIGINT")
+        # Probe the schema, not a row: DESCRIBE works on empty fixtures
+        # where `SELECT typeof(ts) ... LIMIT 1` would fetchone() -> None.
+        ts_is_long = t == "events" and any(
+            r[0] == "ts" and r[1] == "BIGINT"
+            for r in con.execute(f"DESCRIBE SELECT ts FROM {src}").fetchall())
         if ts_is_long:
             con.execute(f"CREATE VIEW {t} AS SELECT * REPLACE "
                         f"(make_timestamp(ts // 1000) AS ts) FROM {src}")
@@ -99,7 +102,20 @@ def main():
             n_fail += 1
             continue
         try:
-            oracle_df = con.sql(sql).df()
+            rel = con.sql(sql)
+            # DuckDB sum(BIGINT) returns HUGEINT, which the driver's hasher
+            # renders differently from Spark's LONG even when values are
+            # identical (r8: q_attribution, q_audio_meta). Make the class
+            # of bug unexpressible: any 128-bit column in a declared oracle
+            # is a hard failure — cast it in the SQL.
+            huge = [c for c, t in zip(rel.columns, map(str, rel.types))
+                    if t in ("HUGEINT", "UHUGEINT")]
+            if huge:
+                print(f"FAIL {name}: oracle columns {huge} are "
+                      f"HUGEINT/UHUGEINT — add CAST(... AS BIGINT)")
+                n_fail += 1
+                continue
+            oracle_df = rel.df()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1

@@ -23,8 +23,10 @@ def main():
             continue
         src = (f"read_parquet('{path}/*.parquet')" if os.path.isdir(path)
                else f"read_parquet('{path}')")
-        ts_is_long = (t == "events" and con.execute(
-            f"SELECT typeof(ts) FROM {src} LIMIT 1").fetchone()[0] == "BIGINT")
+        # DESCRIBE probes the schema without rows (empty fixture safe).
+        ts_is_long = t == "events" and any(
+            r[0] == "ts" and r[1] == "BIGINT"
+            for r in con.execute(f"DESCRIBE SELECT ts FROM {src}").fetchall())
         if ts_is_long:
             # old fixture layout: ts stored as raw ns-long (ScaleGen round-trip
             # of the INT64 TIMESTAMP(NANOS) files); truncate to us like Spark
