@@ -6,10 +6,12 @@ import org.apache.spark.sql.functions._
 /** Typed row for an opaque media payload: the multimodal column model
   * (north-star extension). Real pipelines put image/audio/video bytes in
   * `payload` (BinaryType) with typed metadata alongside; the Spark-side
-  * plumbing (schema, partitioning, batch-shaped decode) is real, and the
-  * IMAGE codec is real too (`javax.imageio` PNG — in the JDK, no external
-  * libraries). Audio/video payloads fall back to codec-free byte
-  * featurization (no FFmpeg in this container). */
+  * plumbing (schema, partitioning, batch-shaped decode) is real, and so
+  * are all three container codecs — `javax.imageio` PNG for images,
+  * `javax.sound.sampled` WAV/PCM for audio, and multi-frame GIF for the
+  * video-container path — all in the JDK, no external libraries. The
+  * codec-free byte featurization remains as the fallback arm for kinds
+  * with no in-JDK codec (e.g. MP4, where FFmpeg would slot in). */
 case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
                     width: Int, height: Int, duration_ms: Long)
 
@@ -26,6 +28,12 @@ case class ImageMeta(media_id: Long, width: Long, height: Long,
   * read back from the WAV header plus exact integer amplitude sums. */
 case class AudioMeta(media_id: Long, sample_rate: Long, n_samples: Long,
                      sum_amp: Long, sum_abs: Long)
+
+/** Decoded per-FRAME facts from the real video-container codec pass
+  * (multi-frame GIF via `javax.imageio`): one row per frame with exact
+  * integer pixel sums. */
+case class VideoFrameMeta(media_id: Long, frame_idx: Long, width: Long,
+                          height: Long, sum_gray: Long)
 
 object MultimodalOps {
 
@@ -166,10 +174,116 @@ object MultimodalOps {
     }
   }
 
+  /** Deterministic synthetic video: `n` grayscale frames per clip, each
+    * pixel closed-form in (media_id, frame, x, y), so a SQL oracle can
+    * recompute what the per-frame decoder must read back. GIF is the one
+    * multi-FRAME container the JDK can both write and read
+    * (`javax.imageio` gif plugin); with an identity 256-gray palette the
+    * round trip is lossless, making encode→decode a genuine differential
+    * test of a video-container codec path — the same role PNG plays for
+    * images and WAV for audio. */
+  def synthNFrames(id: Long): Int = (2 + id % 7).toInt
+  def synthVW(id: Long): Int = (8 + id % 5).toInt
+  def synthVH(id: Long): Int = (8 + id % 4).toInt
+  def synthGray(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 7 + f * 13 + x * 3 + y * 5) % 256).toInt
+
+  /** Identity grayscale palette: index i ↔ color (i, i, i) — every 8-bit
+    * gray frame survives GIF's palette quantization bit-exactly. */
+  private def grayPalette: java.awt.image.IndexColorModel = {
+    val ramp = Array.tabulate[Byte](256)(i => i.toByte)
+    new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+  }
+
+  /** REAL VIDEO ENCODE: render the deterministic frames per id and write
+    * them as one multi-frame (animated) GIF via the JDK's ImageIO
+    * sequence writer. Batch-shaped like [[encodePngImages]]; the writer
+    * is created once per partition. */
+  def encodeGifVideo(spark: SparkSession, df: DataFrame,
+                     idCol: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      val cm = grayPalette
+      ids.map { id =>
+        val (nf, w, h) = (synthNFrames(id), synthVW(id), synthVH(id))
+        val bos = new java.io.ByteArrayOutputStream()
+        val writer =
+          javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nf) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0, synthGray(id, f, x, y))
+              x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+        writer.dispose()
+        ios.close()
+        MediaRow(id, "video", bos.toByteArray, w, h, nf * 100L)
+      }
+    }
+  }
+
+  /** REAL VIDEO DECODE: open each payload with the ImageIO GIF reader,
+    * iterate its frames (`getNumImages(true)`), and emit one row per
+    * frame with exact integer gray sums read back through the codec.
+    * Fails loudly on an unreadable payload or frame — a silent skip
+    * would hide codec breakage. Batch-shaped (iterator per partition);
+    * the per-clip frame fan-out happens WORKER-side inside the iterator,
+    * so the shuffle never carries payload bytes per frame. */
+  def decodeVideoFrames(ds: Dataset[MediaRow]): Dataset[VideoFrameMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val reader =
+          javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        reader.setInput(iis)
+        val nf = reader.getNumImages(true)
+        require(nf > 0,
+          s"media ${r.media_id}: payload (${r.payload.length} bytes) has no GIF frames")
+        val out = (0 until nf).map { f =>
+          val img = reader.read(f)
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              sum += img.getRGB(x, y) & 0xff // identity gray palette
+              x += 1
+            }
+            y += 1
+          }
+          VideoFrameMeta(r.media_id, f.toLong, img.getWidth.toLong,
+            img.getHeight.toLong, sum)
+        }
+        reader.dispose()
+        iis.close()
+        out
+      }
+    }
+  }
+
   /** Codec-free byte featurization (folded byte-mass histogram) — the
-    * real fallback for kinds with no in-container codec (video only, now
-    * that images decode via javax.imageio and WAV audio via javax.sound;
-    * FFmpeg would slot into the same batch pass in production). */
+    * real fallback for kinds with no in-container codec (none of the
+    * three fixture kinds now: PNG images and WAV audio decode above, and
+    * multi-frame GIF covers the video-container path; an FFmpeg-backed
+    * MP4 arm would slot into the same batch pass in production). */
   private def byteFold(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var i = 0

@@ -847,16 +847,47 @@ object QueriesAgg {
     ORDER BY gid, l_returnflag, l_linestatus"""
 
   /** Sketch-based approximate aggregates — the 100 TB substitutes for
-    * exact distinct/quantile (HLL++ and KLL-style): rows-only check, since
-    * sketch estimates are engine-specific by construction. */
-  def qApprox(spark: SparkSession, dir: String): DataFrame =
+    * exact distinct/quantile (HLL++ and KLL-style). The estimates
+    * themselves are engine-specific by construction, so the DECLARED
+    * output emits oracle-checkable facts instead: the exact distinct
+    * count (reproducible in DuckDB) plus Spark-side booleans asserting
+    * each sketch landed inside its published error bound —
+    * `nd_within_bound`: |HLL − exact|/exact ≤ 0.15 (3× the default 5%
+    * rsd, so a pass is overwhelming-probability, not flaky);
+    * `med_within_bound`: the approx median's VALUE lies between the exact
+    * 0.49 and 0.51 quantiles (approx_percentile(accuracy=1000)
+    * guarantees rank error ≤ 1/1000 ≤ this ±0.01 window). The oracle
+    * asserts both booleans TRUE — a sketch regression flips a bit and
+    * fails the hash, without ever pretending estimates match across
+    * engines. SketchSpec still pins the numeric error bounds. */
+  /** Raw sketch estimates next to their exact references — what
+    * SketchSpec pins numerically; [[qApprox]] reduces it to the
+    * oracle-checkable shape. */
+  def qApproxRaw(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_nd_part"),
-        approx_percentile(col("l_quantity"), lit(0.5), lit(1000)).as("approx_med_qty"),
-        countDistinct(col("l_partkey")).as("exact_nd_part"))
+        approx_count_distinct(col("l_partkey")).as("approx_nd"),
+        approx_percentile(col("l_quantity"), lit(0.5), lit(1000)).as("amed"),
+        countDistinct(col("l_partkey")).as("exact_nd_part"),
+        percentile(col("l_quantity"), lit(0.49)).as("qlo"),
+        percentile(col("l_quantity"), lit(0.51)).as("qhi"))
+
+  def qApprox(spark: SparkSession, dir: String): DataFrame =
+    qApproxRaw(spark, dir)
+      .select(col("l_returnflag"), col("exact_nd_part"),
+        (abs(col("approx_nd") - col("exact_nd_part")).cast("double") <=
+          col("exact_nd_part").cast("double") * 0.15).as("nd_within_bound"),
+        (col("amed") >= col("qlo") && col("amed") <= col("qhi"))
+          .as("med_within_bound"))
       .orderBy("l_returnflag")
+
+  val qApproxOracle: String = """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_nd_part,
+           TRUE AS nd_within_bound,
+           TRUE AS med_within_bound
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
   /** Per-group ordinary-least-squares fit (pandas/sklearn `fit` per
     * group, SQL `regr_slope`/`regr_intercept` semantics, reimplemented
@@ -1380,7 +1411,7 @@ object QueriesAgg {
     QueryDef("q_corr_matrix", qCorrMatrix, Some(qCorrMatrixOracle)),
     QueryDef("q1_flagship", q1, Some(q1Oracle)),
     QueryDef("q_kahan_sum", qKahan, Some(qKahanOracle)),
-    QueryDef("q_approx_sketch", qApprox, None),
+    QueryDef("q_approx_sketch", qApprox, Some(qApproxOracle)),
     QueryDef("q_dropna_keys", qDropNaKeys, Some(qDropNaKeysOracle)),
     QueryDef("q_mode", qMode, Some(qModeOracle)),
     QueryDef("q_rollup", qRollup, Some(qRollupOracle)),

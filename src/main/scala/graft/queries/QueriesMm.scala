@@ -136,8 +136,7 @@ object QueriesMm {
     * and emit the header-read sample rate plus exact amplitude sums. PCM
     * is lossless, so the DuckDB oracle recomputes the sums from the
     * closed-form signal — wrong endianness, header offset, or sign
-    * convention hash-mismatches. Mirrors q_image_meta; video remains the
-    * one byte-featurized kind (no container codec in the JDK). */
+    * convention hash-mismatches. Mirrors q_image_meta. */
   def qAudioMeta(spark: SparkSession, dir: String): DataFrame =
     MultimodalOps.decodeAudioMeta(
         MultimodalOps.encodeWavAudio(spark,
@@ -160,10 +159,43 @@ object QueriesMm {
            CAST(sum(abs(a)) AS BIGINT) sum_abs
     FROM amp GROUP BY media_id ORDER BY media_id"""
 
+  /** REAL video-container round-trip (multi-frame GIF via javax.imageio,
+    * in the JDK): render deterministic grayscale frames per doc_id, write
+    * them into ONE animated-GIF container, DECODE the container back
+    * frame by frame, and emit one row per frame with exact pixel sums.
+    * The identity gray palette makes GIF lossless here, so the DuckDB
+    * oracle recomputes every frame sum from the closed-form pixel
+    * function — a dropped/duplicated frame, wrong frame order, or
+    * palette corruption hash-mismatches. This closes the last multimodal
+    * gap: all three fixture kinds (image/audio/video) now decode through
+    * real JDK container codecs in the same batch-shaped pass an FFmpeg
+    * MP4 arm would use. */
+  def qVideoFrames(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps.decodeVideoFrames(
+        MultimodalOps.encodeGifVideo(spark,
+          Tables.documents(spark, dir), "doc_id"))
+      .toDF()
+      .orderBy("media_id", "frame_idx")
+
+  val qVideoFramesOracle: String = """
+    WITH m AS (SELECT doc_id media_id,
+                      CAST(2 + doc_id % 7 AS BIGINT) nf,
+                      CAST(8 + doc_id % 5 AS BIGINT) w,
+                      CAST(8 + doc_id % 4 AS BIGINT) h
+               FROM documents),
+    fr AS (SELECT media_id, w, h, unnest(range(0, nf)) f FROM m),
+    px AS (SELECT media_id, f, w, h, unnest(range(0, w)) x FROM fr),
+    p AS (SELECT media_id, f, w, h, x, unnest(range(0, h)) y FROM px)
+    SELECT media_id, CAST(f AS BIGINT) frame_idx,
+           CAST(max(w) AS BIGINT) width, CAST(max(h) AS BIGINT) height,
+           CAST(sum((media_id*7 + f*13 + x*3 + y*5) % 256) AS BIGINT) sum_gray
+    FROM p GROUP BY media_id, f ORDER BY media_id, frame_idx"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_frame_sample", qFrameSample, Some(qFrameSampleOracle)),
     QueryDef("q_patch_grid", qPatchGrid, Some(qPatchGridOracle)),
     QueryDef("q_audio_windows", qAudioWindows, Some(qAudioWindowsOracle)),
     QueryDef("q_image_meta", qImageMeta, Some(qImageMetaOracle)),
-    QueryDef("q_audio_meta", qAudioMeta, Some(qAudioMetaOracle)))
+    QueryDef("q_audio_meta", qAudioMeta, Some(qAudioMetaOracle)),
+    QueryDef("q_video_frames", qVideoFrames, Some(qVideoFramesOracle)))
 }

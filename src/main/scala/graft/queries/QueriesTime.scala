@@ -59,6 +59,21 @@ object QueriesTime {
       .select("window_start", "event_type", "n", "sum_value")
       .orderBy("window_start", "event_type")
 
+  /** Session windows through the real streaming engine (same gate as
+    * [[qStreamTumbling]]) — the merging-session state store is the
+    * hardest streaming state shape, and one-file-per-micro-batch staging
+    * forces sessions to merge ACROSS batches. Shares q_session_window's
+    * oracle semantics. */
+  def qStreamSession(spark: SparkSession, dir: String): DataFrame =
+    StreamOps.sessionViaStream(spark,
+        Tables.events(spark, dir)
+          .withColumn("c", round(col("value") * 100).cast("long")),
+        "ts", "30 minutes", Seq(col("user_id")),
+        Seq(count(lit(1)).as("n"),
+          (sum(col("c")).cast("double") / 100.0).as("sum_value")))
+      .select("user_id", "session_start", "n", "sum_value")
+      .orderBy("user_id", "session_start")
+
   /** Sliding 1-hour windows every 30 minutes (each event in 2 windows). */
   def qSliding(spark: SparkSession, dir: String): DataFrame =
     StreamOps.slidingAgg(
@@ -630,6 +645,7 @@ object QueriesTime {
     QueryDef("q_window_sliding", qSliding, Some(qSlidingOracle)),
     QueryDef("q_stream_sliding", qStreamSliding, Some(qSlidingOracle)),
     QueryDef("q_session_window", qSession, Some(qSessionOracle)),
+    QueryDef("q_stream_session", qStreamSession, Some(qSessionOracle)),
     QueryDef("q_datetime", qDatetime, Some(qDatetimeOracle)),
     QueryDef("q_funnel", qFunnel, Some(qFunnelOracle)),
     QueryDef("q_hist", qHist, Some(qHistOracle)),

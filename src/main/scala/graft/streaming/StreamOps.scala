@@ -33,18 +33,53 @@ object StreamOps {
                         duration: String, keys: Seq[Column],
                         aggs: Seq[Column], slide: Option[String] = None)
       : DataFrame = {
+    val win = slide.map(s => window(col(tsCol), duration, s))
+      .getOrElse(window(col(tsCol), duration))
+    aggViaStream(spark, source, sdf =>
+      sdf.groupBy(win +: keys: _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .withColumn("window_start", unix_timestamp(col("window.start")))
+        .drop("window"))
+  }
+
+  /** Session windows through the real streaming engine, same gate shape as
+    * [[tumblingViaStream]]. Session state is the hardest streaming state
+    * shape — windows MERGE as late rows bridge gaps — so running it under
+    * the DuckDB oracle (complete mode: every micro-batch re-emits the
+    * fully-merged sessions, no watermark withholding at end-of-input)
+    * covers the merging-session state store path, not just batch
+    * session_window. */
+  def sessionViaStream(spark: SparkSession, source: DataFrame, tsCol: String,
+                       gap: String, keys: Seq[Column], aggs: Seq[Column])
+      : DataFrame =
+    // one file per micro-batch: sessions then MUST merge across batches
+    // (arbitrary event-time interleaving between files), exercising the
+    // merging state store rather than a single-batch degenerate run
+    aggViaStream(spark, source, sdf =>
+      sdf.groupBy(session_window(col(tsCol), gap) +: keys: _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .withColumn("session_start",
+          unix_timestamp(col("session_window.start")))
+        .drop("session_window"),
+      maxFilesPerTrigger = Some(1))
+
+  /** Shared drive-the-real-engine harness: stage the batch source to temp
+    * parquet, readStream it, apply `buildAgg`, drain through an
+    * AvailableNow complete-mode memory sink, then clean up every staged
+    * artifact (see the cleanup note below). */
+  private def aggViaStream(spark: SparkSession, source: DataFrame,
+                           buildAgg: DataFrame => DataFrame,
+                           maxFilesPerTrigger: Option[Int] = None)
+      : DataFrame = {
     val stage = java.nio.file.Files.createTempDirectory("graft-stream-src")
       .toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
       .toString
     source.write.mode("overwrite").parquet(stage)
-    val win = slide.map(s => window(col(tsCol), duration, s))
-      .getOrElse(window(col(tsCol), duration))
-    val agg = spark.readStream.schema(source.schema).parquet(stage)
-      .groupBy(win +: keys: _*)
-      .agg(aggs.head, aggs.tail: _*)
-      .withColumn("window_start", unix_timestamp(col("window.start")))
-      .drop("window")
+    val reader0 = spark.readStream.schema(source.schema)
+    val reader = maxFilesPerTrigger
+      .map(n => reader0.option("maxFilesPerTrigger", n)).getOrElse(reader0)
+    val agg = buildAgg(reader.parquet(stage))
     val name = "graft_stream_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
     val q = agg.writeStream.format("memory").queryName(name)

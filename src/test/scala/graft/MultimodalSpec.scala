@@ -4,9 +4,11 @@ import graft.multimodal.MultimodalOps
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: binary payload + typed metadata, batch-shaped
-  * decode, frame-sample explode. The IMAGE codec is real (`javax.imageio`
-  * PNG round-trip against closed-form pixel sums); audio/video byte
-  * featurization is the codec-free fallback. */
+  * decode, frame-sample explode. All three codecs are real and in the JDK:
+  * `javax.imageio` PNG (images), `javax.sound.sampled` WAV/PCM (audio),
+  * multi-frame GIF (video container) — each round-tripped against
+  * closed-form pixel/sample sums; byte featurization remains the
+  * codec-free fallback arm. */
 class MultimodalSpec extends SparkSpec {
 
   private lazy val media = MultimodalOps.fromStrings(spark,
@@ -56,6 +58,42 @@ class MultimodalSpec extends SparkSpec {
       assert(m.sum_amp == s && m.sum_abs == sa,
         s"amplitude sums diverged for media $id")
     }
+  }
+
+  test("GIF encode -> imageio per-frame decode round-trips exact gray sums") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
+    val encoded = MultimodalOps.encodeGifVideo(spark, docs, "doc_id")
+    // payloads are genuine GIF containers (magic bytes)
+    val p = encoded.head().payload
+    assert(new String(p.slice(0, 6), "US-ASCII").startsWith("GIF8"))
+    val got = MultimodalOps.decodeVideoFrames(encoded).collect()
+      .map(f => (f.media_id, f.frame_idx) -> f).toMap
+    val ids = docs.select(col("doc_id").cast("long")).collect().map(_.getLong(0))
+    // every (clip, frame) present exactly once, dims + sums exact
+    assert(got.size == ids.map(MultimodalOps.synthNFrames(_).toLong).sum)
+    ids.foreach { id =>
+      val (nf, w, h) =
+        (MultimodalOps.synthNFrames(id), MultimodalOps.synthVW(id),
+          MultimodalOps.synthVH(id))
+      for (f <- 0 until nf) {
+        val m = got((id, f.toLong))
+        assert(m.width == w && m.height == h)
+        var s = 0L
+        for (y <- 0 until h; x <- 0 until w)
+          s += MultimodalOps.synthGray(id, f, x, y)
+        assert(m.sum_gray == s, s"gray sum diverged for media $id frame $f")
+      }
+    }
+  }
+
+  test("decodeVideoFrames fails loudly on a non-GIF payload") {
+    import spark.implicits._
+    val bogus = Seq(graft.multimodal.MediaRow(
+      7L, "video", "not a gif".getBytes("UTF-8"), 0, 0, 0L)).toDS()
+    val e = intercept[Exception] {
+      MultimodalOps.decodeVideoFrames(bogus).collect()
+    }
+    assert(e.getMessage != null)
   }
 
   test("decodeAudioMeta fails loudly on a non-audio payload") {

@@ -3,19 +3,20 @@ package graft
 import graft.queries.QueriesAgg
 import org.apache.spark.sql.functions._
 
-/** Error-bound assertions for the approximate-sketch query (q_approx_sketch
-  * is declared rows-only — HLL++/quantile-sketch estimates are
-  * engine-specific by construction — so this spec pins its estimates to the
-  * exact values instead of leaving the entry a free pass). */
+/** Error-bound assertions for the approximate-sketch query. The declared
+  * q_approx_sketch output is oracle-gated (exact distinct + within-bound
+  * booleans the DuckDB side asserts TRUE); this spec pins the underlying
+  * estimates numerically via [[QueriesAgg.qApproxRaw]] so a sketch
+  * regression is caught with its magnitude, not just a flipped bit. */
 class SketchSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
   test("approx_count_distinct within HLL++ error of the exact count") {
-    val rows = QueriesAgg.qApprox(spark, dir).collect()
+    val rows = QueriesAgg.qApproxRaw(spark, dir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approxNd = r.getLong(r.fieldIndex("approx_nd_part"))
+      val approxNd = r.getLong(r.fieldIndex("approx_nd"))
       val exactNd  = r.getLong(r.fieldIndex("exact_nd_part"))
       // default rsd 0.05; 3σ margin
       assert(math.abs(approxNd - exactNd) <= math.max(3, 0.15 * exactNd),
@@ -29,11 +30,22 @@ class SketchSpec extends SparkSpec {
       .agg(expr("percentile(l_quantity, 0.40)").as("lo"),
         expr("percentile(l_quantity, 0.60)").as("hi"))
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    QueriesAgg.qApprox(spark, dir).collect().foreach { r =>
+    QueriesAgg.qApproxRaw(spark, dir).collect().foreach { r =>
       val flag = r.getString(0)
-      val med  = r.getDouble(r.fieldIndex("approx_med_qty"))
+      val med  = r.getDouble(r.fieldIndex("amed"))
       val (lo, hi) = bounds(flag)
       assert(med >= lo && med <= hi, s"$flag: approx median $med outside [$lo, $hi]")
+    }
+  }
+
+  test("declared q_approx_sketch booleans are all true at both fixture SFs") {
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val rows = QueriesAgg.qApprox(spark, d).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getBoolean(r.fieldIndex("nd_within_bound")), s"$d ${r.getString(0)}")
+        assert(r.getBoolean(r.fieldIndex("med_within_bound")), s"$d ${r.getString(0)}")
+      }
     }
   }
 }
