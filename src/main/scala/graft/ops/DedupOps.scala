@@ -79,22 +79,26 @@ object DedupOps {
     * [[lshBucketStats]] reports how much mass a cap would drop. */
   def lshCandidates(sigs: DataFrame, bands: Int, rows: Int,
                     maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    require(maxBucket >= 2, s"maxBucket must allow pairs, got $maxBucket")
-    val banded = bandedKeys(sigs, bands, rows)
-    // heavy-bucket keys: one narrow agg on the join key; the anti-join
-    // side is empty-to-tiny in the healthy case, so AQE broadcasts it —
-    // unhinted, so a pathological corpus (many heavy buckets) degrades to
-    // a shuffle join instead of an OOM
-    val heavy = banded.groupBy(col("band"), col("bkey"))
-      .agg(count(lit(1)).as("__bn"))
-      .where(col("__bn") > maxBucket)
-      .select("band", "bkey")
-    val kept = banded.join(heavy, Seq("band", "bkey"), "left_anti")
+    val kept = capBuckets(bandedKeys(sigs, bands, rows), maxBucket)
     kept.as("x").join(kept.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
+  }
+
+  /** Drop postings that sit in band buckets holding more than `maxBucket`
+    * entries (see [[DefaultMaxBucket]]). Heavy-bucket keys come from one
+    * narrow agg on the join key; the anti-join side is empty-to-tiny in
+    * the healthy case, so AQE broadcasts it — unhinted, so a pathological
+    * corpus (many heavy buckets) degrades to a shuffle join, not an OOM. */
+  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must allow pairs, got $maxBucket")
+    val heavy = banded.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("__bn"))
+      .where(col("__bn") > maxBucket)
+      .select("band", "bkey")
+    banded.join(heavy, Seq("band", "bkey"), "left_anti")
   }
 
   /** Band-bucket size diagnostics for a signature table: per-corpus
@@ -360,15 +364,20 @@ object DedupOps {
     * Same eager phase lineage-cuts as [[nearDupsOnShingles]]. */
   def minhashNearDupsAgainstWords(newDf: DataFrame, corpusDf: DataFrame,
                                   idCol: String, textCol: String,
-                                  bands: Int, rows: Int,
-                                  threshold: Double): DataFrame = {
+                                  bands: Int, rows: Int, threshold: Double,
+                                  maxBucket: Int = DefaultMaxBucket)
+      : DataFrame = {
     require(bands * rows <= MinhashAB.size, "not enough hash functions")
     val shN   = wordShingleHashes(newDf, idCol, textCol).phaseCut
     val shC   = wordShingleHashes(corpusDf, idCol, textCol).phaseCut
     val sigsN = minhashSignatures(shN).phaseCut
     val sigsC = minhashSignatures(shC).phaseCut
+    // hot-bucket cap on the CORPUS side only: a boilerplate band bucket
+    // there multiplies every colliding new doc by its full posting list
+    // (m_new × m_corpus); capping the corpus bounds that to
+    // m_new × maxBucket while the (small) new side stays intact
     val cand = bandedKeys(sigsN, bands, rows).as("x")
-      .join(bandedKeys(sigsC, bands, rows).as("y"),
+      .join(capBuckets(bandedKeys(sigsC, bands, rows), maxBucket).as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct().phaseCut
@@ -386,10 +395,15 @@ object DedupOps {
     * phases — at 100 TB the index is built once and probed daily. */
   def writeLshIndex(corpus: DataFrame, idCol: String, textCol: String,
                     bands: Int, rows: Int, table: String,
-                    buckets: Int = 32): Unit = {
+                    buckets: Int = 32,
+                    maxBucket: Int = DefaultMaxBucket): Unit = {
     require(bands * rows <= MinhashAB.size, "not enough hash functions")
     val sh = wordShingleHashes(corpus, idCol, textCol).phaseCut
-    bandedKeys(minhashSignatures(sh), bands, rows)
+    // the hot-bucket cap is applied ONCE at index build (the production
+    // shape: probes then need no runtime guard and the stored index
+    // carries no degenerate posting lists); lshBucketStats on the same
+    // signatures reports what a given cap drops before committing to it
+    capBuckets(bandedKeys(minhashSignatures(sh), bands, rows), maxBucket)
       .write.mode("overwrite").bucketBy(buckets, "band", "bkey")
       .sortBy("band", "bkey").saveAsTable(s"${table}_postings")
     sh.write.mode("overwrite").bucketBy(buckets, "id")
