@@ -203,36 +203,41 @@ object MultimodalOps {
                      idCol: String): Dataset[MediaRow] = {
     import spark.implicits._
     df.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      // per-partition init: palette + ONE writer instance, reset per clip
+      // (the IIORegistry provider scan in getImageWritersByFormatName is
+      // the per-row cost worth hoisting; BufferedImages are per-frame by
+      // nature)
       val cm = grayPalette
+      val writer =
+        javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
       ids.map { id =>
         val (nf, w, h) = (synthNFrames(id), synthVW(id), synthVH(id))
         val bos = new java.io.ByteArrayOutputStream()
-        val writer =
-          javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
         val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-        writer.setOutput(ios)
-        writer.prepareWriteSequence(null)
-        var f = 0
-        while (f < nf) {
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
-          val raster = img.getRaster
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              raster.setSample(x, y, 0, synthGray(id, f, x, y))
-              x += 1
+        try {
+          writer.reset()
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < nf) {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+            val raster = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                raster.setSample(x, y, 0, synthGray(id, f, x, y))
+                x += 1
+              }
+              y += 1
             }
-            y += 1
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
           }
-          writer.writeToSequence(
-            new javax.imageio.IIOImage(img, null, null), null)
-          f += 1
-        }
-        writer.endWriteSequence()
-        writer.dispose()
-        ios.close()
+          writer.endWriteSequence()
+        } finally ios.close()
         MediaRow(id, "video", bos.toByteArray, w, h, nf * 100L)
       }
     }
@@ -248,33 +253,39 @@ object MultimodalOps {
   def decodeVideoFrames(ds: Dataset[MediaRow]): Dataset[VideoFrameMeta] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
+      // per-partition init: ONE reader instance, reset per clip (hoists
+      // the registry lookup out of the row loop)
+      val reader =
+        javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
       rows.flatMap { r =>
-        val reader =
-          javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(r.payload))
-        reader.setInput(iis)
-        val nf = reader.getNumImages(true)
-        require(nf > 0,
-          s"media ${r.media_id}: payload (${r.payload.length} bytes) has no GIF frames")
-        val out = (0 until nf).map { f =>
-          val img = reader.read(f)
-          var sum = 0L
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              sum += img.getRGB(x, y) & 0xff // identity gray palette
-              x += 1
+        // fail-loudly path must still release the stream, or task retries
+        // over a corrupt partition leak an imageio resource per attempt
+        try {
+          reader.setInput(iis)
+          val nf = reader.getNumImages(true)
+          require(nf > 0,
+            s"media ${r.media_id}: payload (${r.payload.length} bytes) has no GIF frames")
+          (0 until nf).map { f =>
+            val img = reader.read(f)
+            var sum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                sum += img.getRGB(x, y) & 0xff // identity gray palette
+                x += 1
+              }
+              y += 1
             }
-            y += 1
+            VideoFrameMeta(r.media_id, f.toLong, img.getWidth.toLong,
+              img.getHeight.toLong, sum)
           }
-          VideoFrameMeta(r.media_id, f.toLong, img.getWidth.toLong,
-            img.getHeight.toLong, sum)
+        } finally {
+          reader.reset()
+          iis.close()
         }
-        reader.dispose()
-        iis.close()
-        out
       }
     }
   }

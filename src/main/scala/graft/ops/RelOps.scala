@@ -190,19 +190,29 @@ object RelOps {
     * factor, not higher. Inner and left joins only: right/full would
     * duplicate unmatched build rows per salt. */
   def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
-                 buckets: Int, joinType: String = "inner"): DataFrame = {
+                 buckets: Int, joinType: String = "inner",
+                 saltCols: Seq[Column] = Nil): DataFrame = {
     require(Set("inner", "left", "left_outer", "leftouter")(joinType),
       s"saltedJoin supports inner/left joins, not $joinType")
     require(buckets >= 1, s"saltedJoin needs buckets >= 1, got $buckets " +
       "(0 would make every probe salt NULL and silently drop all matches)")
-    // Deterministic salt (hash of the whole probe row): legal on streaming
-    // DataFrames — monotonically_increasing_id is rejected by the
-    // UnsupportedOperationChecker — and stable under task retries.
-    // Caveat: probe rows that are bit-identical across ALL columns land in
-    // the same bucket; a hot key still spreads as long as its rows differ
-    // in any non-key column (the normal case for fact rows).
+    // Deterministic salt (hash of the probe row by default): legal on
+    // streaming DataFrames — monotonically_increasing_id is rejected by
+    // the UnsupportedOperationChecker — and stable under task retries.
+    // Map-typed columns are excluded (xxhash64 cannot hash them).
+    // Caveat: probe rows that are bit-identical across every hashed
+    // column land in the same bucket; a hot key still spreads as long as
+    // its rows differ in any non-key column (the normal case for fact
+    // rows). When the probe IS reduced to bare keys — or carries a
+    // high-entropy row id — pass that distinguishing column explicitly
+    // via `saltCols`.
+    val defaultSalt = probe.schema.fields
+      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => col(f.name)).toSeq
+    val src = if (saltCols.nonEmpty) saltCols else defaultSalt
+    require(src.nonEmpty, "saltedJoin: no hashable salt source columns")
     val salted = probe.withColumn("__salt",
-      pmod(xxhash64(probe.columns.map(col): _*), lit(buckets.toLong)))
+      pmod(xxhash64(src: _*), lit(buckets.toLong)))
     val reps = build.withColumn("__salt",
       explode(sequence(lit(0L), lit(buckets - 1L))))
     salted.join(reps, keys :+ "__salt", joinType).drop("__salt")

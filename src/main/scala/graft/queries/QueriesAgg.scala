@@ -852,14 +852,21 @@ object QueriesAgg {
     * output emits oracle-checkable facts instead: the exact distinct
     * count (reproducible in DuckDB) plus Spark-side booleans asserting
     * each sketch landed inside its published error bound —
-    * `nd_within_bound`: |HLL − exact|/exact ≤ 0.15 (3× the default 5%
-    * rsd, so a pass is overwhelming-probability, not flaky);
+    * `nd_within_bound`: |HLL − exact| ≤ max(3, 0.15·exact) (3× the
+    * default 5% rsd plus an absolute floor so tiny groups can't flake a
+    * correct sketch);
     * `med_within_bound`: the approx median's VALUE lies between the exact
-    * 0.49 and 0.51 quantiles (approx_percentile(accuracy=1000)
-    * guarantees rank error ≤ 1/1000 ≤ this ±0.01 window). The oracle
-    * asserts both booleans TRUE — a sketch regression flips a bit and
-    * fails the hash, without ever pretending estimates match across
-    * engines. SketchSpec still pins the numeric error bounds. */
+    * 0.40 and 0.60 quantiles (approx_percentile(accuracy=1000)
+    * guarantees rank error ≤ 1/1000 ≪ this ±0.10 window), OR the group
+    * has fewer rows than the sketch accuracy — in that regime
+    * approx_percentile holds every sample and is exact by construction,
+    * while an INTERPOLATED quantile window around a sparse group can
+    * exclude every actual data value (e.g. p49..p51 of {1,2,3,100} is
+    * [2.47, 2.53], containing no element), so the window test only
+    * applies where approximation actually happens. The oracle asserts
+    * both booleans TRUE — a sketch regression flips a bit and fails the
+    * hash, without ever pretending estimates match across engines.
+    * SketchSpec still pins the numeric error bounds. */
   /** Raw sketch estimates next to their exact references — what
     * SketchSpec pins numerically; [[qApprox]] reduces it to the
     * oracle-checkable shape. */
@@ -867,19 +874,21 @@ object QueriesAgg {
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
       .agg(
+        count(lit(1)).as("n_rows"),
         approx_count_distinct(col("l_partkey")).as("approx_nd"),
         approx_percentile(col("l_quantity"), lit(0.5), lit(1000)).as("amed"),
         countDistinct(col("l_partkey")).as("exact_nd_part"),
-        percentile(col("l_quantity"), lit(0.49)).as("qlo"),
-        percentile(col("l_quantity"), lit(0.51)).as("qhi"))
+        percentile(col("l_quantity"), lit(0.40)).as("qlo"),
+        percentile(col("l_quantity"), lit(0.60)).as("qhi"))
 
   def qApprox(spark: SparkSession, dir: String): DataFrame =
     qApproxRaw(spark, dir)
       .select(col("l_returnflag"), col("exact_nd_part"),
         (abs(col("approx_nd") - col("exact_nd_part")).cast("double") <=
-          col("exact_nd_part").cast("double") * 0.15).as("nd_within_bound"),
-        (col("amed") >= col("qlo") && col("amed") <= col("qhi"))
-          .as("med_within_bound"))
+          greatest(lit(3.0), col("exact_nd_part").cast("double") * 0.15))
+          .as("nd_within_bound"),
+        ((col("amed") >= col("qlo") && col("amed") <= col("qhi")) ||
+          col("n_rows") < 1000).as("med_within_bound"))
       .orderBy("l_returnflag")
 
   val qApproxOracle: String = """

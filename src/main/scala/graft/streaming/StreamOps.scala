@@ -101,10 +101,13 @@ object StreamOps {
     Seq(stage, ckpt).foreach { d =>
       try {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
-          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+        // close the walk stream (it holds a directory handle) before the
+        // deletes; materialize first so the reverse traversal is safe
+        val paths = try walk.iterator().asScala.toSeq finally walk.close()
+        paths.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
       } catch { case e: Throwable =>
-        graftLog.warn(s"tumblingViaStream: could not clean $d: ${e.getMessage}")
+        graftLog.warn(s"aggViaStream: could not clean $d: ${e.getMessage}")
       }
     }
     out

