@@ -869,17 +869,38 @@ object QueriesAgg {
     * SketchSpec still pins the numeric error bounds. */
   /** Raw sketch estimates next to their exact references — what
     * SketchSpec pins numerically; [[qApprox]] reduces it to the
-    * oracle-checkable shape. */
-  def qApproxRaw(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy("l_returnflag")
+    * oracle-checkable shape. The p40/p60 window bounds come from a
+    * 10×-higher-accuracy quantile sketch (rank error ≤ 1e-4·n), NOT the
+    * exact `percentile()` aggregate — exact percentile buffers every
+    * group value in executor memory, which OOM'd the sf10 run (60M rows)
+    * and is a non-starter at 100 TB. Sketch memory scales ~1/ε, so the
+    * window accuracy is sized to the job: 1e-4 rank error is 1000×
+    * tighter than the ±0.10 band it checks while its summaries stay a
+    * few hundred KB per group.
+    *
+    * The exact count-distinct runs as its OWN aggregation joined back on
+    * the (tiny) group key: Spark's distinct-aggregate rewrite computes
+    * every co-grouped non-distinct function's partial over
+    * (group, distinct-col) keys, so mixing countDistinct with the
+    * imperative sketch buffers materializes an HLL + three quantile
+    * summaries PER DISTINCT PART KEY (~2M × ~10 KB at sf10 — the OOM the
+    * single-agg form hit at 24 GB). Split, each side is bounded: sketch
+    * buffers per FLAG, and the distinct agg's per-key state is bytes. */
+  def qApproxRaw(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val sketches = li.groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n_rows"),
         approx_count_distinct(col("l_partkey")).as("approx_nd"),
         approx_percentile(col("l_quantity"), lit(0.5), lit(1000)).as("amed"),
-        countDistinct(col("l_partkey")).as("exact_nd_part"),
-        percentile(col("l_quantity"), lit(0.40)).as("qlo"),
-        percentile(col("l_quantity"), lit(0.60)).as("qhi"))
+        approx_percentile(col("l_quantity"), lit(0.40), lit(10000))
+          .as("qlo"),
+        approx_percentile(col("l_quantity"), lit(0.60), lit(10000))
+          .as("qhi"))
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact_nd_part"))
+    sketches.join(exact, Seq("l_returnflag"))
+  }
 
   def qApprox(spark: SparkSession, dir: String): DataFrame =
     qApproxRaw(spark, dir)
