@@ -334,16 +334,23 @@ object QueriesWindow {
     *
     * Determinism: edges are interpolated over integer cents; quartile
     * fractions of (n−1) are dyadic, so `lower + frac·(upper−lower)` is
-    * FP-exact and identical in Spark and DuckDB. Scale shape: one grouped
-    * percentile agg (tiny: one row per event_type), broadcast back, one
-    * map-side bin projection, one final hash-agg. */
+    * FP-exact and identical in Spark and DuckDB. Scale shape (round 9):
+    * the edges come from QuantileOps' counting-sort domain plan — the
+    * same exact linear interpolation, but never materializing a group in
+    * memory — because the exact `percentile()` aggregate buffers EVERY
+    * group value per executor (the class of OOM the sf10 sweep caught in
+    * q_approx_sketch; with ~5 event types over a 100 TB fact each bucket
+    * would hold a fact-scale value list). The pivoted edge relation is
+    * one row per group; AQE picks the join strategy. */
   def qQcut(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .withColumn("c", round(col("value") * 100).cast("long"))
-    val edges = broadcast(ev.groupBy("event_type")
-      .agg(percentile(col("c"), lit(0.25)).as("e1"),
-        percentile(col("c"), lit(0.5)).as("e2"),
-        percentile(col("c"), lit(0.75)).as("e3")))
+    val edges = graft.ops.QuantileOps
+      .groupedQuantiles(ev, Seq("event_type"), "c", Seq(0.25, 0.5, 0.75))
+      .groupBy("event_type")
+      .agg(max(when(col("q") === 0.25, col("linear"))).as("e1"),
+        max(when(col("q") === 0.5, col("linear"))).as("e2"),
+        max(when(col("q") === 0.75, col("linear"))).as("e3"))
     ev.join(edges, Seq("event_type"))
       .withColumn("tile",
         (lit(1L) + when(col("c") > col("e1"), 1L).otherwise(0L)
