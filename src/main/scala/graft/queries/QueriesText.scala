@@ -326,8 +326,26 @@ object QueriesText {
         JaccardThreshold)
       .orderBy("id_a", "id_b")
 
+  /** The oracle applies the same exact-duplicate contraction the engine's
+    * contractExpand documents (identical texts → identical shingle sets →
+    * identical pairs and Jaccard, so computing rep-level pairs and
+    * expanding to member pairs is provably output-identical): without it
+    * the naive all-pairs-sharing-a-shingle join over a replicated corpus
+    * (sf1 carries ~100 copies per unique text) exhausts DuckDB's temp
+    * disk — the round-8 sweeps had to exclude this one query. Reps with
+    * empty shingle sets drop out of both arms via the inner join against
+    * the (nonempty) size table, exactly like the uncontracted SQL. */
   val qNgramJaccardOracle: String = s"""
-    WITH $shingleCte,
+    WITH g AS (SELECT md5(text) AS d, min(doc_id) AS rep
+               FROM documents GROUP BY 1),
+    mem AS (SELECT doc_id AS mid, rep
+            FROM documents JOIN g ON md5(text) = g.d),
+    rdoc AS (SELECT doc_id, text FROM documents JOIN g ON doc_id = g.rep),
+    w AS (SELECT doc_id, string_split(text, ' ') ws FROM rdoc),
+    sh AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws)-2,1)+1),
+                 i -> ws[CAST(i AS INT)] || ' ' || COALESCE(ws[CAST(i AS INT)+1],'')
+                      || ' ' || COALESCE(ws[CAST(i AS INT)+2],''))) s FROM w),
+    h AS (SELECT DISTINCT doc_id AS id, ('0x'||substr(md5(s),1,8))::BIGINT h FROM sh),
     sz AS (SELECT id, count(*) AS sz FROM h GROUP BY id),
     cand AS (SELECT DISTINCT sa.id AS id_a, sb.id AS id_b
              FROM h sa JOIN h sb ON sa.h = sb.h AND sa.id < sb.id),
@@ -341,8 +359,27 @@ object QueriesText {
                    CAST(x.sz + y.sz - inter AS DOUBLE) AS jaccard
           FROM cand JOIN inter USING (id_a, id_b)
                     JOIN sz x ON cand.id_a = x.id
-                    JOIN sz y ON cand.id_b = y.id)
-    SELECT * FROM j WHERE jaccard >= $JaccardThreshold ORDER BY id_a, id_b"""
+                    JOIN sz y ON cand.id_b = y.id),
+    jt AS (SELECT * FROM j WHERE jaccard >= $JaccardThreshold),
+    xp AS (SELECT least(ma.mid, mb.mid) AS id_a,
+                  greatest(ma.mid, mb.mid) AS id_b,
+                  inter,
+                  CASE WHEN ma.mid < mb.mid THEN sz_a ELSE sz_b END AS sz_a,
+                  CASE WHEN ma.mid < mb.mid THEN sz_b ELSE sz_a END AS sz_b,
+                  jaccard
+           FROM jt JOIN mem ma ON jt.id_a = ma.rep
+                   JOIN mem mb ON jt.id_b = mb.rep),
+    intra AS (SELECT x.mid AS id_a, y.mid AS id_b,
+                     s.sz AS inter, s.sz AS sz_a, s.sz AS sz_b,
+                     CAST(1.0 AS DOUBLE) AS jaccard
+              FROM mem x JOIN mem y ON x.rep = y.rep AND x.mid < y.mid
+              JOIN sz s ON s.id = x.rep
+              WHERE 1.0 >= $JaccardThreshold)
+    SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+           CAST(sz_a AS BIGINT) AS sz_a, CAST(sz_b AS BIGINT) AS sz_b,
+           jaccard
+    FROM (SELECT * FROM xp UNION ALL SELECT * FROM intra)
+    ORDER BY id_a, id_b"""
 
   /** TF-IDF top terms per document. The idf factor is the exact rational
     * N/df (score = tf·N/df with ONE float division) instead of a log —
