@@ -197,7 +197,21 @@ object DedupOps {
   private def contractExpand(df: DataFrame, idCol: String, textCol: String,
                              threshold: Double,
                              shingler: DataFrame => DataFrame,
-                             bands: Int, rows: Int): DataFrame = {
+                             bands: Int, rows: Int): DataFrame =
+    contractExpandWith(df, idCol, textCol, threshold, shingler,
+      sh => nearDupsOnShingles(sh, bands, rows, threshold))
+
+  /** [[contractExpand]] generalized over the rep-level pair pipeline: any
+    * `pairsOnShingles` producing (id_a, id_b, inter, sz_a, sz_b, jaccard)
+    * whose output is a pure function of each doc's shingle SET composes
+    * with the contraction — the identical-text argument in the doc above
+    * never mentions MinHash, only shingle-set identity. Used by both the
+    * banded MinHash pipeline and the exact PPJoin n-gram join. */
+  private def contractExpandWith(df: DataFrame, idCol: String,
+                                 textCol: String, threshold: Double,
+                                 shingler: DataFrame => DataFrame,
+                                 pairsOnShingles: DataFrame => DataFrame)
+      : DataFrame = {
     // Adaptive skip: the contraction is a pure performance device — the
     // direct pipeline is ALWAYS output-identical (identical texts have
     // identical shingle sets → identical signatures → the band join pairs
@@ -222,7 +236,7 @@ object DedupOps {
     // contract when uniques ≤ 2/3 of docs (≥ ~1/3 exact-dup mass — the
     // crawl-scale regime the contraction exists for)
     if (uniq * 3L > total * 2L)
-      return nearDupsOnShingles(shingler(df).phaseCut, bands, rows, threshold)
+      return pairsOnShingles(shingler(df).phaseCut)
 
     // membership (mid, rep): digest join-back against the aggregate — two
     // narrow shuffles on the 16-byte digest, never on the full text
@@ -231,7 +245,7 @@ object DedupOps {
     val repDocs = df.join(m.where(col("mid") === col("rep")).select("mid"),
       col(idCol) === col("mid")).drop("mid")
     val sh = shingler(repDocs).phaseCut
-    val repPairs = nearDupsOnShingles(sh, bands, rows, threshold)
+    val repPairs = pairsOnShingles(sh)
     // single consumer (the intra arm) over the cut `sh` leaf — no cut
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("rsz"))
 
@@ -477,6 +491,19 @@ object DedupOps {
     * Cache ownership: the shingle/prefix checkpoints are released before
     * returning; the (tiny) pair result is lineage-cut so the release
     * cannot invalidate it, and its blocks are ContextCleaner-reclaimed. */
+  /** [[ngramJaccardNearDups]] behind the exact-duplicate contraction
+    * (adaptive, output-identical — see [[contractExpandWith]]): on a
+    * replicated/crawl-shaped corpus the PPJoin posting lists otherwise
+    * carry every copy, multiplying candidate pairs by copies² (measured
+    * 118 s vs ~10 s at sf1's 10-copy corpus). Word-3-gram shingles, the
+    * declared-query default. */
+  def ngramJaccardNearDupsContracted(df: DataFrame, idCol: String,
+                                     textCol: String,
+                                     threshold: Double): DataFrame =
+    contractExpandWith(df, idCol, textCol, threshold,
+      d => wordShingleHashes(d, idCol, textCol),
+      sh => ngramJaccardNearDups(sh, threshold))
+
   def ngramJaccardNearDups(shingles: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     // integer threshold arithmetic (t·|d| via ⌊sz·num/100⌋) so the prefix

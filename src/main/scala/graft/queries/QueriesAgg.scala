@@ -893,10 +893,13 @@ object QueriesAgg {
         count(lit(1)).as("n_rows"),
         approx_count_distinct(col("l_partkey")).as("approx_nd"),
         approx_percentile(col("l_quantity"), lit(0.5), lit(1000)).as("amed"),
-        approx_percentile(col("l_quantity"), lit(0.40), lit(10000))
-          .as("qlo"),
-        approx_percentile(col("l_quantity"), lit(0.60), lit(10000))
-          .as("qhi"))
+        // one summaries object serves both bounds (array form) — two
+        // scalar calls would build and merge the sketch twice
+        approx_percentile(col("l_quantity"), array(lit(0.40), lit(0.60)),
+          lit(10000)).as("qb"))
+      .withColumn("qlo", element_at(col("qb"), 1))
+      .withColumn("qhi", element_at(col("qb"), 2))
+      .drop("qb")
     val exact = li.groupBy("l_returnflag")
       .agg(countDistinct(col("l_partkey")).as("exact_nd_part"))
     sketches.join(exact, Seq("l_returnflag"))

@@ -321,9 +321,8 @@ object QueriesText {
     * shingle, exact Jaccard ≥ t — so a prefix-filter bug that dropped a
     * true pair would hash-mismatch. */
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    DedupOps.ngramJaccardNearDups(
-        DedupOps.wordShingleHashes(Tables.documents(spark, dir), "doc_id", "text"),
-        JaccardThreshold)
+    DedupOps.ngramJaccardNearDupsContracted(
+        Tables.documents(spark, dir), "doc_id", "text", JaccardThreshold)
       .orderBy("id_a", "id_b")
 
   /** The oracle applies the same exact-duplicate contraction the engine's
