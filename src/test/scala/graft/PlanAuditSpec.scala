@@ -44,6 +44,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(fin.contains("BroadcastHashJoin"), fin)
   }
 
+  test("q_approx_sketch: exact distinct is NOT co-grouped with the sketch buffers") {
+    // merging countDistinct back into the sketch aggregation makes Spark's
+    // distinct-rewrite key every non-distinct partial by (group,
+    // distinct-col) — an HLL + quantile summaries PER PART KEY, the OOM
+    // the sf10 sweep caught. The split form joins two aggregates on the
+    // tiny group key: the plan must contain that join.
+    val p = plan("q_approx_sketch")
+    assert(p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_qcut: quartile edges come from the counting-sort plan, not percentile buffers") {
+    // the exact percentile() aggregate buffers every group value in
+    // executor memory (same OOM class); the counting-sort edge plan shows
+    // up as window-ranked domain aggregates and NO percentile call
+    val p = plan("q_qcut")
+    assert(!p.toLowerCase.contains("percentile"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_dup_spans: one gram exchange (min≠max doc-frequency agg), windows per doc") {
     val p = plan("q_dup_spans")
     // dup-gram detection must stay a single map-side-combined hash-agg on
