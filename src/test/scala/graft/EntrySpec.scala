@@ -29,7 +29,10 @@ class EntrySpec extends SparkSpec {
       "q_dedup_clusters", "q_normalize", "q_embed_lsh_probe",
       "q_asof_dir", "q_datetime", "q_rollup", "q_corr", "q_embed_ivf_probe",
       "q_funnel", "q_repetition", "q_bm25", "q_minhash_est", "q_blocklist",
-      "q_mix", "q_ewma", "q_editdist", "q_hist", "q_ann_recall")
+      "q_mix", "q_ewma", "q_editdist", "q_hist", "q_ann_recall",
+      "q_ngram_jaccard", "q_approx_sketch", "q_audio_meta", "q_video_frames",
+      "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
+      "q_bootstrap_ci", "q_attribution", "q_sessionize", "q_dau_wau")
     val missing = mustHave.filterNot(qs.contains)
     assert(missing.isEmpty, s"missing: $missing")
   }
