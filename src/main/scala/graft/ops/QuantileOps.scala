@@ -102,4 +102,96 @@ object QuantileOps {
                     as: String = "median"): DataFrame =
     groupedQuantiles(df, keys, value, Seq(0.5))
       .select((keys.map(col) :+ col("linear").as(as)): _*)
+
+  /** Global equal-frequency cut edges over a (bounded-domain) integral
+    * measure — the distributed replacement for a fact-grain
+    * `ntile(bins).over(Window.orderBy(...))`, which funnels the whole
+    * relation through ONE task's sort (the scale-killer plan class the
+    * round-9 verdict names). Same counting-sort shape as
+    * [[groupedQuantiles]] — one parallel hash-agg to the distinct-value
+    * domain, a cumulative window over the DOMAIN (never the fact), and a
+    * broadcast range-probe — but the edge rule is pure INTEGER rank
+    * arithmetic, no interpolation:
+    *
+    *   edge_k = the domain value occupying 0-based rank
+    *            `(k·(n−1)) div bins`,  k = 1 … bins−1
+    *
+    * i.e. the "lower" quantile at k/bins. `k·(n−1)` and the floor
+    * division are exact Long ops, so an ANSI-SQL oracle reproduces the
+    * edges bit-for-bit — unlike interpolated decile fractions, where
+    * `0.1·(n−1)` is not representable and engines may disagree in the
+    * last ulp. Binning by `v > edge_k` then puts TIED values in one bin
+    * (qcut semantics; ntile would split them arbitrarily).
+    *
+    * Scale shape: the only serial step is the cumulative window over the
+    * distinct-value domain, so callers must hand in a measure whose
+    * domain is bounded by its RESOLUTION, not the row count (scores
+    * quantized to ppm ≤ 1e6+1 values; day counts; integer dollars) —
+    * then the single-task stage is O(domain) = constant in data size,
+    * exactly like the reference's counting-sort `groupsort_indexer`
+    * (`/root/reference/src/algos.rs:64-90`).
+    *
+    * Returns ONE row with columns `{prefix}1 … {prefix}{bins−1}` (Long),
+    * null-valued when the input is empty — broadcast it onto the fact
+    * with a crossJoin and bin via [[ascBin]]. */
+  def rankEdges(df: DataFrame, value: String, bins: Int,
+                prefix: String = "e"): DataFrame = {
+    require(bins >= 2, s"need at least 2 bins, got $bins")
+    val v = col(value)
+    val dom = df.filter(v.isNotNull)
+      .groupBy(v.cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.orderBy(col("__v"))
+    val ranked = dom
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__prev", col("__cum") - col("__c"))
+    val spine = dom.agg(sum(col("__c")).as("__n"))
+      .withColumn("k", explode(array((1 until bins).map(lit): _*)))
+      .withColumn("__idx", expr(s"k * (__n - 1) div $bins"))
+    // bins−1 target rows probe the domain: broadcast-range scan of
+    // O(domain·bins) comparisons, all distributed
+    val hits = spine.join(ranked,
+      col("__prev") <= col("__idx") && col("__idx") < col("__cum"))
+    val pivots = (1 until bins).map(k =>
+      max(when(col("k") === k, col("__v"))).as(s"$prefix$k"))
+    hits.groupBy().agg(pivots.head, pivots.tail: _*)
+  }
+
+  /** Ascending equal-frequency bin for a row given [[rankEdges]] columns
+    * in scope: bin = 1 + #{k : v > edge_k} ∈ [1, bins]. Ties share a bin
+    * in every engine — no per-row ordering is ever needed. */
+  def ascBin(v: org.apache.spark.sql.Column, bins: Int,
+             prefix: String = "e"): org.apache.spark.sql.Column =
+    (1 until bins).foldLeft(lit(1)) { (acc, k) =>
+      acc + when(v > col(s"$prefix$k"), 1).otherwise(0)
+    }
+
+  /** ANSI-SQL CTE block reproducing [[rankEdges]] for the DuckDB oracle —
+    * same integer rank arithmetic (`(k·(n−1)) div bins` as `//`), so the
+    * edges are exact in both engines. Emits CTE bodies (caller splices
+    * them after its own CTEs): `{p}dom`, `{p}r`, `{p}n`, `{p}ks`, and the
+    * one-row `{p}e` holding `{p}1 … {p}{bins−1}`. Intermediate sums are
+    * cast to BIGINT (DuckDB sum(BIGINT) is HUGEINT). */
+  def rankEdgesSql(src: String, valueExpr: String, bins: Int,
+                   prefix: String): String = {
+    val p = prefix
+    val pivots = (1 until bins)
+      .map(k => s"max(CASE WHEN k = $k THEN v END) $p$k").mkString(", ")
+    s"""${p}dom AS (SELECT $valueExpr v, count(*) c FROM $src
+                WHERE $valueExpr IS NOT NULL GROUP BY 1),
+    ${p}r AS (SELECT v, c, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) cum
+              FROM ${p}dom),
+    ${p}n AS (SELECT CAST(sum(c) AS BIGINT) n FROM ${p}dom),
+    ${p}ks AS (SELECT unnest(range(1, $bins)) k),
+    ${p}e AS (SELECT $pivots
+              FROM ${p}r, ${p}n, ${p}ks
+              WHERE (k * (n - 1)) // $bins >= cum - c
+                AND (k * (n - 1)) // $bins < cum)"""
+  }
+
+  /** SQL twin of [[ascBin]]: `1 + Σ CASE WHEN v > {p}k THEN 1 END`. */
+  def ascBinSql(valueExpr: String, bins: Int, prefix: String): String =
+    (1 until bins)
+      .map(k => s"CASE WHEN $valueExpr > $prefix$k THEN 1 ELSE 0 END")
+      .mkString("(1 + ", " + ", ")")
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.ops.Phase._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -68,46 +69,71 @@ object QueriesBehav {
     FROM w GROUP BY channel ORDER BY channel"""
 
   /** RFM segmentation (recency / frequency / monetary quintiles): one
-    * order-grain agg per customer, then three ntile(5) rankings over the
-    * (customer-grain, much smaller) aggregate with full deterministic
-    * tiebreaks, composed into the classic 3-digit RFM score and rolled up
-    * to score-level counts. The unpartitioned ntile windows run at
-    * customer grain — at 100 TB that is still fact/50× smaller; the
-    * scale-out alternative (two-phase quantile cut, QuantileOps) applies
-    * when customers themselves explode. */
+    * order-grain agg per customer, then three quintile assignments
+    * composed into the classic 3-digit RFM score and rolled up to
+    * score-level counts.
+    *
+    * Quintile semantics (round 10): the counting-sort rank-edge cut
+    * ([[graft.ops.QuantileOps.rankEdges]]) per measure, NOT `ntile(5)` —
+    * three unpartitioned ntile windows each funnel the whole customer
+    * relation through one task's sort, the scale-killer plan class the
+    * r9 verdict flags. Each measure's value DOMAIN is bounded by its
+    * resolution, not the customer count: rec_days (days since anchor,
+    * thousands), freq (orders per customer, tens), and monetary rounded
+    * to whole dollars (`mon_c div 100`, bounded by the price range) — so
+    * the only serial step is O(domain), constant in data size. Tied
+    * customers share a quintile (no doc_id tiebreak splitting equal
+    * values across tiles); directions preserved: recency smaller =
+    * better = quintile 5, freq/monetary bigger = better = quintile 5. */
   def qRfm(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.QuantileOps.{ascBin, rankEdges}
     val anchor = to_date(lit("2002-01-01"))
     val perCust = Tables.orders(spark, dir)
       .groupBy("o_custkey")
       .agg(datediff(anchor, max(to_date(col("o_orderdate")))).as("rec_days"),
         count(lit(1)).as("freq"),
         sum(round(col("o_totalprice") * 100).cast("long")).as("mon_c"))
-    // recency: smaller = better = higher quintile; freq/mon: bigger = better
-    val r = ntile(5).over(Window.orderBy(col("rec_days").desc, col("o_custkey")))
-    val f = ntile(5).over(Window.orderBy(col("freq"), col("o_custkey")))
-    val m = ntile(5).over(Window.orderBy(col("mon_c"), col("o_custkey")))
+      .withColumn("mon_d", expr("mon_c div 100"))
+      // four consumers (three edge computations + binning) → phase-cut:
+      // one orders scan + agg, not four
+      .phaseCut
+    val re = rankEdges(perCust, "rec_days", 5, "re")
+    val fe = rankEdges(perCust, "freq", 5, "fe")
+    val me = rankEdges(perCust, "mon_d", 5, "me")
+    val r = lit(6) - ascBin(col("rec_days"), 5, "re")
+    val f = ascBin(col("freq"), 5, "fe")
+    val m = ascBin(col("mon_d"), 5, "me")
     perCust
+      .crossJoin(broadcast(re)).crossJoin(broadcast(fe))
+      .crossJoin(broadcast(me))
       .select(col("o_custkey"), (r * 100 + f * 10 + m).as("rfm_score"))
       .groupBy("rfm_score")
       .agg(count(lit(1)).as("n_cust"), min("o_custkey").as("min_cust"))
       .orderBy("rfm_score")
   }
 
-  val qRfmOracle: String = """
+  val qRfmOracle: String = {
+    import graft.ops.QuantileOps.{ascBinSql, rankEdgesSql}
+    s"""
     WITH pc AS (SELECT o_custkey,
                        datediff('day', max(CAST(o_orderdate AS DATE)),
                                 DATE '2002-01-01') rec_days,
                        count(*) freq,
-                       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) mon_c
+                       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) mon_c,
+                       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) // 100 mon_d
                 FROM orders GROUP BY 1),
+    ${rankEdgesSql("pc", "rec_days", 5, "re")},
+    ${rankEdgesSql("pc", "freq", 5, "fe")},
+    ${rankEdgesSql("pc", "mon_d", 5, "me")},
     t AS (SELECT o_custkey,
-                 ntile(5) OVER (ORDER BY rec_days DESC, o_custkey) r,
-                 ntile(5) OVER (ORDER BY freq, o_custkey) f,
-                 ntile(5) OVER (ORDER BY mon_c, o_custkey) m
-          FROM pc)
+                 6 - ${ascBinSql("rec_days", 5, "re")} r,
+                 ${ascBinSql("freq", 5, "fe")} f,
+                 ${ascBinSql("mon_d", 5, "me")} m
+          FROM pc, ree, fee, mee)
     SELECT CAST(r*100 + f*10 + m AS INT) AS rfm_score, count(*) n_cust,
            min(o_custkey) min_cust
     FROM t GROUP BY 1 ORDER BY 1"""
+  }
 
   /** Gaps-and-islands: consecutive-active-day streaks per user. Distinct
     * (user, day) pairs once; the island id is the classic

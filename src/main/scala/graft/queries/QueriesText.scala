@@ -1679,12 +1679,19 @@ object QueriesText {
     FROM d GROUP BY source ORDER BY source"""
   }
 
-  /** Quality-vs-token-budget curve: rank documents by quality (exact
-    * score, doc_id tiebreak), split into quality deciles, and report each
-    * decile's token mass plus the running total — the curve that answers
-    * "which quality cutoff fits an N-token budget". The ntile runs at
-    * document grain (like q_rfm: the two-phase quantile cut is the path
-    * when doc COUNT itself outgrows a sort). */
+  /** Quality-vs-token-budget curve: split documents into quality deciles
+    * and report each decile's token mass plus the running total — the
+    * curve that answers "which quality cutoff fits an N-token budget".
+    *
+    * Decile semantics (round 10 — the last scale-killer plan class from
+    * the r9 verdict): NOT `ntile(10)` — that is a single-task global sort
+    * of the whole document table — but the counting-sort rank-edge cut
+    * ([[graft.ops.QuantileOps.rankEdges]]) over the score quantized to
+    * ppm (`round(q·1e6)` ≤ 1e6+1 distinct values, so the only serial step
+    * is O(1e6) regardless of corpus size). Ties — docs with the same
+    * ppm-resolution score — land in ONE decile (qcut semantics) instead
+    * of being split arbitrarily by doc_id, so deciles are equal-frequency
+    * up to tie mass. Decile 1 = highest quality, as before. */
   def qQualityCurve(spark: SparkSession, dir: String): DataFrame = {
     val wc    = graft.functions.TextFunctions.wordCount(col("text"))
     val awl   = length(translate(col("text"), " ", "")).cast("double") /
@@ -1694,11 +1701,16 @@ object QueriesText {
     val score = least(lit(1.0), wc.cast("double") / 100.0) * 0.5 +
       (lit(1.0) - least(lit(1.0), abs(awl - 4.5) / 4.5)) * 0.3 +
       least(lit(1.0), stopr * 5.0) * 0.2
-    val ranked = Tables.documents(spark, dir)
-      .select(col("doc_id"), wc.as("toks"), score.as("q"))
-      .withColumn("decile", ntile(10).over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("q").desc, col("doc_id"))))
+    // two consumers (edge computation + binning) → phase-cut so the text
+    // scoring pipeline runs once, not once per branch
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), wc.as("toks"), score.as("q"),
+        round(score * 1e6).cast("long").as("qs"))
+      .phaseCut
+    val edges = graft.ops.QuantileOps.rankEdges(d, "qs", 10)
+    val ranked = d.crossJoin(broadcast(edges))
+      .withColumn("decile",
+        lit(11) - graft.ops.QuantileOps.ascBin(col("qs"), 10))
     val w = org.apache.spark.sql.expressions.Window.orderBy("decile")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     ranked.groupBy("decile")
@@ -1714,8 +1726,13 @@ object QueriesText {
     val stopr = s"(CAST(${Stopwords.map(occSql).mkString("(", " + ", ")")} AS DOUBLE) / CAST($wc AS DOUBLE))"
     val score = s"(least(1.0, CAST($wc AS DOUBLE) / 100.0) * 0.5 + (1.0 - least(1.0, abs($awl - 4.5) / 4.5)) * 0.3 + least(1.0, $stopr * 5.0) * 0.2)"
     s"""
-    WITH d AS (SELECT doc_id, $wc toks, $score q FROM documents),
-    r AS (SELECT *, ntile(10) OVER (ORDER BY q DESC, doc_id) decile FROM d),
+    WITH d AS (SELECT doc_id, $wc toks, $score q,
+                      CAST(round($score * 1000000) AS BIGINT) qs
+               FROM documents),
+    ${graft.ops.QuantileOps.rankEdgesSql("d", "qs", 10, "e")},
+    r AS (SELECT d.*, 11 - ${graft.ops.QuantileOps.ascBinSql("qs", 10, "e")}
+                 AS decile
+          FROM d, ee),
     g AS (SELECT decile, count(*) n_docs, CAST(sum(toks) AS BIGINT) n_tokens,
                  min(q) min_quality
           FROM r GROUP BY 1)
@@ -1729,9 +1746,10 @@ object QueriesText {
     * documents by the quality score as the "model score" with lang='en'
     * membership as the "label", split into score deciles, and report each
     * decile's positives, cumulative capture (ppm of all positives), and
-    * lift vs the base rate in exact milli. All ratios integer-exact; the
-    * ntile runs at doc grain like q_rfm/q_quality_curve (two-phase cut is
-    * the documented path when doc count outgrows a sort). */
+    * lift vs the base rate in exact milli. All ratios integer-exact.
+    * Deciles use the same counting-sort rank-edge cut as q_quality_curve
+    * (ppm-quantized score, ties share a decile, decile 1 = top scores) —
+    * never a fact-grain single-task `ntile` sort. */
   def qDecileLift(spark: SparkSession, dir: String): DataFrame = {
     val wc    = graft.functions.TextFunctions.wordCount(col("text"))
     val awl   = length(translate(col("text"), " ", "")).cast("double") /
@@ -1741,12 +1759,16 @@ object QueriesText {
     val score = least(lit(1.0), wc.cast("double") / 100.0) * 0.5 +
       (lit(1.0) - least(lit(1.0), abs(awl - 4.5) / 4.5)) * 0.3 +
       least(lit(1.0), stopr * 5.0) * 0.2
-    val ranked = Tables.documents(spark, dir)
+    // two consumers (edge computation + binning) → phase-cut, as in
+    // qQualityCurve
+    val d = Tables.documents(spark, dir)
       .select(col("doc_id"), (col("lang") === "en").cast("long").as("pos"),
-        score.as("q"))
-      .withColumn("decile", ntile(10).over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("q").desc, col("doc_id"))))
+        round(score * 1e6).cast("long").as("qs"))
+      .phaseCut
+    val edges = graft.ops.QuantileOps.rankEdges(d, "qs", 10)
+    val ranked = d.crossJoin(broadcast(edges))
+      .withColumn("decile",
+        lit(11) - graft.ops.QuantileOps.ascBin(col("qs"), 10))
     val byDecile = ranked.groupBy("decile")
       .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"))
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
@@ -1770,8 +1792,12 @@ object QueriesText {
     s"""
     WITH d AS (SELECT doc_id,
                       CASE WHEN lang = 'en' THEN 1 ELSE 0 END pos,
-                      $score q FROM documents),
-    r AS (SELECT *, ntile(10) OVER (ORDER BY q DESC, doc_id) decile FROM d),
+                      CAST(round($score * 1000000) AS BIGINT) qs
+               FROM documents),
+    ${graft.ops.QuantileOps.rankEdgesSql("d", "qs", 10, "e")},
+    r AS (SELECT d.*, 11 - ${graft.ops.QuantileOps.ascBinSql("qs", 10, "e")}
+                 AS decile
+          FROM d, ee),
     g AS (SELECT decile, count(*) n, CAST(sum(pos) AS BIGINT) n_pos
           FROM r GROUP BY 1),
     t AS (SELECT *, CAST(sum(n) OVER () AS BIGINT) tot,

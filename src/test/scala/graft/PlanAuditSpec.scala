@@ -414,4 +414,25 @@ class PlanAuditSpec extends SparkSpec {
     val cm = plan("q_corr_matrix")
     assert(count(cm, "FileScan") == 1 && !cm.contains("Join"), cm)
   }
+
+  test("pack R: decile/quintile queries use the rank-edge cut — no fact-grain ntile sort") {
+    // round-10 lock on the last scale-killer plan class (r9 verdict #1):
+    // q_decile_lift / q_quality_curve / q_rfm must never assign tiles via
+    // `ntile().over(Window.orderBy(...))` at fact grain — that funnels the
+    // whole doc/customer relation through ONE task's sort. With the
+    // counting-sort rank-edge cut, every SinglePartition exchange left in
+    // the plan is fed DIRECTLY by a HashAggregate (the bounded value
+    // domain or the ≤10-row tile rollup), never by row-grain data.
+    Seq("q_decile_lift", "q_quality_curve", "q_rfm").foreach { q =>
+      val p = plan(q)
+      assert(!p.toLowerCase.contains("ntile"), s"$q reintroduced ntile:\n$p")
+      val lines = p.linesIterator.toVector
+      val sps = lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+      assert(sps.nonEmpty, s"$q: expected the bounded-domain window:\n$p")
+      sps.foreach { case (_, i) =>
+        assert(lines(i + 1).contains("HashAggregate"),
+          s"$q: SinglePartition exchange over non-aggregated input:\n$p")
+      }
+    }
+  }
 }

@@ -82,4 +82,43 @@ class QuantileSpec extends SparkSpec {
     val m = QuantileOps.groupedMedian(df, Seq("g"), "v").collect().head.getDouble(1)
     assert(m == 6.0)
   }
+
+  /** Independent reference for the round-10 rank-edge cut: edge_k = sorted
+    * value at 0-based rank (k·(n−1)) div bins, bin = 1 + #{k : v > e_k}. */
+  private def expectedBins(vals: Seq[Long], bins: Int): Map[Long, Int] = {
+    val sorted = vals.sorted
+    val n      = sorted.size.toLong
+    val edges  = (1 until bins).map(k => sorted(((k * (n - 1)) / bins).toInt))
+    vals.map(v => v -> (1 + edges.count(v > _))).toMap
+  }
+
+  test("rankEdges + ascBin reproduce the integer-rank cut, ties share a bin") {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    // skewed + tied values: 40% mass on one value exercises tie collapse
+    val rnd  = new scala.util.Random(7)
+    val vals = Seq.fill(500)(if (rnd.nextInt(5) < 2) 42L else rnd.nextInt(200).toLong)
+    val df   = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    Seq(2, 5, 10).foreach { bins =>
+      val exp = expectedBins(vals, bins)
+      val got = df.crossJoin(broadcast(QuantileOps.rankEdges(df, "v", bins)))
+        .select(col("id"), QuantileOps.ascBin(col("v"), bins).as("bin"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      vals.zipWithIndex.foreach { case (v, i) =>
+        assert(got(i.toLong) == exp(v), s"bins=$bins id=$i v=$v")
+      }
+      // every tied value maps to exactly one bin by construction, and bins
+      // are equal-frequency up to tie mass: monotone in v
+      val byV = vals.zipWithIndex.groupBy(_._1)
+        .map { case (v, xs) => v -> xs.map(x => got(x._2.toLong)).distinct }
+      assert(byV.values.forall(_.size == 1))
+      val sortedBins = byV.toSeq.sortBy(_._1).map(_._2.head)
+      assert(sortedBins == sortedBins.sorted)
+    }
+  }
+
+  test("rankEdges on empty input yields null edges") {
+    val df = Seq.empty[(Long, Long)].toDF("id", "v")
+    val row = QuantileOps.rankEdges(df, "v", 4).collect().head
+    assert((0 until 3).forall(row.isNullAt))
+  }
 }
