@@ -55,6 +55,13 @@ object Bench {
     // attributed to run-to-run variance vs a genuine plan/code drift
     // without rerunning (the box shows documented 2-3x co-tenant noise).
     val samples = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    // Per-phase wall times for the multi-phase LSH pipeline (verdict r9
+    // item 6): each labeled Phase.cut reports its eager-materialization
+    // time; the LAST timed run's labels are kept (steady-state, after the
+    // C2 warm runs), and the un-cut remainder (band join + estimate filter
+    // + exact rerank, executed by the final job) is derived from that
+    // run's total so the map accounts for the whole query.
+    val phases = scala.collection.mutable.LinkedHashMap[String, Double]()
     selected.foreach { name =>
       // best-of-3 with a GC fence per query: the heavy text pipelines
       // (md5 shingling + 16-way minhash) take 2-3 executions of the
@@ -65,7 +72,16 @@ object Bench {
       results(name) =
         try {
           System.gc()
-          val runs = (1 to 3).map(_ => time(noop(queries(name)(spark, sfDir))))
+          val collectPhases = name == "q_neardup_lsh"
+          val runs = (1 to 3).map { _ =>
+            if (collectPhases) graft.ops.Phase.startTimings()
+            time(noop(queries(name)(spark, sfDir)))
+          }
+          if (collectPhases) {
+            val cuts = graft.ops.Phase.drainTimings()
+            cuts.foreach { case (l, s) => phases(l) = s }
+            phases("rerank_and_rest") = runs.last - cuts.map(_._2).sum
+          }
           samples(name) = runs
           runs.min
         } catch { case _: Throwable => -1.0 }
@@ -90,16 +106,23 @@ object Bench {
     val ss = samples.map { case (k, vs) =>
       "\"" + k + "\":" + vs.map(v => f"$v%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val ph = phases.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("""{"q_neardup_lsh":{""", ",", "}}")
     val total = results.values.filter(_ >= 0).sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$ss,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$ss,"phases":$ph,"sf":"$sfDir"}"""
     println(line)
     // Belt-and-suspenders for the driver's `parsed` field: even if a log
     // wrapper prefixes stdout, the bare JSON line is always on disk.
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_last.json"),
       (line + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => }
+    catch {
+      // NonFatal only — an OOM/VM error must not be masked here — and a
+      // visible one-liner so a missing file is diagnosable (ADVICE r9)
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft] bench_last.json write failed: $e")
+    }
     spark.stop()
   }
 }

@@ -42,6 +42,25 @@ object DedupProbe {
     best3("candidates")(cand)
     best3("full_q_neardup_lsh")(
       SparkEntry.queries("q_neardup_lsh")(spark, sfDir))
+
+    // Cap-cost isolation (r9 bench watch item): candidates from CUT
+    // signatures — the shape the real query runs — with the hot-bucket
+    // cap vs the raw band self-join, plus the capped plan's reuse audit.
+    import graft.ops.Phase._
+    val sigsCut = sigs.phaseCut
+    def rawCand = {
+      val banded = DedupOps.bandedKeys(sigsCut, Bands, Rows)
+      banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+        .distinct()
+    }
+    best3("cand_capped_cutsigs")(DedupOps.lshCandidates(sigsCut, Bands, Rows))
+    best3("cand_uncapped_cutsigs")(rawCand)
+    val cdf = DedupOps.lshCandidates(sigsCut, Bands, Rows)
+    noop(cdf)
+    println(cdf.queryExecution.executedPlan.toString)
     spark.stop()
   }
 }

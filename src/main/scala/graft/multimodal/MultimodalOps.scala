@@ -210,6 +210,11 @@ object MultimodalOps {
       val cm = grayPalette
       val writer =
         javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      // release codec natives when the task ends (reset() per clip only
+      // returns the instance to a reusable state — ADVICE r9); the
+      // listener covers both exhaustion and task failure
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => writer.dispose()))
       ids.map { id =>
         val (nf, w, h) = (synthNFrames(id), synthVW(id), synthVH(id))
         val bos = new java.io.ByteArrayOutputStream()
@@ -257,6 +262,9 @@ object MultimodalOps {
       // the registry lookup out of the row loop)
       val reader =
         javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      // dispose on task completion, mirroring the writer side
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => reader.dispose()))
       rows.flatMap { r =>
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(r.payload))

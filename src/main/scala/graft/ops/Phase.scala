@@ -37,11 +37,41 @@ object Phase {
   // value can't be string-compared to the config — track what we last set.
   @volatile private var appliedDir: String = null
 
+  // ---- per-run phase timing (bench attribution) -------------------------
+  // A labeled cut records its eager-materialization wall time here while a
+  // harness (Bench, DedupProbe) has collection switched on. Off by default:
+  // zero overhead on the normal path, and single-JVM by design (the bench
+  // and dev probes run local) — this is diagnostic plumbing, not a metric
+  // system. Lets BENCH_r{N}.json carry a per-phase map so a regression in
+  // one pipeline stage is attributable from the artifact alone (r9 verdict
+  // item 6: the q_neardup_lsh +46% took a plan dump to diagnose).
+  private val timings =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]
+  @volatile private var collecting = false
+
+  /** Begin collecting labeled phase timings (clears previous). */
+  def startTimings(): Unit = { timings.clear(); collecting = true }
+
+  /** Stop collecting and return (label, seconds) in record order. */
+  def drainTimings(): Seq[(String, Double)] = {
+    collecting = false
+    val out = scala.jdk.CollectionConverters.IteratorHasAsScala(
+      timings.iterator).asScala.toVector
+    timings.clear()
+    out
+  }
+
+  /** Record an externally-timed phase (e.g. a driver-side stats action). */
+  def record(label: String, sec: Double): Unit =
+    if (collecting) timings.add(label -> sec)
+
   /** Materialize `df` and cut its lineage, durably when
     * `spark.graft.checkpointDir` is set (reliable checkpoint), in
-    * executor storage otherwise (local checkpoint). */
-  def cut(df: DataFrame): DataFrame =
-    df.sparkSession.conf.getOption(ConfKey).filter(_.nonEmpty) match {
+    * executor storage otherwise (local checkpoint). A non-null `label`
+    * reports the materialization time to the phase-timing collector. */
+  def cut(df: DataFrame, label: String = null): DataFrame = {
+    val t0 = System.nanoTime()
+    val out = df.sparkSession.conf.getOption(ConfKey).filter(_.nonEmpty) match {
       case Some(dir) =>
         if (appliedDir != dir) synchronized {
           if (appliedDir != dir) {
@@ -53,10 +83,14 @@ object Phase {
       case None =>
         df.localCheckpoint(eager = true)
     }
+    if (label != null) record(label, (System.nanoTime() - t0) / 1e9)
+    out
+  }
 
   /** `.phaseCut` syntax for [[cut]]. */
   implicit class PhaseSyntax(private val df: DataFrame) extends AnyVal {
     def phaseCut: DataFrame = Phase.cut(df)
+    def phaseCutAs(label: String): DataFrame = Phase.cut(df, label)
   }
 
   /** Widen `df` to full parallelism BEFORE a row-multiplying stage

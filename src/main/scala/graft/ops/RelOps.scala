@@ -206,8 +206,17 @@ object RelOps {
     // rows). When the probe IS reduced to bare keys — or carries a
     // high-entropy row id — pass that distinguishing column explicitly
     // via `saltCols`.
+    // recursive: a map nested in an array/struct fails xxhash64 analysis
+    // just like a top-level one (ADVICE r9)
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType    => true
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: ArrayType  => hasMap(a.elementType)
+      case _             => false
+    }
     val defaultSalt = probe.schema.fields
-      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .filterNot(f => hasMap(f.dataType))
       .map(f => col(f.name)).toSeq
     val src = if (saltCols.nonEmpty) saltCols else defaultSalt
     require(src.nonEmpty, "saltedJoin: no hashable salt source columns")

@@ -83,6 +83,17 @@ class ScaleOpsSpec extends SparkSpec {
     assert(plan.contains("Generate"), plan)
   }
 
+  test("saltedJoin default salt skips NESTED map columns (array<map>, struct with map)") {
+    // xxhash64 rejects MapType anywhere in the type tree at analysis, not
+    // just top-level — the default salt must filter recursively (ADVICE r9)
+    val probe = Seq((1L, 10L)).toDF("k", "pv")
+      .withColumn("am", array(map(lit("a"), lit(1))))
+      .withColumn("sm", struct(map(lit("b"), lit(2)).as("m")))
+    val build = Seq((1L, "b")).toDF("k", "bv")
+    val out = RelOps.saltedJoin(probe, build, Seq("k"), 4).collect()
+    assert(out.length == 1 && out.head.getAs[String]("bv") == "b")
+  }
+
   test("saltedJoin rejects buckets < 1 instead of silently returning empty") {
     // buckets=0 used to make pmod(x, 0) = NULL probe salts: inner join
     // silently empty, left join all-NULL build columns
