@@ -74,6 +74,50 @@ object QueriesTime {
       .select("user_id", "session_start", "n", "sum_value")
       .orderBy("user_id", "session_start")
 
+  /** Watermark delay for the append-mode streaming session gate. */
+  val StreamWatermark = "2 hours"
+
+  /** Session windows in PRODUCTION streaming mode: `withWatermark` +
+    * append output through the real engine ([[StreamOps
+    * .sessionViaStreamAppend]]) — the r9 verdict's remaining streaming
+    * gap. The emitted rows are exactly the sessions the watermark closed:
+    * end-of-input watermark = max(ts) floored to ms (Spark tracks event
+    * time in milliseconds) minus the 2-hour delay, and a session is
+    * final when `last event + gap < watermark`. Sessions still open at
+    * that horizon stay in state (withheld), so the oracle filters the
+    * batch sessionization to the same closed set — every emitted row is
+    * checked, and the withheld tail is exactly the final-2h+gap window. */
+  def qStreamSessionAppend(spark: SparkSession, dir: String): DataFrame =
+    StreamOps.sessionViaStreamAppend(spark,
+        Tables.events(spark, dir)
+          .withColumn("c", round(col("value") * 100).cast("long")),
+        "ts", "30 minutes", StreamWatermark, Seq(col("user_id")),
+        Seq(count(lit(1)).as("n"),
+          (sum(col("c")).cast("double") / 100.0).as("sum_value")))
+      .select("user_id", "session_start", "n", "sum_value")
+      .orderBy("user_id", "session_start")
+
+  val qStreamSessionAppendOracle: String = """
+    WITH o AS (
+      SELECT user_id, ts, CAST(round(value*100) AS BIGINT) c,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END newsess
+      FROM events),
+    s AS (SELECT *, sum(newsess) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) sid
+          FROM o),
+    g AS (SELECT user_id, min(ts) st, max(ts) et, count(*) n,
+                 CAST(sum(c) AS BIGINT) sc
+          FROM s GROUP BY user_id, sid),
+    wm AS (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL '2 hours' w
+           FROM events)
+    SELECT user_id, CAST(floor(epoch(st)) AS BIGINT) session_start,
+           n, CAST(sc AS DOUBLE)/100.0 sum_value
+    FROM g, wm WHERE et + INTERVAL '30 minutes' < w
+    ORDER BY user_id, session_start"""
+
   /** Sliding 1-hour windows every 30 minutes (each event in 2 windows). */
   def qSliding(spark: SparkSession, dir: String): DataFrame =
     StreamOps.slidingAgg(
@@ -646,6 +690,8 @@ object QueriesTime {
     QueryDef("q_stream_sliding", qStreamSliding, Some(qSlidingOracle)),
     QueryDef("q_session_window", qSession, Some(qSessionOracle)),
     QueryDef("q_stream_session", qStreamSession, Some(qSessionOracle)),
+    QueryDef("q_stream_session_append", qStreamSessionAppend,
+      Some(qStreamSessionAppendOracle)),
     QueryDef("q_datetime", qDatetime, Some(qDatetimeOracle)),
     QueryDef("q_funnel", qFunnel, Some(qFunnelOracle)),
     QueryDef("q_hist", qHist, Some(qHistOracle)),

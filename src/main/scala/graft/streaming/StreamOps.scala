@@ -63,13 +63,51 @@ object StreamOps {
         .drop("session_window"),
       maxFilesPerTrigger = Some(1))
 
+  /** PRODUCTION-MODE session windows through the real streaming engine:
+    * `withWatermark` + APPEND output — the mode an unbounded job actually
+    * runs, where a session row is emitted exactly once, when the
+    * watermark passes its end (last event + gap), and open sessions stay
+    * withheld in the state store. Complements [[sessionViaStream]]
+    * (complete mode), which re-emits the full merged aggregate and so
+    * never exercises watermark-driven eviction/finalization. All staged
+    * files process in ONE batch (no maxFilesPerTrigger): the watermark
+    * starts at the epoch so nothing is dropped mid-run, then the
+    * no-data finalization batch advances it to max(ts) − delay and
+    * emits every session that closed before it — a deterministic,
+    * oracle-checkable subset. (Cross-batch merging is q_stream_session's
+    * gate; late-row drop and in-watermark merge are pinned
+    * deterministically in StreamingSpec with a MemoryStream.) */
+  def sessionViaStreamAppend(spark: SparkSession, source: DataFrame,
+                             tsCol: String, gap: String, watermark: String,
+                             keys: Seq[Column], aggs: Seq[Column])
+      : DataFrame =
+    aggViaStream(spark, source,
+      sessionAggWatermarked(_, tsCol, gap, watermark, keys, aggs),
+      outputMode = "append")
+
+  /** The watermarked session aggregation [[sessionViaStreamAppend]]
+    * drives, over an already-streaming (or batch) frame — split out so
+    * deterministic MemoryStream specs can pin the per-row watermark
+    * behaviors (late-row drop, in-watermark merge) batch by batch. */
+  def sessionAggWatermarked(sdf: DataFrame, tsCol: String, gap: String,
+                            watermark: String, keys: Seq[Column],
+                            aggs: Seq[Column]): DataFrame =
+    sdf.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("session_start",
+        unix_timestamp(col("session_window.start")))
+      .drop("session_window")
+
   /** Shared drive-the-real-engine harness: stage the batch source to temp
     * parquet, readStream it, apply `buildAgg`, drain through an
-    * AvailableNow complete-mode memory sink, then clean up every staged
+    * AvailableNow memory sink (complete mode unless overridden — append
+    * for watermarked production-mode gates), then clean up every staged
     * artifact (see the cleanup note below). */
   private def aggViaStream(spark: SparkSession, source: DataFrame,
                            buildAgg: DataFrame => DataFrame,
-                           maxFilesPerTrigger: Option[Int] = None)
+                           maxFilesPerTrigger: Option[Int] = None,
+                           outputMode: String = "complete")
       : DataFrame = {
     val stage = java.nio.file.Files.createTempDirectory("graft-stream-src")
       .toString
@@ -83,7 +121,7 @@ object StreamOps {
     val name = "graft_stream_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
     val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("complete")
+      .outputMode(outputMode)
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

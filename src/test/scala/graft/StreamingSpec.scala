@@ -78,6 +78,48 @@ class StreamingSpec extends SparkSpec {
     perUser.foreach { case (u, n) => assert(n == evCount(u)) }
   }
 
+  test("append-mode sessions: late row past the watermark drops; in-watermark row merges") {
+    // deterministic two-batch scenario on a MemoryStream (the q_stream
+    // _session_append gate proves the emitted SET matches the oracle;
+    // this pins the two per-row behaviors the watermark mode adds):
+    //   batch 1: u1 @10:00,10:10 (session A), @11:50 (session B),
+    //            @13:00 (session C, advances watermark to 12:00)
+    //   batch 2: @10:05 — LATE (10:05+gap < wm 12:00) → dropped, session A
+    //            stays n=2 and is never re-emitted;
+    //            @12:00 — inside the watermark → MERGES into session B
+    //            (end moves 12:20→12:30);
+    //            @15:00 — advances wm to 14:00, closing B (n=2) and C (n=1)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val agg = StreamOps.sessionAggWatermarked(
+      in.toDF().select(to_timestamp(col("_1")).as("ts"), col("_2").as("u")),
+      "ts", "30 minutes", "1 hour", Seq(col("u")),
+      Seq(count(lit(1)).as("n")))
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("sess_append_out").start()
+    try {
+      in.addData(("2024-01-01 10:00:00", 1L), ("2024-01-01 10:10:00", 1L),
+        ("2024-01-01 11:50:00", 1L), ("2024-01-01 13:00:00", 1L))
+      q.processAllAvailable()
+      in.addData(("2024-01-01 10:05:00", 1L), ("2024-01-01 12:00:00", 1L),
+        ("2024-01-01 15:00:00", 1L))
+      q.processAllAvailable()
+      val got = spark.table("sess_append_out").collect()
+        .map(r => (r.getAs[Long]("session_start"), r.getAs[Long]("n"))).toSet
+      def ep(s: String) =
+        java.time.LocalDateTime.parse(s).atZone(java.time.ZoneId.systemDefault)
+          .toEpochSecond
+      // A emitted once with n=2 (late 10:05 dropped, not 3), B merged to
+      // n=2 (12:00 accepted), C n=1; the 15:00 session stays withheld
+      assert(got == Set(
+        (ep("2024-01-01T10:00:00"), 2L),
+        (ep("2024-01-01T11:50:00"), 2L),
+        (ep("2024-01-01T13:00:00"), 1L)), got)
+    } finally q.stop()
+  }
+
   test("sliding window agg: streaming == batch") {
     val batchEv = Tables.events(spark, dir)
     def agg(df: org.apache.spark.sql.DataFrame) =
