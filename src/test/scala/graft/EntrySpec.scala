@@ -32,6 +32,7 @@ class EntrySpec extends SparkSpec {
       "q_mix", "q_ewma", "q_editdist", "q_hist", "q_ann_recall",
       "q_ngram_jaccard", "q_approx_sketch", "q_audio_meta", "q_video_frames",
       "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
+      "q_stream_session_append", "q_embed_lsh_index",
       "q_bootstrap_ci", "q_attribution", "q_sessionize", "q_dau_wau")
     val missing = mustHave.filterNot(qs.contains)
     assert(missing.isEmpty, s"missing: $missing")
