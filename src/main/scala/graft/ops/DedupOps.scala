@@ -287,10 +287,10 @@ object DedupOps {
     // membership (mid, rep): digest join-back against the aggregate — two
     // narrow shuffles on the 16-byte digest, never on the full text
     val m = ids.join(g.select(col("d"), col("rep")), Seq("d"))
-      .select("mid", "rep").phaseCut
+      .select("mid", "rep").phaseCutAs("lsh.membership")
     val repDocs = df.join(m.where(col("mid") === col("rep")).select("mid"),
       col(idCol) === col("mid")).drop("mid")
-    val sh = shingler(repDocs).phaseCut
+    val sh = shingler(repDocs).phaseCutAs("lsh.shingles")
     val repPairs = pairsOnShingles(sh)
     // single consumer (the intra arm) over the cut `sh` leaf — no cut
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("rsz"))
