@@ -539,8 +539,20 @@ object QueriesText {
 
   /** Dedup clustering: connected components over the near-dup pairs,
     * cluster id = min doc id in the component (the doc that survives).
-    * Oracle: the same pair CTE + a recursive transitive closure (fine at
-    * oracle scale; the engine's label propagation is the scale path). */
+    * Oracle: rep-level LSH pairs + a recursive transitive closure over
+    * unique texts only, expanded back through exact-dup membership. The
+    * contraction is output-identical (same argument as q_ngram_jaccard's
+    * oracle): identical texts have identical shingle sets, hence
+    * identical MinHash signatures and band keys, so every copy of text A
+    * is a candidate of every copy of text B exactly when their reps are,
+    * with the same Jaccard — each uncontracted component is precisely
+    * the membership expansion of one rep component. And because each rep
+    * is the min doc_id of its copy group, min-over-reps IS
+    * min-over-members, so the rep-level cluster label needs no re-min
+    * after expansion. Without the contraction the closure runs over the
+    * copies-inflated graph (component size × copies²) — the r9 sf10
+    * sweep showed that formulation exhausting tens of GB of DuckDB
+    * spill; the contracted one closes over ~1/100th the nodes. */
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
     DedupOps.dedupClusters(
         DedupOps.minhashNearDupsWords(Tables.documents(spark, dir), "doc_id",
@@ -556,7 +568,17 @@ object QueriesText {
       s"SELECT id, $b AS band, $key AS bkey FROM sigs"
     }.mkString("\n      UNION ALL\n      ")
     s"""
-    WITH RECURSIVE $shingleCte,
+    WITH RECURSIVE
+    g AS (SELECT md5(text) AS d, min(doc_id) AS rep
+          FROM documents GROUP BY 1),
+    mem AS (SELECT doc_id AS mid, rep
+            FROM documents JOIN g ON md5(text) = g.d),
+    rdoc AS (SELECT doc_id, text FROM documents JOIN g ON doc_id = g.rep),
+    w AS (SELECT doc_id, string_split(text, ' ') ws FROM rdoc),
+    sh AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws)-2,1)+1),
+                 i -> ws[CAST(i AS INT)] || ' ' || COALESCE(ws[CAST(i AS INT)+1],'')
+                      || ' ' || COALESCE(ws[CAST(i AS INT)+2],''))) s FROM w),
+    h AS (SELECT DISTINCT doc_id AS id, ('0x'||substr(md5(s),1,8))::BIGINT h FROM sh),
     sigs AS (SELECT id, $mhs FROM h GROUP BY id),
     banded AS (
       $bandKeys),
@@ -581,8 +603,16 @@ object QueriesText {
       SELECT a, b FROM edges
       UNION
       SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-    cc AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-           FROM reach GROUP BY a)
+    ccrep AS (SELECT a AS rep, least(a, min(b)) AS crep
+              FROM reach GROUP BY a),
+    grpsz AS (SELECT rep, count(*) AS copies FROM mem GROUP BY rep),
+    allrep AS (SELECT rep, crep FROM ccrep
+               UNION ALL
+               SELECT gs.rep, gs.rep FROM grpsz gs
+               WHERE gs.copies > 1
+                 AND gs.rep NOT IN (SELECT rep FROM ccrep)),
+    cc AS (SELECT m.mid AS doc_id, a.crep AS cluster_id
+           FROM mem m JOIN allrep a ON m.rep = a.rep)
     SELECT doc_id, cluster_id FROM cc ORDER BY doc_id"""
   }
 
