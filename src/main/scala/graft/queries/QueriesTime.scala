@@ -118,6 +118,29 @@ object QueriesTime {
     FROM g, wm WHERE et + INTERVAL '30 minutes' < w
     ORDER BY user_id, session_start"""
 
+  /** Streaming exact dedup through the real engine — the first stage of
+    * every at-least-once ingestion pipeline: events compact to their
+    * distinct (user_id, day) pairs (the input grain of DAU) via
+    * `dropDuplicatesWithinWatermark` state, with one file per micro-batch
+    * so the drops are CROSS-batch (state-store hits, not intra-batch
+    * hashing — ~60% of fixture rows are duplicates at this grain). The
+    * 90-day delay exceeds the fixture's 30-day span, so the emitted key
+    * set equals the exact global distinct the oracle computes; eviction +
+    * re-admission past a tight horizon is pinned in StreamingSpec. */
+  def qStreamDedup(spark: SparkSession, dir: String): DataFrame =
+    StreamOps.dedupViaStream(spark,
+        Tables.events(spark, dir)
+          .withColumn("day", datediff(to_date(col("ts")),
+            to_date(lit("1970-01-01"))).cast("long")),
+        "ts", "90 days", Seq("user_id", "day"))
+      .orderBy("user_id", "day")
+
+  val qStreamDedupOracle: String = """
+    SELECT DISTINCT user_id,
+           CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+             AS day
+    FROM events ORDER BY user_id, day"""
+
   /** Sliding 1-hour windows every 30 minutes (each event in 2 windows). */
   def qSliding(spark: SparkSession, dir: String): DataFrame =
     StreamOps.slidingAgg(
@@ -692,6 +715,7 @@ object QueriesTime {
     QueryDef("q_stream_session", qStreamSession, Some(qSessionOracle)),
     QueryDef("q_stream_session_append", qStreamSessionAppend,
       Some(qStreamSessionAppendOracle)),
+    QueryDef("q_stream_dedup", qStreamDedup, Some(qStreamDedupOracle)),
     QueryDef("q_datetime", qDatetime, Some(qDatetimeOracle)),
     QueryDef("q_funnel", qFunnel, Some(qFunnelOracle)),
     QueryDef("q_hist", qHist, Some(qHistOracle)),

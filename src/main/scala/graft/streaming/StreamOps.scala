@@ -99,6 +99,29 @@ object StreamOps {
         unix_timestamp(col("session_window.start")))
       .drop("session_window")
 
+  /** Streaming exact dedup through the REAL engine (at-least-once delivery
+    * compaction): stage, readStream one file per micro-batch — so most
+    * duplicates arrive in LATER batches and are dropped by the state left
+    * from earlier ones, exercising the dedup state store rather than
+    * intra-batch hashing — watermark + `dropDuplicatesWithinWatermark`,
+    * append sink. Only the key columns are emitted: which physical row
+    * survives is delivery-order-dependent, but the KEY SET is
+    * deterministic, which is what makes the gate oracle-checkable. The
+    * gate passes a watermark delay wider than the fixture's event-time
+    * span so no state is evicted mid-run and the emitted set is exactly
+    * the global distinct; the production horizon semantics — state
+    * eviction once the watermark passes first-seen + delay, and
+    * re-admission of the key after it — are pinned deterministically in
+    * StreamingSpec. At 100 TB/unbounded the same plan runs with a real
+    * horizon (hours/days) and state stays bounded by keys-per-horizon. */
+  def dedupViaStream(spark: SparkSession, source: DataFrame, tsCol: String,
+                     watermark: String, keyCols: Seq[String]): DataFrame =
+    aggViaStream(spark, source, sdf =>
+      sdf.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark(keyCols)
+        .select(keyCols.map(col): _*),
+      maxFilesPerTrigger = Some(1), outputMode = "append")
+
   /** Shared drive-the-real-engine harness: stage the batch source to temp
     * parquet, readStream it, apply `buildAgg`, drain through an
     * AvailableNow memory sink (complete mode unless overridden — append
@@ -113,7 +136,18 @@ object StreamOps {
       .toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
       .toString
-    source.write.mode("overwrite").parquet(stage)
+    // When the caller asks for per-file micro-batches, GUARANTEE there are
+    // multiple files: a fixture-scale source scans as one split (16 MB
+    // maxPartitionBytes), would stage as one parquet file, and the
+    // "cross-batch state" gate would silently degenerate to a single
+    // batch. The fan-out is round-robin, so event-time interleaves
+    // arbitrarily across batches — the state-merge order the gate means
+    // to exercise; every gated result (merged sessions, dedup key set)
+    // is order-independent, so the answer is unchanged.
+    val staged = if (maxFilesPerTrigger.isDefined &&
+        source.rdd.getNumPartitions < 8) source.repartition(8)
+      else source
+    staged.write.mode("overwrite").parquet(stage)
     val reader0 = spark.readStream.schema(source.schema)
     val reader = maxFilesPerTrigger
       .map(n => reader0.option("maxFilesPerTrigger", n)).getOrElse(reader0)

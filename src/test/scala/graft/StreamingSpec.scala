@@ -180,6 +180,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedup state evicts past the watermark horizon and re-admits the key") {
+    // deterministic multi-batch scenario on a MemoryStream (the
+    // q_stream_dedup gate proves the emitted key SET equals the global
+    // distinct under a full-span watermark; this pins the HORIZON
+    // semantics a production delay adds — 10-minute delay here):
+    //   batch 1: A @10:00 → emitted, state {A@10:00}
+    //   batch 2: A @10:05 → duplicate within the horizon → dropped;
+    //            B @10:20 → emitted, watermark advances to 10:10,
+    //            which is exactly A's first-seen + delay → A evicted
+    //   batch 3: A @10:35 → no state for A anymore → RE-emitted
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val deduped = in.toDF()
+      .select(to_timestamp(col("_1")).as("ts"), col("_2").as("k"))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("k")
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_horizon_out").start()
+    try {
+      in.addData(("2024-01-01 10:00:00", "A"))
+      q.processAllAvailable()
+      in.addData(("2024-01-01 10:05:00", "A"), ("2024-01-01 10:20:00", "B"))
+      q.processAllAvailable()
+      in.addData(("2024-01-01 10:35:00", "A"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_horizon_out").collect()
+        .map(r => (r.getAs[String]("k"),
+          r.getAs[java.sql.Timestamp]("ts").toString)).toSet
+      assert(got == Set(("A", "2024-01-01 10:00:00.0"),
+        ("B", "2024-01-01 10:20:00.0"),
+        ("A", "2024-01-01 10:35:00.0")), got)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join == batch join (dim broadcast per micro-batch)") {
     val ev  = Tables.events(spark, dir)
       .select(col("ts"), col("event_id"), (col("user_id") % 25).as("c_custkey"))
