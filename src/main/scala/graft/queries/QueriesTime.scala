@@ -141,6 +141,43 @@ object QueriesTime {
              AS day
     FROM events ORDER BY user_id, day"""
 
+  /** Stream-stream interval join through the real engine — purchase ←
+    * prior-views attribution at PAIR grain (q_range_join's aggregated
+    * cousin): each purchase matches the same user's views in the
+    * trailing 7 days, both sides arriving as independent streams in
+    * per-file micro-batches, so matches cross batch boundaries and are
+    * produced by the symmetric join state store. Inner joins emit
+    * eagerly; the full-span watermark (see
+    * [[graft.streaming.StreamOps.intervalJoinViaStream]]) makes the
+    * emitted pair set exactly the batch range join the oracle computes.
+    * `gap_s` is an exact integer (µs difference floor-divided; v_ts ≤ ts
+    * so floor == truncate in both engines). */
+  def qStreamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val views = e.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    StreamOps.intervalJoinViaStream(spark, purchases, "user_id", "ts",
+        views, "v_user", "v_ts", "7 days", "90 days")
+      .select(col("purchase_id"), col("view_id"),
+        expr("(unix_micros(ts) - unix_micros(v_ts)) div 1000000L")
+          .cast("long").as("gap_s"))
+      .orderBy("purchase_id", "view_id")
+  }
+
+  val qStreamIntervalJoinOracle: String = """
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+           CAST((epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS BIGINT)
+             AS gap_s
+    FROM events p JOIN events v
+      ON p.user_id = v.user_id
+     AND p.event_type = 'purchase' AND v.event_type = 'view'
+     AND epoch_us(v.ts) >= epoch_us(p.ts) - 604800000000
+     AND epoch_us(v.ts) <= epoch_us(p.ts)
+    ORDER BY purchase_id, view_id"""
+
   /** Sliding 1-hour windows every 30 minutes (each event in 2 windows). */
   def qSliding(spark: SparkSession, dir: String): DataFrame =
     StreamOps.slidingAgg(
@@ -716,6 +753,8 @@ object QueriesTime {
     QueryDef("q_stream_session_append", qStreamSessionAppend,
       Some(qStreamSessionAppendOracle)),
     QueryDef("q_stream_dedup", qStreamDedup, Some(qStreamDedupOracle)),
+    QueryDef("q_stream_interval_join", qStreamIntervalJoin,
+      Some(qStreamIntervalJoinOracle)),
     QueryDef("q_datetime", qDatetime, Some(qDatetimeOracle)),
     QueryDef("q_funnel", qFunnel, Some(qFunnelOracle)),
     QueryDef("q_hist", qHist, Some(qHistOracle)),

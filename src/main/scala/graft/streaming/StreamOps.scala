@@ -122,6 +122,26 @@ object StreamOps {
         .select(keyCols.map(col): _*),
       maxFilesPerTrigger = Some(1), outputMode = "append")
 
+  /** Stream-stream event-time interval join through the REAL engine: both
+    * sides are staged and re-read as streams (one file per micro-batch
+    * each, fanned to ≥8 files), so a left row's matches arrive across
+    * later right-side micro-batches and come out of the JOIN STATE
+    * STORE, not one batch's hash join. An inner stream-stream join emits
+    * eagerly as matches appear, and with a watermark delay wider than
+    * the fixture's event-time span no state is evicted mid-run, so the
+    * emitted pair set equals the batch range join exactly — the
+    * oracle-checkable gate. (StreamingSpec's stream==batch case and
+    * Spark's watermark contract cover the tight-horizon eviction.) */
+  def intervalJoinViaStream(spark: SparkSession,
+                            left: DataFrame, leftKey: String, leftTs: String,
+                            right: DataFrame, rightKey: String,
+                            rightTs: String, lookback: String,
+                            watermark: String): DataFrame =
+    viaStream(spark, Seq(left, right),
+      dfs => intervalJoin(dfs(0), leftKey, leftTs,
+        dfs(1), rightKey, rightTs, lookback, watermark),
+      maxFilesPerTrigger = Some(1), outputMode = "append")
+
   /** Shared drive-the-real-engine harness: stage the batch source to temp
     * parquet, readStream it, apply `buildAgg`, drain through an
     * AvailableNow memory sink (complete mode unless overridden — append
@@ -131,27 +151,44 @@ object StreamOps {
                            buildAgg: DataFrame => DataFrame,
                            maxFilesPerTrigger: Option[Int] = None,
                            outputMode: String = "complete")
+      : DataFrame =
+    viaStream(spark, Seq(source), dfs => buildAgg(dfs.head),
+      maxFilesPerTrigger, outputMode)
+
+  /** Multi-source generalization of [[aggViaStream]]: stages EACH source
+    * to its own temp dir and readStream, builds the (joined/combined)
+    * streaming frame from all of them, drains and cleans identically.
+    * Stream-stream join gates need it: both sides must be real streams
+    * or Spark plans a stream-static join (different state machinery). */
+  private def viaStream(spark: SparkSession, sources: Seq[DataFrame],
+                        build: Seq[DataFrame] => DataFrame,
+                        maxFilesPerTrigger: Option[Int] = None,
+                        outputMode: String = "complete")
       : DataFrame = {
-    val stage = java.nio.file.Files.createTempDirectory("graft-stream-src")
-      .toString
+    val stages = sources.map(_ => java.nio.file.Files
+      .createTempDirectory("graft-stream-src").toString)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
       .toString
-    // When the caller asks for per-file micro-batches, GUARANTEE there are
-    // multiple files: a fixture-scale source scans as one split (16 MB
-    // maxPartitionBytes), would stage as one parquet file, and the
-    // "cross-batch state" gate would silently degenerate to a single
-    // batch. The fan-out is round-robin, so event-time interleaves
-    // arbitrarily across batches — the state-merge order the gate means
-    // to exercise; every gated result (merged sessions, dedup key set)
-    // is order-independent, so the answer is unchanged.
-    val staged = if (maxFilesPerTrigger.isDefined &&
-        source.rdd.getNumPartitions < 8) source.repartition(8)
-      else source
-    staged.write.mode("overwrite").parquet(stage)
-    val reader0 = spark.readStream.schema(source.schema)
-    val reader = maxFilesPerTrigger
-      .map(n => reader0.option("maxFilesPerTrigger", n)).getOrElse(reader0)
-    val agg = buildAgg(reader.parquet(stage))
+    val streams = sources.zip(stages).map { case (source, stage) =>
+      // When the caller asks for per-file micro-batches, GUARANTEE there
+      // are multiple files: a fixture-scale source scans as one split
+      // (16 MB maxPartitionBytes), would stage as one parquet file, and
+      // the "cross-batch state" gate would silently degenerate to a
+      // single batch. The fan-out is round-robin, so event-time
+      // interleaves arbitrarily across batches — the state-merge order
+      // the gate means to exercise; every gated result (merged sessions,
+      // dedup key set, join pair set) is order-independent, so the
+      // answer is unchanged.
+      val staged = if (maxFilesPerTrigger.isDefined &&
+          source.rdd.getNumPartitions < 8) source.repartition(8)
+        else source
+      staged.write.mode("overwrite").parquet(stage)
+      val reader0 = spark.readStream.schema(source.schema)
+      val reader = maxFilesPerTrigger
+        .map(n => reader0.option("maxFilesPerTrigger", n)).getOrElse(reader0)
+      reader.parquet(stage)
+    }
+    val agg = build(streams)
     val name = "graft_stream_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
     val q = agg.writeStream.format("memory").queryName(name)
@@ -170,7 +207,7 @@ object StreamOps {
       new java.util.ArrayList(java.util.Arrays.asList(result.collect(): _*)),
       result.schema)
     spark.catalog.dropTempView(name)
-    Seq(stage, ckpt).foreach { d =>
+    (stages :+ ckpt).foreach { d =>
       try {
         import scala.jdk.CollectionConverters._
         val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
