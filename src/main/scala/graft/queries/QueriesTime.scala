@@ -304,6 +304,26 @@ object QueriesTime {
            CAST(COALESCE(sum(epoch_us(t3) - epoch_us(t2)), 0) AS BIGINT) FROM s3
     ORDER BY stage"""
 
+  /** The conversion funnel through the real streaming engine: the
+    * per-user transformWithState machine ([[graft.streaming.StreamOps
+    * .FunnelProcessor]] — ValueState of three stage-completion times)
+    * runs under the DuckDB oracle instead of only the stream==batch
+    * spec. First-eligible-in-time-order advancement equals the batch
+    * min-ts formulation when processing is per-user time-ordered, which
+    * the single-batch gate guarantees; the drained advancement rows
+    * (one per stage reached) roll up in batch to q_funnel's exact
+    * (stage, users, lag_us_sum) shape and share its oracle. */
+  def qStreamFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val adv = StreamOps.funnelViaStream(spark, Tables.events(spark, dir))
+    adv.groupBy(col("stage").cast("long").as("stage"))
+      .agg(count(lit(1)).as("users"), sum(col("lag_us")).as("lag_us_sum"))
+      .withColumn("event_type",
+        when(col("stage") === 1, "signup")
+          .when(col("stage") === 2, "view").otherwise("purchase"))
+      .select("stage", "event_type", "users", "lag_us_sum")
+      .orderBy("stage")
+  }
+
   /** Fixed-width value histogram (bucket = 25.00 currency units): the
     * distribution pass of feature analysis / outlier triage. Bucketing is
     * integer FLOOR division on exact cents (`fdiv(c, 2500)` — matches
@@ -757,6 +777,7 @@ object QueriesTime {
       Some(qStreamIntervalJoinOracle)),
     QueryDef("q_datetime", qDatetime, Some(qDatetimeOracle)),
     QueryDef("q_funnel", qFunnel, Some(qFunnelOracle)),
+    QueryDef("q_stream_funnel", qStreamFunnel, Some(qFunnelOracle)),
     QueryDef("q_hist", qHist, Some(qHistOracle)),
     QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinOracle)),
     QueryDef("q_resample", qResample, Some(qResampleOracle)),

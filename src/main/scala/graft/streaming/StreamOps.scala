@@ -142,6 +142,40 @@ object StreamOps {
         dfs(1), rightKey, rightTs, lookback, watermark),
       maxFilesPerTrigger = Some(1), outputMode = "append")
 
+  /** The [[FunnelProcessor]] state machine under the oracle gate: events
+    * stage and re-read as a stream, all files in ONE micro-batch (batch
+    * parity needs per-user time order, which the processor establishes
+    * by sorting within a batch; cross-batch arrival-order drift is the
+    * documented streaming-funnel trade-off and stays spec-covered), and
+    * the per-advancement rows drain from the real engine's
+    * transformWithState operator + state store. The caller rolls the
+    * bounded (≤3 rows/user) advancement stream up to q_funnel's shape
+    * in batch — chaining a second stateful aggregation behind an
+    * append-mode transformWithState inside one streaming query is the
+    * multi-stateful pattern Spark restricts, and the gate's target is
+    * the state machine, not the rollup. */
+  def funnelViaStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val src = events.select(col("user_id").cast("long").as("_1"),
+      col("event_type").as("_2"), unix_micros(col("ts")).as("_3"))
+    // transformWithState requires the multi-column-family store: RocksDB
+    // (also the provider a production deployment runs). Scope the conf to
+    // this gate and restore, so the HDFS-backed default keeps covering
+    // the windowed-aggregation gates.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state" +
+      ".RocksDBStateStoreProvider")
+    try viaStream(spark, Seq(src),
+      dfs => streamingFunnel(dfs.head.as[(Long, String, Long)])
+        .toDF("user_id", "stage", "ts_us", "lag_us"),
+      maxFilesPerTrigger = None, outputMode = "append")
+    finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Shared drive-the-real-engine harness: stage the batch source to temp
     * parquet, readStream it, apply `buildAgg`, drain through an
     * AvailableNow memory sink (complete mode unless overridden — append
