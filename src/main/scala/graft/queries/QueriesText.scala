@@ -616,6 +616,53 @@ object QueriesText {
     SELECT doc_id, cluster_id FROM cc ORDER BY doc_id"""
   }
 
+  /** Streaming MinHash near-dup candidates through the real engine: each
+    * arriving document is banded per-row (no shuffle agg), bucket
+    * posting lists live in transformWithState ListState
+    * ([[graft.streaming.StreamOps.NearDupProcessor]]), and a new member
+    * emits a candidate per existing bucket member whose full-signature
+    * agreement clears the threshold — the online counterpart of
+    * q_neardup_lsh's candidate generator, now under the DuckDB oracle
+    * (signature-level candidates, not the exact-Jaccard rerank: the
+    * rerank is the batch path's job and idempotent per pair). One staged
+    * file per micro-batch makes the collisions cross-batch state hits;
+    * the candidate SET is arrival-order-independent, which is what makes
+    * the gate deterministic. In production the posting lists carry a TTL
+    * (the dedup horizon) and the batch contraction handles exact copies;
+    * the fixture gate runs the raw corpus. */
+  def qStreamNearDup(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOps.nearDupViaStream(spark,
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+        Bands, Rows, JaccardThreshold)
+      .distinct()
+      .orderBy("id_a", "id_b")
+
+  val qStreamNearDupOracle: String = {
+    val mhs = MinhashAB.indices.map(minhashExprSql).mkString(", ")
+    val bandKeys = (0 until Bands).map { b =>
+      val key = (0 until Rows).map(r => s"CAST(mh${b * Rows + r} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT id, $b AS band, $key AS bkey FROM sigs"
+    }.mkString("\n      UNION ALL\n      ")
+    val matches = MinhashAB.indices
+      .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val k = MinhashAB.size
+    s"""
+    WITH $shingleCte,
+    sigs AS (SELECT id, $mhs FROM h GROUP BY id),
+    banded AS (
+      $bandKeys),
+    cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+             FROM banded x JOIN banded y
+               ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id),
+    m AS (SELECT id_a, id_b, $matches AS matches
+          FROM cand JOIN sigs a ON id_a = a.id JOIN sigs b ON id_b = b.id)
+    SELECT id_a, id_b, CAST(matches AS DOUBLE) / $k.0 AS est_jaccard
+    FROM m WHERE CAST(matches AS DOUBLE) / $k.0 >= $JaccardThreshold
+    ORDER BY id_a, id_b"""
+  }
+
   /** Triangle counts over the near-dup graph
     * ([[DedupOps.triangleCounts]]) — cluster-density audit on top of the
     * connected components: triangle-rich components are true duplicate
@@ -1951,6 +1998,7 @@ object QueriesText {
     QueryDef("q_dedup_exact", qDedupExact, Some(qDedupExactOracle)),
     QueryDef("q_minhash_sig", qMinhashSig, Some(qMinhashSigOracle)),
     QueryDef("q_neardup_lsh", qNearDupLsh, Some(qNearDupLshOracle)),
+    QueryDef("q_stream_neardup", qStreamNearDup, Some(qStreamNearDupOracle)),
     QueryDef("q_dedup_incremental", qDedupIncremental,
       Some(qDedupIncrementalOracle)),
     QueryDef("q_embed_lsh_index", qEmbedLshIndex,

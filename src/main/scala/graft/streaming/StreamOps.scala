@@ -158,18 +158,48 @@ object StreamOps {
     import spark.implicits._
     val src = events.select(col("user_id").cast("long").as("_1"),
       col("event_type").as("_2"), unix_micros(col("ts")).as("_3"))
-    // transformWithState requires the multi-column-family store: RocksDB
-    // (also the provider a production deployment runs). Scope the conf to
-    // this gate and restore, so the HDFS-backed default keeps covering
-    // the windowed-aggregation gates.
+    withRocksDbStore(spark) {
+      viaStream(spark, Seq(src),
+        dfs => streamingFunnel(dfs.head.as[(Long, String, Long)])
+          .toDF("user_id", "stage", "ts_us", "lag_us"),
+        maxFilesPerTrigger = None, outputMode = "append")
+    }
+  }
+
+  /** [[NearDupProcessor]] under the oracle gate: documents stage and
+    * re-read one file per micro-batch, so most bucket collisions pair a
+    * new arrival against posting-list STATE left by earlier batches.
+    * The candidate set is arrival-order-independent (every earlier
+    * member is in state when a later one arrives), so multi-batch
+    * replay is deterministic and equals the batch LSH candidate set at
+    * signature level — which is what the DuckDB oracle computes. A pair
+    * sharing several buckets emits once per bucket with the SAME
+    * estimate (it depends only on the two signatures), so the caller's
+    * `distinct()` collapses it exactly. */
+  def nearDupViaStream(spark: SparkSession, docs: DataFrame, bands: Int,
+                       rows: Int, simThreshold: Double): DataFrame = {
+    import spark.implicits._
+    val src = docs.select(col("doc_id").cast("long").as("_1"),
+      col("text").as("_2"))
+    withRocksDbStore(spark) {
+      viaStream(spark, Seq(src),
+        dfs => streamingNearDup(dfs.head.as[(Long, String)], bands, rows,
+            simThreshold)
+          .toDF("id_a", "id_b", "est_jaccard"),
+        maxFilesPerTrigger = Some(1), outputMode = "append")
+    }
+  }
+
+  /** transformWithState requires the multi-column-family store: RocksDB
+    * (also the provider a production deployment runs). Scope the conf to
+    * one gate and restore, so the HDFS-backed default keeps covering the
+    * windowed-aggregation gates. */
+  private def withRocksDbStore[A](spark: SparkSession)(body: => A): A = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val saved = spark.conf.getOption(key)
     spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state" +
       ".RocksDBStateStoreProvider")
-    try viaStream(spark, Seq(src),
-      dfs => streamingFunnel(dfs.head.as[(Long, String, Long)])
-        .toDF("user_id", "stage", "ts_us", "lag_us"),
-      maxFilesPerTrigger = None, outputMode = "append")
+    try body
     finally saved match {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)
