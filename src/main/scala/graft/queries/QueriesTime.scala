@@ -324,6 +324,25 @@ object QueriesTime {
       .orderBy("stage")
   }
 
+  /** Per-user running spend through the real streaming engine — the
+    * flatMapGroupsWithState analog of group_cumsum, under the DuckDB
+    * oracle ([[graft.streaming.StreamOps.cumsumViaStream]] explains the
+    * single-batch order contract and why the double-carried cents stay
+    * exact). Output is one row per event with its running total — the
+    * unbounded-stream shape a spend-cap or quota monitor consumes. */
+  def qStreamCumsum(spark: SparkSession, dir: String): DataFrame =
+    StreamOps.cumsumViaStream(spark, Tables.events(spark, dir))
+      .select(col("event_id"), col("user_id"),
+        (col("run_c") / 100.0).as("run_value"))
+      .orderBy("event_id")
+
+  val qStreamCumsumOracle: String = """
+    SELECT event_id, user_id,
+           CAST(sum(CAST(round(value*100) AS BIGINT))
+                  OVER (PARTITION BY user_id ORDER BY event_id)
+                AS DOUBLE)/100.0 AS run_value
+    FROM events ORDER BY event_id"""
+
   /** Fixed-width value histogram (bucket = 25.00 currency units): the
     * distribution pass of feature analysis / outlier triage. Bucketing is
     * integer FLOOR division on exact cents (`fdiv(c, 2500)` — matches
@@ -778,6 +797,7 @@ object QueriesTime {
     QueryDef("q_datetime", qDatetime, Some(qDatetimeOracle)),
     QueryDef("q_funnel", qFunnel, Some(qFunnelOracle)),
     QueryDef("q_stream_funnel", qStreamFunnel, Some(qFunnelOracle)),
+    QueryDef("q_stream_cumsum", qStreamCumsum, Some(qStreamCumsumOracle)),
     QueryDef("q_hist", qHist, Some(qHistOracle)),
     QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinOracle)),
     QueryDef("q_resample", qResample, Some(qResampleOracle)),

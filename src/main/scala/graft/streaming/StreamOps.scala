@@ -190,6 +190,27 @@ object StreamOps {
     }
   }
 
+  /** [[statefulCumsum]] (flatMapGroupsWithState — the remaining state API
+    * with no oracle-gated query) through the real engine: per-user
+    * running sums over exact integer cents carried as doubles (exact to
+    * 2^53, so the prefix values are bit-identical to the oracle's BIGINT
+    * window sum). Prefix sums need per-key ORDER, which the processor
+    * establishes by event id within a batch — so the gate runs all files
+    * in one micro-batch (ids split across batches would interleave
+    * arbitrarily); cross-batch state continuation is ScaleOpsSpec's
+    * stream==batch case. HDFS-backed store suffices (single column
+    * family). */
+  def cumsumViaStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val src = events.select(col("event_id").as("_1"),
+      col("user_id").as("_2"),
+      round(col("value") * 100).cast("long").cast("double").as("_3"))
+    viaStream(spark, Seq(src),
+      dfs => statefulCumsum(dfs.head.as[(Long, Long, Double)])
+        .toDF("event_id", "user_id", "run_c"),
+      maxFilesPerTrigger = None, outputMode = "append")
+  }
+
   /** transformWithState requires the multi-column-family store: RocksDB
     * (also the provider a production deployment runs). Scope the conf to
     * one gate and restore, so the HDFS-backed default keeps covering the
