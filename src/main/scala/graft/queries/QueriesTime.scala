@@ -343,6 +343,36 @@ object QueriesTime {
                 AS DOUBLE)/100.0 AS run_value
     FROM events ORDER BY event_id"""
 
+  /** Stream-static enrichment under the oracle gate: the events stream
+    * joins the (broadcast) customer dim — re-planned every micro-batch,
+    * Spark's dim-refresh contract — then rolls up revenue per market
+    * segment per hour window through the real engine
+    * ([[graft.streaming.StreamOps.enrichViaStream]]). The surrogate key
+    * maps users onto the dim's key space (`user_id % 25 + 1`) the same
+    * way on both sides, so the inner join drops nothing
+    * nondeterministically and the gate is exact. */
+  def qStreamEnrich(spark: SparkSession, dir: String): DataFrame =
+    StreamOps.enrichViaStream(spark,
+        Tables.events(spark, dir)
+          .select(col("ts"), (col("user_id") % 25 + 1).as("c_custkey"),
+            round(col("value") * 100).cast("long").as("c")),
+        Tables.customer(spark, dir).select("c_custkey", "c_mktsegment"),
+        Seq("c_custkey"), "ts", "1 hour", Seq(col("c_mktsegment")),
+        Seq(count(lit(1)).as("n"),
+          (sum(col("c")).cast("double") / 100.0).as("sum_value")))
+      .select("window_start", "c_mktsegment", "n", "sum_value")
+      .orderBy("window_start", "c_mktsegment")
+
+  val qStreamEnrichOracle: String = """
+    WITH e AS (SELECT ts, user_id % 25 + 1 AS ck,
+                      CAST(round(value*100) AS BIGINT) c FROM events)
+    SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', e.ts)) AS BIGINT)
+             AS window_start,
+           c_mktsegment, count(*) AS n,
+           CAST(sum(c) AS DOUBLE)/100.0 AS sum_value
+    FROM e JOIN customer ON ck = c_custkey
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** Fixed-width value histogram (bucket = 25.00 currency units): the
     * distribution pass of feature analysis / outlier triage. Bucketing is
     * integer FLOOR division on exact cents (`fdiv(c, 2500)` — matches
@@ -798,6 +828,7 @@ object QueriesTime {
     QueryDef("q_funnel", qFunnel, Some(qFunnelOracle)),
     QueryDef("q_stream_funnel", qStreamFunnel, Some(qFunnelOracle)),
     QueryDef("q_stream_cumsum", qStreamCumsum, Some(qStreamCumsumOracle)),
+    QueryDef("q_stream_enrich", qStreamEnrich, Some(qStreamEnrichOracle)),
     QueryDef("q_hist", qHist, Some(qHistOracle)),
     QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinOracle)),
     QueryDef("q_resample", qResample, Some(qResampleOracle)),

@@ -211,6 +211,25 @@ object StreamOps {
       maxFilesPerTrigger = None, outputMode = "append")
   }
 
+  /** Stream-static enrichment + windowed rollup through the real engine:
+    * the static dim is broadcast and RE-PLANNED per micro-batch (Spark's
+    * contract for stream-static joins — a dim refresh lands on the next
+    * batch), the enriched rows feed a tumbling aggregation in complete
+    * mode, and per-file staging makes every micro-batch re-execute the
+    * broadcast. The join is stateless, so multi-batch replay is
+    * deterministic regardless of file order. */
+  def enrichViaStream(spark: SparkSession, source: DataFrame,
+                      static: DataFrame, keys: Seq[String], tsCol: String,
+                      duration: String, groupKeys: Seq[Column],
+                      aggs: Seq[Column]): DataFrame =
+    viaStream(spark, Seq(source),
+      dfs => enrichWithStatic(dfs.head, static, keys)
+        .groupBy(window(col(tsCol), duration) +: groupKeys: _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .withColumn("window_start", unix_timestamp(col("window.start")))
+        .drop("window"),
+      maxFilesPerTrigger = Some(1))
+
   /** transformWithState requires the multi-column-family store: RocksDB
     * (also the provider a production deployment runs). Scope the conf to
     * one gate and restore, so the HDFS-backed default keeps covering the
