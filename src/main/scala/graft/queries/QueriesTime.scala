@@ -373,6 +373,32 @@ object QueriesTime {
     FROM e JOIN customer ON ck = c_custkey
     GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** The exactly-once foreachBatch snapshot sink under the oracle gate:
+    * events replay one file per micro-batch through
+    * [[graft.streaming.StreamOps.upsertSnapshot]] (compact-and-swap with
+    * an atomic `_CURRENT` pointer), each batch upserting against the
+    * previous snapshot; the final snapshot — the latest event per user
+    * by the UNIQUE event_id version, so per-key argmax is
+    * order-independent and the gate exact — is read back and everything
+    * staged is cleaned (the q_embed_lsh_index pattern). Value rides as
+    * exact cents. */
+  def qStreamUpsert(spark: SparkSession, dir: String): DataFrame =
+    StreamOps.upsertViaStream(spark,
+        Tables.events(spark, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            round(col("value") * 100).cast("long").as("last_c")),
+        Seq("user_id"), "event_id")
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"), col("last_c"))
+      .orderBy("user_id")
+
+  val qStreamUpsertOracle: String = """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+           CAST(round(value*100) AS BIGINT) AS last_c
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                      ORDER BY event_id DESC) rn FROM events)
+    WHERE rn = 1 ORDER BY user_id"""
+
   /** Fixed-width value histogram (bucket = 25.00 currency units): the
     * distribution pass of feature analysis / outlier triage. Bucketing is
     * integer FLOOR division on exact cents (`fdiv(c, 2500)` — matches
@@ -829,6 +855,7 @@ object QueriesTime {
     QueryDef("q_stream_funnel", qStreamFunnel, Some(qFunnelOracle)),
     QueryDef("q_stream_cumsum", qStreamCumsum, Some(qStreamCumsumOracle)),
     QueryDef("q_stream_enrich", qStreamEnrich, Some(qStreamEnrichOracle)),
+    QueryDef("q_stream_upsert", qStreamUpsert, Some(qStreamUpsertOracle)),
     QueryDef("q_hist", qHist, Some(qHistOracle)),
     QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinOracle)),
     QueryDef("q_resample", qResample, Some(qResampleOracle)),

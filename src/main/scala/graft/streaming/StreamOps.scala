@@ -307,11 +307,22 @@ object StreamOps {
     // hazard, and it lets repeated Bench/Verify/TimeQ invocations run
     // leak-free — temp view dropped, stage parquet + checkpoint deleted.
     val result = spark.table(name)
-    val out = spark.createDataFrame(
-      new java.util.ArrayList(java.util.Arrays.asList(result.collect(): _*)),
-      result.schema)
+    val out = localize(spark, result)
     spark.catalog.dropTempView(name)
-    (stages :+ ckpt).foreach { d =>
+    cleanupDirs(stages :+ ckpt)
+    out
+  }
+
+  /** Copy a bounded frame into a local relation so every staged artifact
+    * behind it can be deleted (gate results are windowed aggregates /
+    * key sets / snapshots — bounded by construction). */
+  private def localize(spark: SparkSession, df: DataFrame): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(df.collect(): _*)),
+      df.schema)
+
+  private def cleanupDirs(dirs: Seq[String]): Unit =
+    dirs.foreach { d =>
       try {
         import scala.jdk.CollectionConverters._
         val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
@@ -320,9 +331,45 @@ object StreamOps {
         val paths = try walk.iterator().asScala.toSeq finally walk.close()
         paths.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
       } catch { case e: Throwable =>
-        graftLog.warn(s"aggViaStream: could not clean $d: ${e.getMessage}")
+        graftLog.warn(s"viaStream: could not clean $d: ${e.getMessage}")
       }
     }
+
+  /** [[upsertSnapshot]] under the oracle gate (stage-then-clean, the
+    * q_embed_lsh_index pattern for side-effecting paths): the source
+    * replays one staged file per micro-batch through
+    * `writeStream.foreachBatch(upsertSnapshot(...))`, so every batch
+    * compacts against the previous batch's committed snapshot and swaps
+    * the `_CURRENT` pointer — the full exactly-once chain, not a
+    * single-batch degenerate. The final snapshot is read back via the
+    * pointer, localized (bounded: one row per key), and every artifact
+    * deleted. With a UNIQUE version column the per-key argmax is
+    * associative and order-independent, so any batch interleaving
+    * yields the same final snapshot — what makes the gate exact. */
+  def upsertViaStream(spark: SparkSession, source: DataFrame,
+                      keys: Seq[String], verCol: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft-stream-src")
+      .toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
+      .toString
+    val snap = java.nio.file.Files.createTempDirectory("graft-stream-snap")
+      .toString
+    val staged = if (source.rdd.getNumPartitions < 8) source.repartition(8)
+      else source
+    staged.write.mode("overwrite").parquet(stage)
+    val stream = spark.readStream.schema(source.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val q = stream.writeStream
+      .foreachBatch(upsertSnapshot(snap, keys, verCol) _)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val pointer = java.nio.file.Paths.get(snap, "_CURRENT")
+    val cur = new String(java.nio.file.Files.readAllBytes(pointer),
+      "UTF-8").trim
+    val out = localize(spark, spark.read.parquet(s"$snap/$cur"))
+    cleanupDirs(Seq(stage, ckpt, snap))
     out
   }
 
