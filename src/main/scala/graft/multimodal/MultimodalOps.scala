@@ -24,6 +24,14 @@ case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
 case class ImageMeta(media_id: Long, width: Long, height: Long,
                      n_px: Long, sum_r: Long, sum_g: Long, sum_b: Long)
 
+/** Resized-image facts from the real decode + resample pass: fixed target
+  * grid, nearest-neighbor with floor index mapping (pure integer
+  * arithmetic — exactly reproducible in SQL), exact per-channel sums of
+  * the RESIZED raster. */
+case class ImageResize(media_id: Long, src_w: Long, src_h: Long,
+                       out_w: Long, out_h: Long,
+                       sum_r: Long, sum_g: Long, sum_b: Long)
+
 /** Decoded per-clip facts from the real audio codec pass: format fields
   * read back from the WAV header plus exact integer amplitude sums. */
 case class AudioMeta(media_id: Long, sample_rate: Long, n_samples: Long,
@@ -102,6 +110,46 @@ object MultimodalOps {
         }
         ImageMeta(r.media_id, img.getWidth.toLong, img.getHeight.toLong,
           img.getWidth.toLong * img.getHeight, sr, sg, sb)
+      }
+    }
+  }
+
+  /** REAL DECODE + RESIZE: decode each PNG payload and resample it to a
+    * fixed (outW × outH) thumbnail by nearest-neighbor with FLOOR index
+    * mapping (`src_x = x·w div outW`) — the normalization step every
+    * vision-training pipeline runs before batching. The mapping is pure
+    * integer arithmetic, so the DuckDB oracle recomputes the resized
+    * channel sums from the closed-form pixel function; a codec or
+    * index-mapping bug (center-vs-corner sampling, rounding, row stride)
+    * hash-mismatches. Production swaps the sampling loop for an
+    * area/Lanczos kernel in the SAME batch-shaped per-partition pass —
+    * the plumbing (payload in, fixed-size raster facts out, no
+    * shuffle-per-pixel) is what this pins. */
+  def decodeResizeImages(ds: Dataset[MediaRow], outW: Int, outH: Int)
+      : Dataset[ImageResize] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(img != null,
+          s"media ${r.media_id}: payload (${r.payload.length} bytes) is not a decodable image")
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var yy = 0
+        while (yy < outH) {
+          val sy = yy * h / outH
+          var xx = 0
+          while (xx < outW) {
+            val sx = xx * w / outW
+            val rgb = img.getRGB(sx, sy)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            xx += 1
+          }
+          yy += 1
+        }
+        ImageResize(r.media_id, w.toLong, h.toLong, outW.toLong, outH.toLong,
+          sr, sg, sb)
       }
     }
   }

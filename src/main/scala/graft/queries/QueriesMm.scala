@@ -130,6 +130,35 @@ object QueriesMm {
            CAST(sum((media_id*3 + x*5 + y*17) % 256) AS BIGINT) sum_b
     FROM pxy GROUP BY media_id ORDER BY media_id"""
 
+  /** REAL decode + resize (the brief's named multimodal op): every image
+    * decodes through the codec and resamples to a fixed 16×16 thumbnail
+    * by nearest-neighbor floor mapping — pure integer index arithmetic,
+    * so the oracle recomputes the resized channel sums from the
+    * closed-form pixel function. See
+    * [[graft.multimodal.MultimodalOps.decodeResizeImages]]. */
+  def qImageResize(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps.decodeResizeImages(
+        MultimodalOps.encodePngImages(spark,
+          Tables.documents(spark, dir), "doc_id"), 16, 16)
+      .toDF()
+      .orderBy("media_id")
+
+  val qImageResizeOracle: String = """
+    WITH dims AS (SELECT doc_id media_id,
+                         4 + doc_id % 13 w, 4 + doc_id % 9 h
+                  FROM documents),
+    gx AS (SELECT media_id, w, h, unnest(range(0, 16)) xx FROM dims),
+    g AS (SELECT media_id, w, h, xx, unnest(range(0, 16)) yy FROM gx),
+    m AS (SELECT media_id, w, h,
+                 (xx * w) // 16 sx, (yy * h) // 16 sy FROM g)
+    SELECT media_id,
+           CAST(max(w) AS BIGINT) src_w, CAST(max(h) AS BIGINT) src_h,
+           CAST(16 AS BIGINT) out_w, CAST(16 AS BIGINT) out_h,
+           CAST(sum((media_id*7 + sx*3 + sy*11) % 256) AS BIGINT) sum_r,
+           CAST(sum((media_id*5 + sx*13 + sy*7) % 256) AS BIGINT) sum_g,
+           CAST(sum((media_id*3 + sx*5 + sy*17) % 256) AS BIGINT) sum_b
+    FROM m GROUP BY media_id ORDER BY media_id"""
+
   /** REAL audio codec round-trip (javax.sound.sampled WAV/PCM, in the
     * JDK): render a deterministic 16-bit PCM signal per doc_id, encode it
     * into a WAV container, DECODE the container back through the codec,
@@ -196,6 +225,7 @@ object QueriesMm {
     QueryDef("q_patch_grid", qPatchGrid, Some(qPatchGridOracle)),
     QueryDef("q_audio_windows", qAudioWindows, Some(qAudioWindowsOracle)),
     QueryDef("q_image_meta", qImageMeta, Some(qImageMetaOracle)),
+    QueryDef("q_image_resize", qImageResize, Some(qImageResizeOracle)),
     QueryDef("q_audio_meta", qAudioMeta, Some(qAudioMetaOracle)),
     QueryDef("q_video_frames", qVideoFrames, Some(qVideoFramesOracle)))
 }

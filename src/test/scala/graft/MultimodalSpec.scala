@@ -37,6 +37,29 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeResizeImages nearest-neighbor floor mapping is exact") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(30)
+    val encoded = MultimodalOps.encodePngImages(spark, docs, "doc_id")
+    val (outW, outH) = (16, 16)
+    val got = MultimodalOps.decodeResizeImages(encoded, outW, outH).collect()
+    assert(got.length == 30)
+    got.foreach { m =>
+      val id = m.media_id
+      val (w, h) = (MultimodalOps.synthW(id), MultimodalOps.synthH(id))
+      assert(m.src_w == w && m.src_h == h &&
+        m.out_w == outW && m.out_h == outH)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (yy <- 0 until outH; xx <- 0 until outW) {
+        val (sx, sy) = (xx * w / outW, yy * h / outH)
+        sr += MultimodalOps.synthR(id, sx, sy)
+        sg += MultimodalOps.synthG(id, sx, sy)
+        sb += MultimodalOps.synthB(id, sx, sy)
+      }
+      assert(m.sum_r == sr && m.sum_g == sg && m.sum_b == sb,
+        s"resized channel sums diverged for media $id")
+    }
+  }
+
   test("WAV encode -> javax.sound decode round-trips exact amplitude sums") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
     val encoded = MultimodalOps.encodeWavAudio(spark, docs, "doc_id")
