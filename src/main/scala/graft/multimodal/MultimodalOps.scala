@@ -222,6 +222,45 @@ object MultimodalOps {
     }
   }
 
+  /** REAL DECODE + RESAMPLE: decode each WAV payload through the codec
+    * and downsample by integer DECIMATION (keep every `factor`-th
+    * sample) — the audio analog of [[decodeResizeImages]], the rate
+    * normalization a speech-training pipeline runs before batching.
+    * Decimation is pure index arithmetic (no interpolation), so the
+    * DuckDB oracle recomputes the decimated sums from the closed-form
+    * signal exactly; production swaps the picker for a windowed-sinc
+    * kernel in the same batch-shaped pass. Emits the post-resample rate
+    * read from the header rate ÷ factor, count, and exact sums. */
+  def decodeResampleAudio(ds: Dataset[MediaRow], factor: Int)
+      : Dataset[AudioMeta] = {
+    import ds.sparkSession.implicits._
+    require(factor >= 1, s"decimation factor must be >= 1, got $factor")
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          s"media ${r.media_id}: unexpected WAV format $fmt")
+        val bytes = ais.readAllBytes()
+        val buf = java.nio.ByteBuffer.wrap(bytes).order(
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        val n = bytes.length / 2
+        var (sum, sumAbs, kept) = (0L, 0L, 0L)
+        var i = 0
+        while (i < n) {
+          val s = buf.getShort(i * 2).toLong
+          sum += s; sumAbs += math.abs(s); kept += 1
+          i += factor
+        }
+        AudioMeta(r.media_id, fmt.getSampleRate.toLong / factor, kept,
+          sum, sumAbs)
+      }
+    }
+  }
+
   /** Deterministic synthetic video: `n` grayscale frames per clip, each
     * pixel closed-form in (media_id, frame, x, y), so a SQL oracle can
     * recompute what the per-frame decoder must read back. GIF is the one

@@ -188,6 +188,34 @@ object QueriesMm {
            CAST(sum(abs(a)) AS BIGINT) sum_abs
     FROM amp GROUP BY media_id ORDER BY media_id"""
 
+  /** REAL decode + resample for audio (the rate-normalization analog of
+    * q_image_resize): every WAV decodes through the codec and
+    * downsamples 16 kHz → 8 kHz by integer decimation — pure index
+    * arithmetic, so the oracle recomputes the decimated sums from the
+    * closed-form signal. See
+    * [[graft.multimodal.MultimodalOps.decodeResampleAudio]]. */
+  def qAudioResample(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps.decodeResampleAudio(
+        MultimodalOps.encodeWavAudio(spark,
+          Tables.documents(spark, dir), "doc_id"), 2)
+      .toDF()
+      .orderBy("media_id")
+
+  val qAudioResampleOracle: String = s"""
+    WITH m AS (SELECT doc_id media_id,
+                      CAST(200 + doc_id % 301 AS BIGINT) n
+               FROM documents),
+    s AS (SELECT media_id, n, unnest(range(0, n)) i FROM m),
+    d AS (SELECT media_id,
+                 CAST((media_id*31 + i*17) % 65536 - 32768 AS BIGINT) a
+          FROM s WHERE i % 2 = 0)
+    SELECT media_id,
+           CAST(${MultimodalOps.AudioRateHz / 2} AS BIGINT) sample_rate,
+           count(*) n_samples,
+           CAST(sum(a) AS BIGINT) sum_amp,
+           CAST(sum(abs(a)) AS BIGINT) sum_abs
+    FROM d GROUP BY media_id ORDER BY media_id"""
+
   /** REAL video-container round-trip (multi-frame GIF via javax.imageio,
     * in the JDK): render deterministic grayscale frames per doc_id, write
     * them into ONE animated-GIF container, DECODE the container back
@@ -227,5 +255,6 @@ object QueriesMm {
     QueryDef("q_image_meta", qImageMeta, Some(qImageMetaOracle)),
     QueryDef("q_image_resize", qImageResize, Some(qImageResizeOracle)),
     QueryDef("q_audio_meta", qAudioMeta, Some(qAudioMetaOracle)),
+    QueryDef("q_audio_resample", qAudioResample, Some(qAudioResampleOracle)),
     QueryDef("q_video_frames", qVideoFrames, Some(qVideoFramesOracle)))
 }
