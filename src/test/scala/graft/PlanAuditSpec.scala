@@ -435,4 +435,24 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
   }
+
+  test("multimodal decode/resize/resample: one codec pass, no shuffle before the output sort") {
+    // The per-payload codec work (encode → decode+resample) must stay a
+    // single mapPartitions chain over the scan: any Exchange other than
+    // the FINAL output ordering's range partitioning means pixels or
+    // samples crossed the wire mid-pipeline — the shuffle-per-payload
+    // shape that dies at 100 TB. rangepartitioning appears exactly once
+    // (the deterministic output orderBy); no hash-partition exchange,
+    // no join, no aggregate in these plans.
+    Seq("q_image_resize", "q_audio_resample").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q grew a join:\n$p")
+      assert(!p.contains("hashpartitioning"),
+        s"$q shuffles payload mid-pipeline:\n$p")
+      assert(count(p, "Exchange") == 1 && p.contains("rangepartitioning"),
+        s"$q: expected exactly the output-sort exchange:\n$p")
+      assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"),
+        s"$q lost the batch-shaped codec pass:\n$p")
+    }
+  }
 }
