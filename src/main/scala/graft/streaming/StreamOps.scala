@@ -366,6 +366,10 @@ object StreamOps {
       .start()
     q.awaitTermination()
     val pointer = java.nio.file.Paths.get(snap, "_CURRENT")
+    // an empty source commits no batch and never writes the pointer —
+    // fail with the cause, not a bare NoSuchFileException
+    require(java.nio.file.Files.exists(pointer),
+      s"upsertViaStream: no snapshot committed under $snap (empty source?)")
     val cur = new String(java.nio.file.Files.readAllBytes(pointer),
       "UTF-8").trim
     val out = localize(spark, spark.read.parquet(s"$snap/$cur"))
