@@ -56,10 +56,26 @@ object Tables {
 /** Session defaults shared by Verify / Bench / tests. */
 object GraftSession {
   /** One warehouse per JVM (static conf — can't change after the first
-    * session): process-unique path under tmpdir. */
-  private lazy val warehouseDir: String =
-    sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+    * session): process-unique path under tmpdir, deleted on JVM exit so
+    * repeated Verify/Bench invocations don't accrete empty dirs (the
+    * table-staging gates drop their tables, so the dir is empty or
+    * near-empty at exit; recursive best-effort delete either way). */
+  private lazy val warehouseDir: String = {
+    val dir = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
       s"/graft-warehouse-${java.util.UUID.randomUUID().toString.take(8)}"
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        val p = java.nio.file.Paths.get(dir)
+        if (java.nio.file.Files.exists(p)) {
+          val walk = java.nio.file.Files.walk(p)
+          val paths = try walk.iterator().asScala.toSeq finally walk.close()
+          paths.reverse.foreach(q => java.nio.file.Files.deleteIfExists(q))
+        }
+      } catch { case _: Throwable => () } // exit path: never throw
+    ))
+    dir
+  }
 
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()

@@ -273,6 +273,10 @@ object StreamOps {
       .createTempDirectory("graft-stream-src").toString)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
       .toString
+    // cleanup must also run on the FAILURE path (a gate that throws mid
+    // stream — bad conf, analysis error — must not leave staged dirs
+    // behind; a long session of failed runs would otherwise accrete them)
+    try {
     val streams = sources.zip(stages).map { case (source, stage) =>
       // When the caller asks for per-file micro-batches, GUARANTEE there
       // are multiple files: a fixture-scale source scans as one split
@@ -309,8 +313,8 @@ object StreamOps {
     val result = spark.table(name)
     val out = localize(spark, result)
     spark.catalog.dropTempView(name)
-    cleanupDirs(stages :+ ckpt)
     out
+    } finally cleanupDirs(stages :+ ckpt)
   }
 
   /** Copy a bounded frame into a local relation so every staged artifact
@@ -354,6 +358,7 @@ object StreamOps {
       .toString
     val snap = java.nio.file.Files.createTempDirectory("graft-stream-snap")
       .toString
+    try {
     val staged = if (source.rdd.getNumPartitions < 8) source.repartition(8)
       else source
     staged.write.mode("overwrite").parquet(stage)
@@ -372,9 +377,8 @@ object StreamOps {
       s"upsertViaStream: no snapshot committed under $snap (empty source?)")
     val cur = new String(java.nio.file.Files.readAllBytes(pointer),
       "UTF-8").trim
-    val out = localize(spark, spark.read.parquet(s"$snap/$cur"))
-    cleanupDirs(Seq(stage, ckpt, snap))
-    out
+    localize(spark, spark.read.parquet(s"$snap/$cur"))
+    } finally cleanupDirs(Seq(stage, ckpt, snap))
   }
 
   /** Tumbling event-time windows: one row per (window, extra keys). */
