@@ -293,8 +293,11 @@ object QueriesText {
     val inc  = docs.where(col("source").isin(IncomingSources: _*))
     val cor  = docs.where(!col("source").isin(IncomingSources: _*))
     val table = s"lsh_idx_${java.util.UUID.randomUUID().toString.take(8)}"
-    DedupOps.writeLshIndex(cor, "doc_id", "text", Bands, Rows, table)
+    // the build runs INSIDE the try: a failure between the two table
+    // writes must still hit the finally's DROP TABLEs, or the partial
+    // index lingers in the warehouse for the rest of the JVM
     try {
+      DedupOps.writeLshIndex(cor, "doc_id", "text", Bands, Rows, table)
       val pairs = DedupOps.probeLshIndex(
         inc, "doc_id", "text", Bands, Rows, JaccardThreshold, table)
       inc.select(col("doc_id"))
@@ -1931,8 +1934,16 @@ object QueriesText {
     * everything integer: per distinct score, 2·Σ(average ranks of
     * positives) = Σ pos·(2·cum_before + cnt + 1) is an exact long, so
     * 2U = that − n_pos·(n_pos+1) and AUC = U/(n_pos·n_neg) is one final
-    * division. The cumulative window runs over DISTINCT score values
-    * (score-domain bounded). */
+    * division.
+    *
+    * The score is quantized to ppm (`round(score·1e6)`) BEFORE grouping —
+    * exactly like q_quality_curve/q_decile_lift — so the cumulative
+    * window's domain is capped at ~1e6 distinct values regardless of
+    * corpus size (the raw double's cardinality grows with distinct
+    * (word-count, letter-count, stopword-count) triples, i.e. with the
+    * corpus, which would make the single-task window a 100× scale
+    * hazard). Ppm ties merge into one rank group on BOTH engine and
+    * oracle, so the tie-aware statistic stays exact. */
   def qAuc(spark: SparkSession, dir: String): DataFrame = {
     val wc    = graft.functions.TextFunctions.wordCount(col("text"))
     val awl   = length(translate(col("text"), " ", "")).cast("double") /
@@ -1943,7 +1954,8 @@ object QueriesText {
       (lit(1.0) - least(lit(1.0), abs(awl - 4.5) / 4.5)) * 0.3 +
       least(lit(1.0), stopr * 5.0) * 0.2
     val perScore = Tables.documents(spark, dir)
-      .select((col("lang") === "en").cast("long").as("pos"), score.as("s"))
+      .select((col("lang") === "en").cast("long").as("pos"),
+        round(score * 1e6).cast("long").as("s"))
       .groupBy("s").agg(count(lit(1)).as("cnt"), sum("pos").as("np"))
     val wCum = org.apache.spark.sql.expressions.Window.orderBy("s")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -1965,7 +1977,7 @@ object QueriesText {
     val score = s"(least(1.0, CAST($wc AS DOUBLE) / 100.0) * 0.5 + (1.0 - least(1.0, abs($awl - 4.5) / 4.5)) * 0.3 + least(1.0, $stopr * 5.0) * 0.2)"
     s"""
     WITH d AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END pos,
-                      $score s FROM documents),
+                      CAST(round($score * 1000000) AS BIGINT) s FROM documents),
     g AS (SELECT s, count(*) cnt, CAST(sum(pos) AS BIGINT) np
           FROM d GROUP BY 1),
     c AS (SELECT *, CAST(sum(cnt) OVER (ORDER BY s ROWS UNBOUNDED

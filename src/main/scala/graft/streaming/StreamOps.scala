@@ -208,7 +208,11 @@ object StreamOps {
     viaStream(spark, Seq(src),
       dfs => statefulCumsum(dfs.head.as[(Long, Long, Double)])
         .toDF("event_id", "user_id", "run_c"),
-      maxFilesPerTrigger = None, outputMode = "append")
+      maxFilesPerTrigger = None, outputMode = "append",
+      // one output row PER EVENT — the unbounded-grain gate the memory
+      // sink must not drain to the driver (10M rows at sf10); the file
+      // sink keeps the result distributed end to end
+      fileSink = true)
   }
 
   /** Stream-static enrichment + windowed rollup through the real engine:
@@ -267,12 +271,24 @@ object StreamOps {
   private def viaStream(spark: SparkSession, sources: Seq[DataFrame],
                         build: Seq[DataFrame] => DataFrame,
                         maxFilesPerTrigger: Option[Int] = None,
-                        outputMode: String = "complete")
+                        outputMode: String = "complete",
+                        fileSink: Boolean = false)
       : DataFrame = {
     val stages = sources.map(_ => java.nio.file.Files
       .createTempDirectory("graft-stream-src").toString)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
       .toString
+    val sinkDir = if (fileSink)
+      Some(java.nio.file.Files.createTempDirectory("graft-stream-out").toString)
+    else None
+    require(!fileSink || outputMode == "append",
+      "file sink gates require append output mode")
+    // Track the started query + temp view so the FAILURE path can stop the
+    // query and drop the view BEFORE the staged directories are deleted —
+    // otherwise a build()/awaitTermination() throw leaves a live query
+    // whose source dirs the finally tears out from under it (ADVICE r10).
+    var started: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
+    var view: Option[String] = None
     // cleanup must also run on the FAILURE path (a gate that throws mid
     // stream — bad conf, analysis error — must not leave staged dirs
     // behind; a long session of failed runs would otherwise accrete them)
@@ -297,24 +313,56 @@ object StreamOps {
       reader.parquet(stage)
     }
     val agg = build(streams)
-    val name = "graft_stream_" +
-      java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = agg.writeStream.format("memory").queryName(name)
+    val writer0 = sinkDir match {
+      case Some(out) =>
+        // FILE sink for unbounded-grain gates (per-event output like the
+        // running-sum stream): the result lands as parquet written by the
+        // executors and is read back DISTRIBUTED — the driver never holds
+        // the rows (the memory sink would collect all of them: 10M rows /
+        // tens of GB at sf10, the one driver-memory coupling the r10
+        // verdict flagged in this harness).
+        agg.writeStream.format("parquet").option("path", out)
+      case None =>
+        val name = "graft_stream_" +
+          java.util.UUID.randomUUID.toString.replace("-", "")
+        view = Some(name)
+        agg.writeStream.format("memory").queryName(name)
+    }
+    val q = writer0
       .outputMode(outputMode)
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+    started = Some(q)
     q.awaitTermination()
-    // Drain the memory sink into a local relation and release everything
-    // the run staged: the sink already holds the full (bounded, windowed
-    // aggregate) result in driver memory, so the copy adds no new scale
-    // hazard, and it lets repeated Bench/Verify/TimeQ invocations run
-    // leak-free — temp view dropped, stage parquet + checkpoint deleted.
-    val result = spark.table(name)
-    val out = localize(spark, result)
-    spark.catalog.dropTempView(name)
-    out
-    } finally cleanupDirs(stages :+ ckpt)
+    started = None
+    sinkDir match {
+      case Some(out) =>
+        // Lineage-cut the read-back (Phase.cut: distributed blocks — a
+        // reliable checkpoint under spark.graft.checkpointDir) so the
+        // staged sink directory can be deleted in the finally while the
+        // returned frame stays valid. Explicit schema keeps an
+        // empty-result gate readable.
+        graft.ops.Phase.cut(spark.read.schema(agg.schema).parquet(out))
+      case None =>
+        // Drain the memory sink into a local relation and release
+        // everything the run staged: the sink already holds the full
+        // (bounded, windowed aggregate) result in driver memory, so the
+        // copy adds no new scale hazard, and it lets repeated Bench/
+        // Verify/TimeQ invocations run leak-free — temp view dropped,
+        // stage parquet + checkpoint deleted.
+        val name = view.get
+        val res = localize(spark, spark.table(name))
+        spark.catalog.dropTempView(name)
+        view = None
+        res
+    }
+    } finally {
+      started.foreach(q => try q.stop() catch { case e: Throwable =>
+        graftLog.warn(s"viaStream: could not stop failed query: ${e.getMessage}") })
+      view.foreach(n => try spark.catalog.dropTempView(n) catch { case _: Throwable => () })
+      cleanupDirs(stages ++ sinkDir :+ ckpt)
+    }
   }
 
   /** Copy a bounded frame into a local relation so every staged artifact
@@ -531,19 +579,30 @@ object StreamOps {
         : Iterator[(Long, Int, Long, Long)] = {
       var (t1, t2, t3) = if (st.exists()) st.get() else (-1L, -1L, -1L)
       val out = scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Long)]()
-      rows.toSeq.sortBy(_._3).foreach { case (_, tpe, ts) =>
-        if (t1 < 0 && tpe == "signup") {
-          t1 = ts; out += ((key, 1, ts, 0L))
-        } else if (t1 >= 0 && t2 < 0 && tpe == "view" && ts >= t1) {
-          t2 = ts; out += ((key, 2, ts, ts - t1))
-        } else if (t2 >= 0 && t3 < 0 && tpe == "purchase" && ts >= t2) {
-          t3 = ts; out += ((key, 3, ts, ts - t2))
-        }
+      // secondary sort on stage rank: the batch/oracle formulation uses
+      // ts >= t_prev, so a view tied to the microsecond with the signup
+      // that enables it still counts — timestamp-only ordering would make
+      // that tie resolve by arrival order (ADVICE r10)
+      rows.toSeq.sortBy(r => (r._3, FunnelStageRank(r._2))).foreach {
+        case (_, tpe, ts) =>
+          if (t1 < 0 && tpe == "signup") {
+            t1 = ts; out += ((key, 1, ts, 0L))
+          } else if (t1 >= 0 && t2 < 0 && tpe == "view" && ts >= t1) {
+            t2 = ts; out += ((key, 2, ts, ts - t1))
+          } else if (t2 >= 0 && t3 < 0 && tpe == "purchase" && ts >= t2) {
+            t3 = ts; out += ((key, 3, ts, ts - t2))
+          }
       }
       st.update((t1, t2, t3))
       out.iterator
     }
   }
+
+  /** Tie-break order for same-timestamp funnel events: a stage's enabling
+    * predecessor sorts first, matching the batch `ts >= t_prev` semantics
+    * deterministically. */
+  private[graft] val FunnelStageRank: Map[String, Int] =
+    Map("signup" -> 0, "view" -> 1, "purchase" -> 2).withDefaultValue(3)
 
   /** [[FunnelProcessor]] over (user_id, event_type, ts_us) rows. */
   def streamingFunnel(ds: org.apache.spark.sql.Dataset[(Long, String, Long)])

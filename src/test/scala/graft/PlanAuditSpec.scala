@@ -423,7 +423,11 @@ class PlanAuditSpec extends SparkSpec {
     // counting-sort rank-edge cut, every SinglePartition exchange left in
     // the plan is fed DIRECTLY by a HashAggregate (the bounded value
     // domain or the ≤10-row tile rollup), never by row-grain data.
-    Seq("q_decile_lift", "q_quality_curve", "q_rfm").foreach { q =>
+    // q_auc joins the lock in round 11: its cumulative window now runs
+    // over the ppm-QUANTIZED score (≤ ~1e6 distinct values — the same
+    // bounded domain as its two decile siblings), never the raw double
+    // whose cardinality grows with the corpus.
+    Seq("q_decile_lift", "q_quality_curve", "q_rfm", "q_auc").foreach { q =>
       val p = plan(q)
       assert(!p.toLowerCase.contains("ntile"), s"$q reintroduced ntile:\n$p")
       val lines = p.linesIterator.toVector
