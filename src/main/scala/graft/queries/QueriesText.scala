@@ -666,6 +666,68 @@ object QueriesText {
     ORDER BY id_a, id_b"""
   }
 
+  /** The PRODUCTION streaming near-dup pipeline (r10 verdict item 1):
+    * content-digest compaction (`dropDuplicatesWithinWatermark`) chained
+    * into the TTL'd posting-list LSH
+    * ([[graft.streaming.StreamOps.nearDupProdViaStream]]) — both stages
+    * through the real engine, one file per micro-batch, with a durable
+    * parquet handoff between them. This is the shape a 100 TB crawl
+    * runs: exact copies never reach the LSH state (the copies² cost the
+    * raw q_stream_neardup gate measures — 476 s vs 7 s at sf1, SCALE.md
+    * round 10 — collapses to O(uniques)), and postings are evicted a TTL
+    * horizon behind the arriving event time, bounding state by
+    * uniques-per-horizon instead of stream length.
+    *
+    * Event times are deterministic (doc_id seconds past a fixed epoch);
+    * the gate's dedup watermark and TTL both exceed the fixture's whole
+    * event-time span, so stage 1 keeps exactly one row per digest and
+    * stage 2 evicts nothing — making the digest-grain candidate set equal
+    * to the batch LSH candidates over UNIQUE texts, which is what the
+    * oracle computes. TTL eviction itself is pinned deterministically in
+    * StreamingSpec (a posting past the horizon stops pairing). */
+  def qStreamNearDupProd(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOps.nearDupProdViaStream(spark,
+        Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+          .withColumn("ts",
+            timestamp_seconds(lit(1704067200L) + col("doc_id"))),
+        "ts", Bands, Rows, JaccardThreshold,
+        dedupWatermark = "36500 days",
+        ttlUs = 36500L * 86400L * 1000000L)
+      .distinct()
+      .orderBy("dig_a", "dig_b")
+
+  val qStreamNearDupProdOracle: String = {
+    val mhs = MinhashAB.indices.map(minhashExprSql).mkString(", ")
+    val bandKeys = (0 until Bands).map { b =>
+      val key = (0 until Rows).map(r => s"CAST(mh${b * Rows + r} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT id, $b AS band, $key AS bkey FROM sigs"
+    }.mkString("\n      UNION ALL\n      ")
+    val matches = MinhashAB.indices
+      .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val k = MinhashAB.size
+    s"""
+    WITH uo AS (SELECT DISTINCT md5(text) AS dig, text FROM documents),
+    w AS (SELECT dig, string_split(text, ' ') ws FROM uo),
+    sh AS (SELECT dig, unnest(list_transform(range(1, greatest(len(ws)-2,1)+1),
+                 i -> ws[CAST(i AS INT)] || ' ' || COALESCE(ws[CAST(i AS INT)+1],'')
+                      || ' ' || COALESCE(ws[CAST(i AS INT)+2],''))) s FROM w),
+    h AS (SELECT DISTINCT dig AS id, ('0x'||substr(md5(s),1,8))::BIGINT h FROM sh),
+    sigs AS (SELECT id, $mhs FROM h GROUP BY id),
+    banded AS (
+      $bandKeys),
+    cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+             FROM banded x JOIN banded y
+               ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id),
+    m AS (SELECT id_a, id_b, $matches AS matches
+          FROM cand JOIN sigs a ON id_a = a.id JOIN sigs b ON id_b = b.id)
+    SELECT id_a AS dig_a, id_b AS dig_b,
+           CAST(matches AS DOUBLE) / $k.0 AS est_jaccard
+    FROM m WHERE CAST(matches AS DOUBLE) / $k.0 >= $JaccardThreshold
+    ORDER BY dig_a, dig_b"""
+  }
+
   /** Triangle counts over the near-dup graph
     * ([[DedupOps.triangleCounts]]) — cluster-density audit on top of the
     * connected components: triangle-rich components are true duplicate
@@ -2011,6 +2073,8 @@ object QueriesText {
     QueryDef("q_minhash_sig", qMinhashSig, Some(qMinhashSigOracle)),
     QueryDef("q_neardup_lsh", qNearDupLsh, Some(qNearDupLshOracle)),
     QueryDef("q_stream_neardup", qStreamNearDup, Some(qStreamNearDupOracle)),
+    QueryDef("q_stream_neardup_prod", qStreamNearDupProd,
+      Some(qStreamNearDupProdOracle)),
     QueryDef("q_dedup_incremental", qDedupIncremental,
       Some(qDedupIncrementalOracle)),
     QueryDef("q_embed_lsh_index", qEmbedLshIndex,

@@ -684,6 +684,143 @@ object StreamOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** One (digest, signature, event-time) posting-list member held in
+    * band-bucket state by the PRODUCTION near-dup pipeline. */
+  case class TtlMember(dig: String, sig: Seq[Long], tsUs: Long)
+
+  /** The production online near-dup processor: posting lists keyed by
+    * (band, bucket) exactly like [[NearDupProcessor]], with two changes
+    * that make the state machine runnable on an unbounded crawl:
+    *
+    *   1. it runs AFTER content-digest dedup (members are unique texts,
+    *      identified by digest), so a corpus with c exact copies of a
+    *      document pays O(1) state work for it instead of the ~c² the raw
+    *      processor measures (476 s vs 7 s at sf1's 10-copy corpus,
+    *      SCALE.md round 10);
+    *   2. postings carry their EVENT time and are evicted once they fall
+    *      a `ttlUs` horizon behind the arriving row — the same
+    *      dedup-horizon knob as [[streamingDedup]]'s watermark, so state
+    *      is bounded by unique-texts-per-horizon, not by stream length.
+    *
+    * Event-time TTL (not TTLConfig's processing-time TTL) keeps the gate
+    * and the spec deterministic: eviction depends only on the data. The
+    * horizon prune is exact for in-order arrivals and conservative under
+    * disorder bounded by the upstream dedup watermark (a posting is only
+    * dropped when some arrival is a full TTL ahead of it). */
+  class NearDupTtlProcessor(simThreshold: Double, ttlUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, String, Seq[Long], Long), (String, String, Double)] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TTLConfig}
+    @transient private var members: ListState[TtlMember] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[TtlMember]("members",
+        org.apache.spark.sql.Encoders.product[TtlMember], TTLConfig.NONE)
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, String, Seq[Long], Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, String, Double)] = {
+      val out = scala.collection.mutable.ArrayBuffer[(String, String, Double)]()
+      rows.toSeq.sortBy(r => (r._4, r._2)).foreach { case (_, dig, sig, ts) =>
+        val horizon = ts - ttlUs
+        val it = members.get()
+        val live = scala.collection.mutable.ArrayBuffer[TtlMember]()
+        var evicted = false
+        while (it.hasNext) {
+          val m = it.next()
+          if (m.tsUs < horizon) evicted = true
+          else {
+            live += m
+            if (m.dig != dig) {
+              val matches = m.sig.iterator.zip(sig.iterator)
+                .count { case (a, b) => a == b }
+              val est = matches.toDouble / sig.size.toDouble
+              if (est >= simThreshold) {
+                val (lo, hi) = if (m.dig < dig) (m.dig, dig) else (dig, m.dig)
+                out += ((lo, hi, est))
+              }
+            }
+          }
+        }
+        live += TtlMember(dig, sig, ts)
+        if (evicted) members.put(live.toArray) else members.appendValue(live.last)
+      }
+      out.iterator
+    }
+  }
+
+  /** [[NearDupTtlProcessor]] over pre-banded (bucket, digest, sig, ts_us)
+    * rows — split out so deterministic specs can pin the TTL eviction
+    * with exact bucket/signature control. */
+  def nearDupTtlOnBanded(
+      ds: org.apache.spark.sql.Dataset[(String, String, Seq[Long], Long)],
+      simThreshold: Double, ttlUs: Long)
+      : org.apache.spark.sql.Dataset[(String, String, Double)] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    ds.groupByKey(_._1)
+      .transformWithState(new NearDupTtlProcessor(simThreshold, ttlUs),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Band a (dig, text, ts) stream per row and run the TTL'd posting-list
+    * processor: the stage-2 plan of [[nearDupProdViaStream]]. */
+  def streamingNearDupTtl(df: DataFrame, bands: Int, rows: Int,
+                          simThreshold: Double, ttlUs: Long)
+      : org.apache.spark.sql.Dataset[(String, String, Double)] = {
+    import df.sparkSession.implicits._
+    import graft.functions.TextFunctions
+    val banded = df
+      .withColumn("sig", TextFunctions.rowMinhashSig(col("text")))
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .select(explode(array((0 until bands).map { b =>
+        concat_ws("_", lit(b) +: (0 until rows).map(r =>
+          element_at(col("sig"), b * rows + r + 1)): _*)
+      }: _*)).as("bucket"), col("dig"), col("sig"), col("ts_us"))
+      .as[(String, String, Seq[Long], Long)]
+    nearDupTtlOnBanded(banded, simThreshold, ttlUs)
+  }
+
+  /** The PRODUCTION streaming near-dup composition (the declared shape a
+    * 100 TB crawl runs — r10 verdict item 1), as two chained streaming
+    * stages with a durable parquet handoff between them (the Kafka/lake
+    * topic of a real deployment):
+    *
+    *   stage 1 — content-digest compaction: `withWatermark` +
+    *     `dropDuplicatesWithinWatermark(md5(text))` through the real
+    *     engine, one file per micro-batch, append to a file sink. Only
+    *     UNIQUE texts flow on — the copies² state work the raw
+    *     [[nearDupViaStream]] gate measures (476 s vs 7 s at sf1) never
+    *     reaches the LSH state.
+    *   stage 2 — TTL'd posting-list LSH over the uniques: per-row
+    *     signatures, state sharded by (band, bucket), each posting
+    *     evicted once it falls `ttlUs` behind the arriving row
+    *     ([[NearDupTtlProcessor]]) — state bounded by
+    *     uniques-per-horizon.
+    *
+    * Output is (dig_a, dig_b, est_jaccard) at content-DIGEST grain:
+    * which physical doc id survives stage 1 is delivery-order-dependent,
+    * but the digest pair set is deterministic — exactly what makes the
+    * composed gate oracle-checkable (the same reason [[dedupViaStream]]
+    * emits key columns only). A pair colliding in several buckets emits
+    * once per bucket with the same estimate; `distinct()` downstream. */
+  def nearDupProdViaStream(spark: SparkSession, docs: DataFrame,
+                           tsCol: String, bands: Int, rows: Int,
+                           simThreshold: Double, dedupWatermark: String,
+                           ttlUs: Long): DataFrame = {
+    val src = docs.select(md5(col("text")).as("dig"), col("text"),
+      col(tsCol).as("ts"))
+    val uniques = viaStream(spark, Seq(src), dfs =>
+        dfs.head.withWatermark("ts", dedupWatermark)
+          .dropDuplicatesWithinWatermark(Seq("dig")),
+      maxFilesPerTrigger = Some(1), outputMode = "append", fileSink = true)
+    withRocksDbStore(spark) {
+      viaStream(spark, Seq(uniques),
+        dfs => streamingNearDupTtl(dfs.head, bands, rows, simThreshold, ttlUs)
+          .toDF("dig_a", "dig_b", "est_jaccard"),
+        maxFilesPerTrigger = Some(1), outputMode = "append")
+    }
+  }
+
   /** [[statefulCumsum]] on the transformWithState API. */
   def statefulCumsumTws(ds: org.apache.spark.sql.Dataset[(Long, Long, Double)])
       : org.apache.spark.sql.Dataset[(Long, Long, Double)] = {

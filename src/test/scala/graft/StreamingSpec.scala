@@ -216,6 +216,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dup TTL postings: evicted members stop generating candidates; live ones still pair") {
+    // deterministic multi-batch scenario on a MemoryStream for the
+    // PRODUCTION posting-list processor (NearDupTtlProcessor, TTL=100 s;
+    // identical signatures so any live co-bucket pair clears the 0.6
+    // threshold at est=1.0):
+    //   batch 1: A @t0        → empty bucket, no pair; state {A}
+    //   batch 2: B @t0+50 s   → A live (50 s < TTL)      → pair (A,B)
+    //   batch 3: C @t0+200 s  → horizon t0+100 s: A@t0 and B@t0+50 both
+    //            behind it → EVICTED → NO pair for C; state {C}
+    //   batch 4: D @t0+210 s  → C@t0+200 live            → pair (C,D)
+    // Pairs (A,C)/(B,C)/(A,D)/(B,D) never appearing is the eviction
+    // proof; (C,D) appearing proves the prune keeps live postings.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sig = (1L to 16L).toSeq
+    val t0 = 1700000000000000L
+    val s = 1000000L // one second in micros
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[(String, String, Seq[Long], Long)]
+    val q = StreamOps.nearDupTtlOnBanded(in.toDS(), 0.6, ttlUs = 100L * s)
+      .toDF("dig_a", "dig_b", "est")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ndttl_out").start()
+    try {
+      in.addData(("b0", "digA", sig, t0)); q.processAllAvailable()
+      in.addData(("b0", "digB", sig, t0 + 50 * s)); q.processAllAvailable()
+      in.addData(("b0", "digC", sig, t0 + 200 * s)); q.processAllAvailable()
+      in.addData(("b0", "digD", sig, t0 + 210 * s)); q.processAllAvailable()
+      val got = spark.table("ndttl_out").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+      assert(got == Set(("digA", "digB", 1.0), ("digC", "digD", 1.0)), got)
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-static enrichment join == batch join (dim broadcast per micro-batch)") {
     val ev  = Tables.events(spark, dir)
       .select(col("ts"), col("event_id"), (col("user_id") % 25).as("c_custkey"))
