@@ -304,14 +304,16 @@ object QueriesTime {
            CAST(COALESCE(sum(epoch_us(t3) - epoch_us(t2)), 0) AS BIGINT) FROM s3
     ORDER BY stage"""
 
-  /** The conversion funnel through the real streaming engine: the
-    * per-user transformWithState machine ([[graft.streaming.StreamOps
-    * .FunnelProcessor]] — ValueState of three stage-completion times)
-    * runs under the DuckDB oracle instead of only the stream==batch
-    * spec. First-eligible-in-time-order advancement equals the batch
-    * min-ts formulation when processing is per-user time-ordered, which
-    * the single-batch gate guarantees; the drained advancement rows
-    * (one per stage reached) roll up in batch to q_funnel's exact
+  /** The conversion funnel through the real streaming engine,
+    * MULTI-BATCH: the per-user machine runs watermark-buffered
+    * ([[graft.streaming.StreamOps.BufferedFunnelProcessor]] — arrivals
+    * pend in ListState until the watermark passes them, then advance
+    * the stage machine in event-time order; event-time timers flush at
+    * end-of-input) under the DuckDB oracle. First-eligible-in-time-order
+    * advancement equals the batch min-ts formulation because the
+    * watermark, not single-batch sorting, establishes per-user time
+    * order across micro-batches; the drained advancement rows (one per
+    * stage reached) roll up in batch to q_funnel's exact
     * (stage, users, lag_us_sum) shape and share its oracle. */
   def qStreamFunnel(spark: SparkSession, dir: String): DataFrame = {
     val adv = StreamOps.funnelViaStream(spark, Tables.events(spark, dir))
@@ -326,10 +328,14 @@ object QueriesTime {
 
   /** Per-user running spend through the real streaming engine — the
     * flatMapGroupsWithState analog of group_cumsum, under the DuckDB
-    * oracle ([[graft.streaming.StreamOps.cumsumViaStream]] explains the
-    * single-batch order contract and why the double-carried cents stay
-    * exact). Output is one row per event with its running total — the
-    * unbounded-stream shape a spend-cap or quota monitor consumes. */
+    * oracle, MULTI-BATCH: event-time-sliced staging + watermark-buffered
+    * state establish the per-user prefix order
+    * ([[graft.streaming.StreamOps.cumsumViaStream]] — arrivals pend
+    * until the watermark passes them and fold in (ts, event_id) order,
+    * so the oracle windows on the same event-time order; double-carried
+    * cents stay exact to 2^53). Output is one row per event with its
+    * running total — the unbounded-stream shape a spend-cap or quota
+    * monitor consumes. */
   def qStreamCumsum(spark: SparkSession, dir: String): DataFrame =
     StreamOps.cumsumViaStream(spark, Tables.events(spark, dir))
       .select(col("event_id"), col("user_id"),
@@ -339,7 +345,7 @@ object QueriesTime {
   val qStreamCumsumOracle: String = """
     SELECT event_id, user_id,
            CAST(sum(CAST(round(value*100) AS BIGINT))
-                  OVER (PARTITION BY user_id ORDER BY event_id)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id)
                 AS DOUBLE)/100.0 AS run_value
     FROM events ORDER BY event_id"""
 

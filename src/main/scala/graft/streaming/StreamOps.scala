@@ -142,28 +142,56 @@ object StreamOps {
         dfs(1), rightKey, rightTs, lookback, watermark),
       maxFilesPerTrigger = Some(1), outputMode = "append")
 
-  /** The [[FunnelProcessor]] state machine under the oracle gate: events
-    * stage and re-read as a stream, all files in ONE micro-batch (batch
-    * parity needs per-user time order, which the processor establishes
-    * by sorting within a batch; cross-batch arrival-order drift is the
-    * documented streaming-funnel trade-off and stays spec-covered), and
-    * the per-advancement rows drain from the real engine's
-    * transformWithState operator + state store. The caller rolls the
-    * bounded (≤3 rows/user) advancement stream up to q_funnel's shape
-    * in batch — chaining a second stateful aggregation behind an
-    * append-mode transformWithState inside one streaming query is the
-    * multi-stateful pattern Spark restricts, and the gate's target is
-    * the state machine, not the rollup. */
+  /** The watermark-buffered funnel state machine under the oracle gate,
+    * MULTI-BATCH (r10 verdict item 3): events stage as event-time-range
+    * slices replayed one file per micro-batch, and
+    * [[BufferedFunnelProcessor]] holds each user's arrivals in ListState
+    * until the watermark passes them, then runs the stage machine over
+    * them in event-time order — so per-user order is established by the
+    * WATERMARK (the production contract for bounded disorder), not by
+    * sorting a lucky single batch. A sentinel row past every real event
+    * plus the delay advances the final watermark over the whole corpus,
+    * so end-of-input flushes everything through event-time timers and
+    * the advancement rows equal the batch min-ts formulation exactly.
+    * The caller rolls the bounded (≤3 rows/user) advancement stream up
+    * to q_funnel's shape in batch — chaining a second stateful
+    * aggregation behind an append-mode transformWithState inside one
+    * streaming query is the multi-stateful pattern Spark restricts, and
+    * the gate's target is the state machine, not the rollup. */
   def funnelViaStream(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
-    val src = events.select(col("user_id").cast("long").as("_1"),
-      col("event_type").as("_2"), unix_micros(col("ts")).as("_3"))
+    val src0 = events.select(col("user_id").cast("long").as("user_id"),
+      col("event_type"), col("ts").cast("timestamp").as("ts"))
+    val (delayUs, sentinelUs) = watermarkPlan(src0, "ts")
+    val src = src0.unionByName(spark.range(1).select(
+      lit(-1L).as("user_id"), lit("__wm__").as("event_type"),
+      timestamp_micros(lit(sentinelUs)).as("ts")))
     withRocksDbStore(spark) {
-      viaStream(spark, Seq(src),
-        dfs => streamingFunnel(dfs.head.as[(Long, String, Long)])
-          .toDF("user_id", "stage", "ts_us", "lag_us"),
-        maxFilesPerTrigger = None, outputMode = "append")
+      viaStream(spark, Seq(src), dfs =>
+          bufferedFunnel(dfs.head
+              .withWatermark("ts", s"${delayUs / 1000000L} seconds")
+              .select(col("user_id"), col("event_type"),
+                unix_micros(col("ts")).as("ts_us"), col("ts"))
+              .as[(Long, String, Long, java.sql.Timestamp)])
+            .toDF("user_id", "stage", "ts_us", "lag_us"),
+        maxFilesPerTrigger = Some(1), outputMode = "append",
+        sliceBy = Some("ts"))
     }
+  }
+
+  /** Watermark parameters for the order-sensitive gates, picked at
+    * runtime from the observed event-time span: a delay of a quarter
+    * span (≥ two staging slice widths, so intra- and cross-slice
+    * disorder is never late) and a sentinel timestamp one delay plus a
+    * margin past the corpus max (final watermark = real max + margin →
+    * every real event flushes at end-of-input). */
+  private def watermarkPlan(src: DataFrame, tsCol: String): (Long, Long) = {
+    val b = src.agg(min(unix_micros(col(tsCol))),
+      max(unix_micros(col(tsCol)))).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val delayUs = math.max((hi - lo) / 4, 60000000L)
+    val marginUs = math.max((hi - lo) / 8, 10000000L)
+    (delayUs, hi + delayUs + marginUs)
   }
 
   /** [[NearDupProcessor]] under the oracle gate: documents stage and
@@ -190,29 +218,41 @@ object StreamOps {
     }
   }
 
-  /** [[statefulCumsum]] (flatMapGroupsWithState — the remaining state API
-    * with no oracle-gated query) through the real engine: per-user
-    * running sums over exact integer cents carried as doubles (exact to
-    * 2^53, so the prefix values are bit-identical to the oracle's BIGINT
-    * window sum). Prefix sums need per-key ORDER, which the processor
-    * establishes by event id within a batch — so the gate runs all files
-    * in one micro-batch (ids split across batches would interleave
-    * arbitrarily); cross-batch state continuation is ScaleOpsSpec's
-    * stream==batch case. HDFS-backed store suffices (single column
-    * family). */
+  /** Watermark-buffered per-user running sums (flatMapGroupsWithState —
+    * the remaining state API with no oracle-gated query) through the
+    * real engine, MULTI-BATCH (r10 verdict item 3): events stage as
+    * event-time-range slices replayed one file per micro-batch, and
+    * [[statefulCumsumBuffered]] holds each user's arrivals in state
+    * until the watermark passes them, then folds them into the running
+    * sum in (event-time, id) order — prefix ORDER established by the
+    * watermark, the production contract, instead of by a lucky
+    * single-batch sort. End-of-input flush rides EventTimeTimeout: a
+    * sentinel row past every real event plus the delay advances the
+    * final watermark over the whole corpus. Cents carried as doubles
+    * stay exact to 2^53, bit-identical to the oracle's BIGINT window
+    * sum. */
   def cumsumViaStream(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
-    val src = events.select(col("event_id").as("_1"),
-      col("user_id").as("_2"),
-      round(col("value") * 100).cast("long").cast("double").as("_3"))
-    viaStream(spark, Seq(src),
-      dfs => statefulCumsum(dfs.head.as[(Long, Long, Double)])
-        .toDF("event_id", "user_id", "run_c"),
-      maxFilesPerTrigger = None, outputMode = "append",
+    val src0 = events.select(col("event_id").cast("long").as("event_id"),
+      col("user_id").cast("long").as("user_id"),
+      round(col("value") * 100).cast("long").cast("double").as("c"),
+      col("ts").cast("timestamp").as("ts"))
+    val (delayUs, sentinelUs) = watermarkPlan(src0, "ts")
+    val src = src0.unionByName(spark.range(1).select(
+      lit(-1L).as("event_id"), lit(-1L).as("user_id"), lit(0.0).as("c"),
+      timestamp_micros(lit(sentinelUs)).as("ts")))
+    viaStream(spark, Seq(src), dfs =>
+        statefulCumsumBuffered(dfs.head
+            .withWatermark("ts", s"${delayUs / 1000000L} seconds")
+            .select(col("event_id"), col("user_id"), col("c"),
+              unix_micros(col("ts")).as("ts_us"), col("ts"))
+            .as[(Long, Long, Double, Long, java.sql.Timestamp)])
+          .toDF("event_id", "user_id", "run_c"),
+      maxFilesPerTrigger = Some(1), outputMode = "append",
       // one output row PER EVENT — the unbounded-grain gate the memory
       // sink must not drain to the driver (10M rows at sf10); the file
       // sink keeps the result distributed end to end
-      fileSink = true)
+      fileSink = true, sliceBy = Some("ts"))
   }
 
   /** Stream-static enrichment + windowed rollup through the real engine:
@@ -272,7 +312,8 @@ object StreamOps {
                         build: Seq[DataFrame] => DataFrame,
                         maxFilesPerTrigger: Option[Int] = None,
                         outputMode: String = "complete",
-                        fileSink: Boolean = false)
+                        fileSink: Boolean = false,
+                        sliceBy: Option[String] = None)
       : DataFrame = {
     val stages = sources.map(_ => java.nio.file.Files
       .createTempDirectory("graft-stream-src").toString)
@@ -303,10 +344,14 @@ object StreamOps {
       // the gate means to exercise; every gated result (merged sessions,
       // dedup key set, join pair set) is order-independent, so the
       // answer is unchanged.
-      val staged = if (maxFilesPerTrigger.isDefined &&
-          source.rdd.getNumPartitions < 8) source.repartition(8)
-        else source
-      staged.write.mode("overwrite").parquet(stage)
+      sliceBy match {
+        case Some(tsCol) => stageTimeSliced(source, tsCol, stage)
+        case None =>
+          val staged = if (maxFilesPerTrigger.isDefined &&
+              source.rdd.getNumPartitions < 8) source.repartition(8)
+            else source
+          staged.write.mode("overwrite").parquet(stage)
+      }
       val reader0 = spark.readStream.schema(source.schema)
       val reader = maxFilesPerTrigger
         .map(n => reader0.option("maxFilesPerTrigger", n)).getOrElse(reader0)
@@ -386,6 +431,51 @@ object StreamOps {
         graftLog.warn(s"viaStream: could not clean $d: ${e.getMessage}")
       }
     }
+
+  /** Number of event-time slices [[stageTimeSliced]] writes. */
+  private val TimeSlices = 8
+
+  /** EVENT-TIME-ORDERED staging for order-sensitive state machines: the
+    * source is cut into [[TimeSlices]] contiguous time-range slices,
+    * written as `slice-000 … slice-00{n}` with strictly increasing
+    * modification times, so the file source (oldest-modified first)
+    * replays the stream in coarse event-time order — the arrival model
+    * watermarks are FOR (production streams arrive roughly time-ordered
+    * with bounded disorder; the round-robin fan-out's unbounded disorder
+    * is precisely what no watermark can absorb). Within a slice, order
+    * stays arbitrary: a watermark delay of one slice width or more
+    * covers it, which the buffered processors' gates pick at runtime
+    * from the observed span. */
+  private def stageTimeSliced(source: DataFrame, tsCol: String,
+                              stage: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val spark = source.sparkSession
+    val withUs = source.withColumn("__us",
+      unix_micros(col(tsCol).cast("timestamp")))
+    val b = withUs.agg(min(col("__us")), max(col("__us"))).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val width = math.max((hi - lo) / TimeSlices + 1, 1L)
+    val baseMs = System.currentTimeMillis()
+    (0 until TimeSlices).foreach { k =>
+      val slice = withUs
+        .filter(col("__us") >= lo + k * width &&
+          col("__us") < lo + (k + 1) * width)
+        .drop("__us")
+      val tmp = Files.createTempDirectory("graft-stream-slice").toString
+      try {
+        slice.repartition(1).write.mode("overwrite").parquet(tmp)
+        val part = Files.list(Paths.get(tmp)).filter(p =>
+          p.getFileName.toString.startsWith("part-")).findFirst()
+        if (part.isPresent) {
+          val target = Paths.get(stage, f"slice-$k%03d.parquet")
+          Files.move(part.get(), target, StandardCopyOption.ATOMIC_MOVE)
+          // deterministic replay order even on coarse-mtime filesystems
+          Files.setLastModifiedTime(target,
+            java.nio.file.attribute.FileTime.fromMillis(baseMs + k))
+        }
+      } finally cleanupDirs(Seq(tmp))
+    }
+  }
 
   /** [[upsertSnapshot]] under the oracle gate (stage-then-clean, the
     * q_embed_lsh_index pattern for side-effecting paths): the source
@@ -521,6 +611,44 @@ object StreamOps {
       }
   }
 
+  /** Watermark-buffered running sum on flatMapGroupsWithState +
+    * EventTimeTimeout: arrivals pend in state until the watermark passes
+    * them, then fold into the per-key sum in (event-time, id) order —
+    * per-key prefix ORDER comes from the watermark (bounded-disorder
+    * production contract), not from intra-batch luck. The timeout
+    * timestamp tracks the earliest pending row so watermark advances
+    * with NO new data for the key (including the end-of-input no-data
+    * batch) still flush it. Pending state is bounded by
+    * events-per-key-per-delay-horizon — the same bound every watermarked
+    * Spark aggregation carries. Input must be watermarked on its 5th
+    * (timestamp) column; rows are (id, key, cents, ts_us, ts). */
+  def statefulCumsumBuffered(
+      ds: org.apache.spark.sql.Dataset[(Long, Long, Double, Long, java.sql.Timestamp)])
+      : org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    ds.groupByKey(_._2)
+      .flatMapGroupsWithState[(Double, Seq[(Long, Double, Long)]),
+        (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Double, Long, java.sql.Timestamp)],
+         state: GroupState[(Double, Seq[(Long, Double, Long)])]) =>
+          var (acc, pending) = state.getOption.getOrElse(
+            (0.0, Seq.empty[(Long, Double, Long)]))
+          pending = pending ++ rows.map(r => (r._1, r._3, r._4))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, hold) = pending.partition(_._3 <= wmUs)
+          val out = ready.sortBy(r => (r._3, r._1)).map { case (id, c, _) =>
+            acc += c
+            (id, key, acc)
+          }
+          state.update((acc, hold))
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(hold.map(_._3).min / 1000L + 1L)
+          out.iterator
+      }
+  }
+
   /** The same per-key running sum on Spark 4's `transformWithState`
     * stateful-processor API (the successor to flatMapGroupsWithState):
     * typed `ValueState` holds one double per key, optionally TTL-bounded.
@@ -596,6 +724,85 @@ object StreamOps {
       st.update((t1, t2, t3))
       out.iterator
     }
+  }
+
+  /** Watermark-buffered funnel machine (the multi-batch production form
+    * of [[FunnelProcessor]]): arrivals pend in ListState until the
+    * watermark passes them, then advance the per-user stage machine in
+    * (event-time, stage-rank) order. An event-time TIMER at the earliest
+    * pending row guarantees the flush happens even when later batches
+    * carry no rows for the key — in particular the end-of-input no-data
+    * batch after the sentinel advances the final watermark. Pending
+    * state per key is bounded by events-per-key-per-delay-horizon. */
+  class BufferedFunnelProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String, Long, java.sql.Timestamp), (Long, Int, Long, Long)] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TTLConfig, ValueState}
+    @transient private var st: ValueState[(Long, Long, Long)] = _
+    @transient private var pending: ListState[(String, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      st = getHandle.getValueState[(Long, Long, Long)]("funnel",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong), TTLConfig.NONE)
+      pending = getHandle.getListState[(String, Long)]("pending",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.scalaLong), TTLConfig.NONE)
+    }
+    private def flush(key: Long, wmMs: Long): Iterator[(Long, Int, Long, Long)] = {
+      val wmUs = wmMs * 1000L
+      val all = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+      val it = pending.get()
+      while (it.hasNext) all += it.next()
+      val (ready, hold) = all.partition(_._2 <= wmUs)
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Long)]()
+      if (ready.nonEmpty) {
+        var (t1, t2, t3) = if (st.exists()) st.get() else (-1L, -1L, -1L)
+        ready.sortBy(r => (r._2, FunnelStageRank(r._1))).foreach {
+          case (tpe, ts) =>
+            if (t1 < 0 && tpe == "signup") {
+              t1 = ts; out += ((key, 1, ts, 0L))
+            } else if (t1 >= 0 && t2 < 0 && tpe == "view" && ts >= t1) {
+              t2 = ts; out += ((key, 2, ts, ts - t1))
+            } else if (t2 >= 0 && t3 < 0 && tpe == "purchase" && ts >= t2) {
+              t3 = ts; out += ((key, 3, ts, ts - t2))
+            }
+        }
+        st.update((t1, t2, t3))
+        pending.clear()
+        if (hold.nonEmpty) pending.put(hold.toArray)
+      }
+      if (hold.nonEmpty)
+        getHandle.registerTimer(hold.map(_._2).min / 1000L + 1L)
+      out.iterator
+    }
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, String, Long, java.sql.Timestamp)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Int, Long, Long)] = {
+      rows.foreach(r => pending.appendValue((r._2, r._3)))
+      flush(key, timers.getCurrentWatermarkInMs())
+    }
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[(Long, Int, Long, Long)] =
+      flush(key, timerValues.getCurrentWatermarkInMs())
+  }
+
+  /** [[BufferedFunnelProcessor]] over watermarked
+    * (user_id, event_type, ts_us, ts) rows — event-time mode so the
+    * flush timers fire off the watermark. */
+  def bufferedFunnel(
+      ds: org.apache.spark.sql.Dataset[(Long, String, Long, java.sql.Timestamp)])
+      : org.apache.spark.sql.Dataset[(Long, Int, Long, Long)] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    ds.groupByKey(_._1)
+      .transformWithState(new BufferedFunnelProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Tie-break order for same-timestamp funnel events: a stage's enabling
