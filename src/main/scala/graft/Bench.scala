@@ -17,11 +17,14 @@ object Bench {
 
   /** Representative spread: scan+hash-agg, moments, sort-based quantile,
     * running windows, rank, star join, as-of, LSH dedup, embedding top-k,
-    * event-time windows. */
+    * event-time windows, plus one real-engine streaming gate and one
+    * codec pipeline so the two newest subsystem families are tracked
+    * round over round (r10 verdict item 7). */
   val headline: Seq[String] = Seq(
     "q1_flagship", "q_moments", "q_quantile", "q_cumsum", "q_rank",
     "q_join_agg", "q_asof", "q_neardup_lsh", "q_embed_topk",
-    "q_window_tumbling", "q_session_window")
+    "q_window_tumbling", "q_session_window", "q_stream_dedup",
+    "q_image_resize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
