@@ -8,12 +8,44 @@ import org.apache.spark.sql.functions._
   * fraction each config scans — the tuning loop behind the constants in
   * QueriesSim (VERDICT r7 item 7). */
 object IvfProbe {
+
+  /** Deterministic mixture-of-Gaussians embedding fixture (r10 verdict
+    * item 8): `clusters` centers drawn uniform in [−1,1]^dims from a
+    * fixed per-cluster seed, each point = its center + uniform noise of
+    * half-width `spread` from a fixed per-point seed. Gives the recall
+    * sweep a CLUSTERABLE contrast to the near-uniform driver fixture
+    * (IVF's worst case — see the IvfMod doc in QueriesSim): on separable
+    * mixtures IVF should reach high recall at low candidate fraction,
+    * and this probe records whether ours does. */
+  def clusteredEmbeddings(spark: org.apache.spark.sql.SparkSession,
+                          n: Int, dims: Int, clusters: Int,
+                          spread: Double): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long].map { id =>
+      val c = (id % clusters).toInt
+      val rc = new java.util.Random(1234L + c)
+      val center = Array.fill(dims)(rc.nextDouble() * 2 - 1)
+      val rp = new java.util.Random(987654321L + id)
+      val v = center.map(x =>
+        (x + spread * (rp.nextDouble() * 2 - 1)).toFloat)
+      (id, v)
+    }.toDF("vec_id", "embedding")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = GraftSession.builder("local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val K = 3
-    val emb = Tables.embeddings(spark, sfDir).localCheckpoint(true)
+    val emb = (args.headOption match {
+      case Some("clustered") =>
+        val n = args.lift(1).map(_.toInt).getOrElse(500)
+        val cl = args.lift(2).map(_.toInt).getOrElse(13)
+        val sp = args.lift(3).map(_.toDouble).getOrElse(0.2)
+        println(s"[ivfprobe] clustered fixture: n=$n dims=64 clusters=$cl spread=$sp")
+        clusteredEmbeddings(spark, n, 64, cl, sp)
+      case _ => Tables.embeddings(spark, sfDir)
+    }).localCheckpoint(true)
     val n = emb.count()
     val qs = emb.where(col("vec_id") % 20 === 0).localCheckpoint(true)
     val exact = SimilarityOps.bruteForceTopK(qs, emb, "vec_id", "embedding", K)
