@@ -278,6 +278,19 @@ object StreamOps {
     * (also the provider a production deployment runs). Scope the conf to
     * one gate and restore, so the HDFS-backed default keeps covering the
     * windowed-aggregation gates. */
+  /** Set/restore a block of session confs around `body` (gate-local
+    * tuning; exception-safe restore). */
+  private def withConf[A](spark: SparkSession, confs: Map[String, String])
+      (body: => A): A = {
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   private def withRocksDbStore[A](spark: SparkSession)(body: => A): A = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val saved = spark.conf.getOption(key)
@@ -870,6 +883,24 @@ object StreamOps {
     }
   }
 
+  /** Band a frame carrying a per-row `sig` array: explode band INDICES
+    * first, then derive each band's bucket from the signature AFTER the
+    * Generate. Order matters for cost, not correctness: a projection
+    * that computes `sig` collapses into any sibling projection that
+    * references it (CollapseProject), so banding as
+    * `explode(array(<16 element_at(sig,…) refs>))` re-evaluates the
+    * whole minhash expression once per reference — measured ~5 s of a
+    * 6.4 s micro-batch at sf1 (2.3 ms/doc × 17 copies). A Generate is a
+    * collapse barrier, so exploding plain band indices below and
+    * extracting `element_at(sig, band·rows+r+1)` above it evaluates the
+    * signature exactly once per document. */
+  private def bandBuckets(df: DataFrame, bands: Int, rows: Int): DataFrame =
+    df.select(col("*"),
+        explode(array((0 until bands).map(b => lit(b)): _*)).as("__band"))
+      .withColumn("bucket", concat_ws("_", col("__band") +:
+        (0 until rows).map(r =>
+          element_at(col("sig"), col("__band") * lit(rows) + lit(r + 1))): _*))
+
   /** [[NearDupProcessor]] over (id, text) rows: band the per-row
     * signature, key by (band, bucket), scan bucket state. */
   def streamingNearDup(ds: org.apache.spark.sql.Dataset[(Long, String)],
@@ -878,12 +909,9 @@ object StreamOps {
     import ds.sparkSession.implicits._
     import graft.functions.TextFunctions
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
-    val banded = ds.toDF("id", "text")
-      .withColumn("sig", TextFunctions.rowMinhashSig(col("text")))
-      .select(col("id"), col("sig"), explode(array((0 until bands).map { b =>
-        concat_ws("_", lit(b) +: (0 until rows).map(r =>
-          element_at(col("sig"), b * rows + r + 1)): _*)
-      }: _*)).as("bucket"))
+    val banded = bandBuckets(ds.toDF("id", "text")
+        .withColumn("sig", TextFunctions.rowMinhashSig(col("text"))),
+        bands, rows)
       .select(col("bucket"), col("id"), col("sig"))
       .as[(String, Long, Seq[Long])]
     banded.groupByKey(_._1)
@@ -976,13 +1004,11 @@ object StreamOps {
       : org.apache.spark.sql.Dataset[(String, String, Double)] = {
     import df.sparkSession.implicits._
     import graft.functions.TextFunctions
-    val banded = df
-      .withColumn("sig", TextFunctions.rowMinhashSig(col("text")))
-      .withColumn("ts_us", unix_micros(col("ts")))
-      .select(explode(array((0 until bands).map { b =>
-        concat_ws("_", lit(b) +: (0 until rows).map(r =>
-          element_at(col("sig"), b * rows + r + 1)): _*)
-      }: _*)).as("bucket"), col("dig"), col("sig"), col("ts_us"))
+    val banded = bandBuckets(df
+        .withColumn("sig", TextFunctions.rowMinhashSig(col("text")))
+        .withColumn("ts_us", unix_micros(col("ts"))),
+        bands, rows)
+      .select(col("bucket"), col("dig"), col("sig"), col("ts_us"))
       .as[(String, String, Seq[Long], Long)]
     nearDupTtlOnBanded(banded, simThreshold, ttlUs)
   }
@@ -1016,16 +1042,25 @@ object StreamOps {
                            ttlUs: Long): DataFrame = {
     val src = docs.select(md5(col("text")).as("dig"), col("text"),
       col(tsCol).as("ts"))
+    val t0 = System.nanoTime()
     val uniques = viaStream(spark, Seq(src), dfs =>
         dfs.head.withWatermark("ts", dedupWatermark)
           .dropDuplicatesWithinWatermark(Seq("dig")),
       maxFilesPerTrigger = Some(1), outputMode = "append", fileSink = true)
-    withRocksDbStore(spark) {
-      viaStream(spark, Seq(uniques),
-        dfs => streamingNearDupTtl(dfs.head, bands, rows, simThreshold, ttlUs)
-          .toDF("dig_a", "dig_b", "est_jaccard"),
-        maxFilesPerTrigger = Some(1), outputMode = "append")
+    val t1 = System.nanoTime()
+    val out = withRocksDbStore(spark) {
+      withConf(spark, Map(
+        "spark.sql.shuffle.partitions" -> "8",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")) {
+        viaStream(spark, Seq(uniques),
+          dfs => streamingNearDupTtl(dfs.head, bands, rows, simThreshold, ttlUs)
+            .toDF("dig_a", "dig_b", "est_jaccard"),
+          maxFilesPerTrigger = Some(1), outputMode = "append")
+      }
     }
+    graftLog.warn(f"nearDupProd: stage1 dedup ${(t1 - t0) / 1e9}%.1f s, " +
+      f"stage2 lsh ${(System.nanoTime() - t1) / 1e9}%.1f s")
+    out
   }
 
   /** [[statefulCumsum]] on the transformWithState API. */
