@@ -116,11 +116,19 @@ object StreamOps {
     * horizon (hours/days) and state stays bounded by keys-per-horizon. */
   def dedupViaStream(spark: SparkSession, source: DataFrame, tsCol: String,
                      watermark: String, keyCols: Seq[String]): DataFrame =
-    aggViaStream(spark, source, sdf =>
-      sdf.withWatermark(tsCol, watermark)
-        .dropDuplicatesWithinWatermark(keyCols)
-        .select(keyCols.map(col): _*),
-      maxFilesPerTrigger = Some(1), outputMode = "append")
+    // 8 state partitions: each micro-batch pays a state-store
+    // open/commit per partition per stateful op, so the per-file gate's
+    // fixed cost scales with batches × partitions — at fixture scale 32
+    // partitions is pure overhead (the dedup map itself is tiny). A real
+    // deployment sizes this to keys-per-horizon / executor memory, not
+    // to the session default.
+    withConf(spark, Map("spark.sql.shuffle.partitions" -> "8")) {
+      aggViaStream(spark, source, sdf =>
+        sdf.withWatermark(tsCol, watermark)
+          .dropDuplicatesWithinWatermark(keyCols)
+          .select(keyCols.map(col): _*),
+        maxFilesPerTrigger = Some(1), outputMode = "append")
+    }
 
   /** Stream-stream event-time interval join through the REAL engine: both
     * sides are staged and re-read as streams (one file per micro-batch
@@ -210,11 +218,15 @@ object StreamOps {
     val src = docs.select(col("doc_id").cast("long").as("_1"),
       col("text").as("_2"))
     withRocksDbStore(spark) {
+      // FILE sink: candidate pairs are unbounded grain (~27M rows at
+      // sf10 — a memory sink accumulates every pair in the driver and
+      // OOMs a 64 GB heap; measured round 11). The executors write the
+      // pairs to parquet and the read-back stays distributed.
       viaStream(spark, Seq(src),
         dfs => streamingNearDup(dfs.head.as[(Long, String)], bands, rows,
             simThreshold)
           .toDF("id_a", "id_b", "est_jaccard"),
-        maxFilesPerTrigger = Some(1), outputMode = "append")
+        maxFilesPerTrigger = Some(1), outputMode = "append", fileSink = true)
     }
   }
 
