@@ -906,7 +906,7 @@ object StreamOps {
     * collapse barrier, so exploding plain band indices below and
     * extracting `element_at(sig, band·rows+r+1)` above it evaluates the
     * signature exactly once per document. */
-  private def bandBuckets(df: DataFrame, bands: Int, rows: Int): DataFrame =
+  private[graft] def bandBuckets(df: DataFrame, bands: Int, rows: Int): DataFrame =
     df.select(col("*"),
         explode(array((0 until bands).map(b => lit(b)): _*)).as("__band"))
       .withColumn("bucket", concat_ws("_", col("__band") +:

@@ -459,4 +459,29 @@ class PlanAuditSpec extends SparkSpec {
         s"$q lost the batch-shaped codec pass:\n$p")
     }
   }
+
+  test("streaming banding: the minhash signature is evaluated once per document") {
+    // The r11 regression class: higher-order functions are codegen-
+    // fallback with no common-subexpression elimination, and
+    // CollapseProject inlines a signature-computing projection into
+    // every sibling reference — banding as explode(<16 refs to sig>)
+    // re-evaluates the whole shingle+md5 pipeline ~17x per row
+    // (measured 2.3 ms/doc, the dominant term of the 476 s r10 gate).
+    // bandBuckets explodes plain band INDICES (a Generate is a collapse
+    // barrier) and extracts element_at(sig, ...) above it, so the
+    // optimized plan must contain the md5 expression exactly once.
+    import org.apache.spark.sql.functions._
+    // a parquet scan, not a LocalRelation — ConvertToLocalRelation would
+    // eagerly evaluate the projection and leave nothing to count
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"), col("text"))
+    val banded = graft.streaming.StreamOps.bandBuckets(
+      docs.withColumn("sig",
+        graft.functions.TextFunctions.rowMinhashSig(col("text"))), 16, 1)
+    val opt = banded.queryExecution.optimizedPlan.toString
+    val md5Count = "md5\\(".r.findAllIn(opt).size
+    assert(md5Count == 1,
+      s"signature inlined $md5Count times — banding lost its collapse barrier:\n$opt")
+    assert("Generate ".r.findAllIn(opt).size == 1, opt)
+  }
 }
