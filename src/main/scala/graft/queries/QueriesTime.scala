@@ -146,10 +146,11 @@ object QueriesTime {
     * cousin): each purchase matches the same user's views in the
     * trailing 7 days, both sides arriving as independent streams in
     * per-file micro-batches, so matches cross batch boundaries and are
-    * produced by the symmetric join state store. Inner joins emit
-    * eagerly; the full-span watermark (see
-    * [[graft.streaming.StreamOps.intervalJoinViaStream]]) makes the
-    * emitted pair set exactly the batch range join the oracle computes.
+    * produced by the symmetric join state store, while the watermark
+    * ADVANCES and evicts passed state — the production bounded-state
+    * shape (see [[graft.streaming.StreamOps.intervalJoinViaStream]] for
+    * why the emitted pair set is still exactly the batch range join the
+    * oracle computes).
     * `gap_s` is an exact integer (µs difference floor-divided; v_ts ≤ ts
     * so floor == truncate in both engines). */
   def qStreamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -160,7 +161,7 @@ object QueriesTime {
       .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
         col("event_id").as("view_id"))
     StreamOps.intervalJoinViaStream(spark, purchases, "user_id", "ts",
-        views, "v_user", "v_ts", "7 days", "90 days")
+        views, "v_user", "v_ts", "7 days")
       .select(col("purchase_id"), col("view_id"),
         expr("(unix_micros(ts) - unix_micros(v_ts)) div 1000000L")
           .cast("long").as("gap_s"))
