@@ -116,19 +116,11 @@ object StreamOps {
     * horizon (hours/days) and state stays bounded by keys-per-horizon. */
   def dedupViaStream(spark: SparkSession, source: DataFrame, tsCol: String,
                      watermark: String, keyCols: Seq[String]): DataFrame =
-    // 8 state partitions: each micro-batch pays a state-store
-    // open/commit per partition per stateful op, so the per-file gate's
-    // fixed cost scales with batches × partitions — at fixture scale 32
-    // partitions is pure overhead (the dedup map itself is tiny). A real
-    // deployment sizes this to keys-per-horizon / executor memory, not
-    // to the session default.
-    withConf(spark, Map("spark.sql.shuffle.partitions" -> "8")) {
-      aggViaStream(spark, source, sdf =>
-        sdf.withWatermark(tsCol, watermark)
-          .dropDuplicatesWithinWatermark(keyCols)
-          .select(keyCols.map(col): _*),
-        maxFilesPerTrigger = Some(1), outputMode = "append")
-    }
+    aggViaStream(spark, source, sdf =>
+      sdf.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark(keyCols)
+        .select(keyCols.map(col): _*),
+      maxFilesPerTrigger = Some(1), outputMode = "append")
 
   /** Stream-stream event-time interval join through the REAL engine,
     * with a watermark that ADVANCES (r11 — the production bounded-state
@@ -350,6 +342,26 @@ object StreamOps {
                         outputMode: String = "complete",
                         fileSink: Boolean = false,
                         sliceBy: Map[Int, String] = Map.empty)
+      : DataFrame =
+    // Per-file-batch gates: 8 state partitions for the whole run. Every
+    // micro-batch pays a state-store open/commit per partition per
+    // stateful operator, so the session's 32 shuffle partitions are pure
+    // fixed cost at fixture scale (measured −30% on the dedup gate at
+    // sf0.1; dedup and interval-join re-verified checksum-exact at sf10
+    // under 8). A real deployment sizes this to keys-per-horizon vs
+    // executor memory — it is a deployment knob, not plan shape.
+    withConf(spark, if (maxFilesPerTrigger.isDefined)
+        Map("spark.sql.shuffle.partitions" -> "8") else Map.empty) {
+    viaStream0(spark, sources, build, maxFilesPerTrigger, outputMode,
+      fileSink, sliceBy)
+  }
+
+  private def viaStream0(spark: SparkSession, sources: Seq[DataFrame],
+                        build: Seq[DataFrame] => DataFrame,
+                        maxFilesPerTrigger: Option[Int],
+                        outputMode: String,
+                        fileSink: Boolean,
+                        sliceBy: Map[Int, String])
       : DataFrame = {
     val stages = sources.map(_ => java.nio.file.Files
       .createTempDirectory("graft-stream-src").toString)
@@ -1075,8 +1087,8 @@ object StreamOps {
       maxFilesPerTrigger = Some(1), outputMode = "append", fileSink = true)
     val t1 = System.nanoTime()
     val out = withRocksDbStore(spark) {
+      // state partitions come from the per-file-batch harness default
       withConf(spark, Map(
-        "spark.sql.shuffle.partitions" -> "8",
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")) {
         viaStream(spark, Seq(uniques),
           dfs => streamingNearDupTtl(dfs.head, bands, rows, simThreshold, ttlUs)
