@@ -216,6 +216,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("interval join under an advancing watermark: state EVICTS mid-run, pair set stays exact") {
+    // Pins the load-bearing assumption of the r11 q_stream_interval_join
+    // gate (advancing watermark, production bounded-state shape): Spark
+    // evicts right-side join state strictly OLDER than
+    // watermark − lookback, so no row a future in-lookback match could
+    // need is ever removed — eviction changes state size, never the
+    // pair set. Deterministic multi-batch scenario (lookback 1 h,
+    // delay 10 min):
+    //   batch 1: view V1 @10:00 (right)
+    //   batch 2: purchase P1 @10:30 → pairs with V1 (30 min ≤ 1 h);
+    //            view V2 @13:00 advances the watermark to 12:50, far
+    //            past V1's eviction threshold (12:50 − 1 h = 11:50)
+    //   batch 3: purchase P2 @13:20 → pairs with V2 (in state), and V1
+    //            is long gone — correctly, since 13:20 − 10:00 > 1 h
+    //            means no future purchase could legally match it.
+    // Asserts BOTH the exact pair set and that the state store reported
+    // rows REMOVED (eviction actually fired during the run).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lIn = MemoryStream[(Long, Long, String)] // (purchase_id, user, ts)
+    val rIn = MemoryStream[(Long, Long, String)] // (view_id, user, ts)
+    val l = lIn.toDF().select(col("_1").as("pid"), col("_2").as("u"),
+      to_timestamp(col("_3")).as("ts"))
+    val r = rIn.toDF().select(col("_1").as("vid"), col("_2").as("v_u"),
+      to_timestamp(col("_3")).as("v_ts"))
+    val joined = StreamOps.intervalJoin(l, "u", "ts", r, "v_u", "v_ts",
+      "1 hour", "10 minutes").select("pid", "vid")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssj_evict_out").start()
+    try {
+      rIn.addData((101L, 7L, "2024-01-01 10:00:00"))
+      q.processAllAvailable()
+      lIn.addData((1L, 7L, "2024-01-01 10:30:00"))
+      rIn.addData((102L, 7L, "2024-01-01 13:00:00"))
+      q.processAllAvailable()
+      lIn.addData((2L, 7L, "2024-01-01 13:20:00"))
+      q.processAllAvailable()
+      val got = spark.table("ssj_evict_out").collect()
+        .map(row => (row.getLong(0), row.getLong(1))).toSet
+      assert(got == Set((1L, 101L), (2L, 102L)), got)
+      val removed = q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsRemoved).sum
+      assert(removed > 0, "watermark advanced past V1 but no state was evicted")
+    } finally q.stop()
+  }
+
   test("buffered funnel: a user's events split across 3 batches OUT OF ORDER still match batch") {
     // the r10 verdict's honest-multi-batch case: the view arrives a batch
     // BEFORE its signup, with disorder (5 min) bounded by the watermark
