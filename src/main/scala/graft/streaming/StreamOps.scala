@@ -438,8 +438,35 @@ object StreamOps {
         // reliable checkpoint under spark.graft.checkpointDir) so the
         // staged sink directory can be deleted in the finally while the
         // returned frame stays valid. Explicit schema keeps an
-        // empty-result gate readable.
-        graft.ops.Phase.cut(spark.read.schema(agg.schema).parquet(out))
+        // empty-result gate readable. Repartition FIRST, sized by the
+        // sink's on-disk volume (~32 MB parquet ≈ ~100 MB in-memory per
+        // partition): the sink wrote under the gate's 8 state
+        // partitions, so a large-grain result (27M pairs at sf10) lands
+        // in a few fat files, and checkpoint blocks + downstream
+        // per-task aggregation state sized by those files OOM'd a 16 GB
+        // heap (round 11); core-count partitioning still left ~850k-row
+        // aggregation maps racing 32-way for execution memory. Volume
+        // keyed blocks stay bounded at any output grain.
+        val sinkBytes = {
+          val s = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+          try s.filter(java.nio.file.Files.isRegularFile(_))
+            .mapToLong(java.nio.file.Files.size(_)).sum()
+          finally s.close()
+        }
+        val parts = math.max(spark.sparkContext.defaultParallelism,
+          (sinkBytes / (32L << 20) + 1).toInt)
+        // DISK-backed cut, scoped to this read-back only: localCheckpoint
+        // caches the blocks in the unified memory region, and an
+        // unbounded-grain result (27M pairs ≈ several GB at sf10) pins
+        // it hard enough that the next aggregation cannot acquire a
+        // single page (measured: default and 16 GB drivers both OOM).
+        // The batch pipelines keep their fast in-memory cuts — their cut
+        // results are bounded by design; a streaming gate's output grain
+        // is the one thing the harness cannot bound.
+        withConf(spark, Map(graft.ops.Phase.ConfKey -> streamCkptDir)) {
+          graft.ops.Phase.cut(spark.read.schema(agg.schema).parquet(out)
+            .repartition(parts))
+        }
       case None =>
         // Drain the memory sink into a local relation and release
         // everything the run staged: the sink already holds the full
@@ -485,6 +512,25 @@ object StreamOps {
 
   /** Number of event-time slices [[stageTimeSliced]] writes. */
   private val TimeSlices = 8
+
+  /** JVM-unique reliable-checkpoint dir for the file-sink read-back cuts
+    * (deleted on exit; mirrors GraftSession's warehouse lifecycle). */
+  private lazy val streamCkptDir: String = {
+    val dir = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+      s"/graft-stream-ckpt-${java.util.UUID.randomUUID().toString.take(8)}"
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        val p = java.nio.file.Paths.get(dir)
+        if (java.nio.file.Files.exists(p)) {
+          val walk = java.nio.file.Files.walk(p)
+          val paths = try walk.iterator().asScala.toSeq finally walk.close()
+          paths.reverse.foreach(q => java.nio.file.Files.deleteIfExists(q))
+        }
+      } catch { case _: Throwable => () } // exit path: never throw
+    ))
+    dir
+  }
 
   /** EVENT-TIME-ORDERED staging for order-sensitive state machines: the
     * source is cut into [[TimeSlices]] contiguous time-range slices,
