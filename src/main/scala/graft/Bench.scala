@@ -44,15 +44,6 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
 
     val queries = SparkEntry.queries
-    // Steady-state measurement: run every headline query once at the
-    // smallest SF so JIT/codegen compilation of each plan's generated code
-    // isn't charged to the timed run (cold md5/explode paths alone cost
-    // ~10 s of C2 compilation on first use).
-    val warmupDir = "/root/testdata/sf0.001"
-    selected.foreach { name =>
-      try noop(queries(name)(spark, warmupDir)) catch { case _: Throwable => }
-    }
-    System.gc() // drop warmup garbage so timed runs don't pay its GC debt
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     // All raw samples per query, so a round-over-round delta can be
     // attributed to run-to-run variance vs a genuine plan/code drift
@@ -65,29 +56,50 @@ object Bench {
     // + exact rerank, executed by the final job) is derived from that
     // run's total so the map accounts for the whole query.
     val phases = scala.collection.mutable.LinkedHashMap[String, Double]()
-    selected.foreach { name =>
-      // best-of-3 with a GC fence per query: the heavy text pipelines
-      // (md5 shingling + 16-way minhash) take 2-3 executions of the
-      // full-SF plan before C2 reaches steady state, and accumulated
-      // checkpoint blocks from a previous query can charge their cleanup
-      // to the next one — best-of-2 measured that noise, not the engine
-      // (observed: 4.9/5.6/1.5/1.5 s for the same LSH plan back-to-back)
-      results(name) =
-        try {
-          System.gc()
-          val collectPhases = name == "q_neardup_lsh"
-          val runs = (1 to 3).map { _ =>
-            if (collectPhases) graft.ops.Phase.startTimings()
-            time(noop(queries(name)(spark, sfDir)))
-          }
-          if (collectPhases) {
-            val cuts = graft.ops.Phase.drainTimings()
-            cuts.foreach { case (l, s) => phases(l) = s }
-            phases("rerank_and_rest") = runs.last - cuts.map(_._2).sum
-          }
-          samples(name) = runs
-          runs.min
-        } catch { case _: Throwable => -1.0 }
+    // The streaming/codec gates warm up and time AFTER the 11-query batch
+    // set completes (r11 verdict item 3): their warmups stage temp
+    // parquet, open RocksDB state stores, and run JVM codecs — native
+    // allocations + page-cache churn that r11 charged to the batch set by
+    // warming everything up front (BENCH_r11's near-uniform +24-37% drift
+    // on plans PlanAuditSpec locks as unchanged). Grouping restores the
+    // r10 measurement conditions for the batch aggregate while keeping
+    // both families tracked in one artifact.
+    val gateQueries = Set("q_stream_dedup", "q_image_resize")
+    val groups = Seq(selected.filterNot(gateQueries), selected.filter(gateQueries))
+    val warmupDir = "/root/testdata/sf0.001"
+    groups.foreach { group =>
+      // Steady-state measurement: run each group's queries once at the
+      // smallest SF so JIT/codegen compilation of each plan's generated
+      // code isn't charged to the timed run (cold md5/explode paths alone
+      // cost ~10 s of C2 compilation on first use).
+      group.foreach { name =>
+        try noop(queries(name)(spark, warmupDir)) catch { case _: Throwable => }
+      }
+      System.gc() // drop warmup garbage so timed runs don't pay its GC debt
+      group.foreach { name =>
+        // best-of-3 with a GC fence per query: the heavy text pipelines
+        // (md5 shingling + 16-way minhash) take 2-3 executions of the
+        // full-SF plan before C2 reaches steady state, and accumulated
+        // checkpoint blocks from a previous query can charge their cleanup
+        // to the next one — best-of-2 measured that noise, not the engine
+        // (observed: 4.9/5.6/1.5/1.5 s for the same LSH plan back-to-back)
+        results(name) =
+          try {
+            System.gc()
+            val collectPhases = name == "q_neardup_lsh"
+            val runs = (1 to 3).map { _ =>
+              if (collectPhases) graft.ops.Phase.startTimings()
+              time(noop(queries(name)(spark, sfDir)))
+            }
+            if (collectPhases) {
+              val cuts = graft.ops.Phase.drainTimings()
+              cuts.foreach { case (l, s) => phases(l) = s }
+              phases("rerank_and_rest") = runs.last - cuts.map(_._2).sum
+            }
+            samples(name) = runs
+            runs.min
+          } catch { case _: Throwable => -1.0 }
+      }
     }
 
     // Reference micro-bench: grouped sum, 10M rows × 200 groups

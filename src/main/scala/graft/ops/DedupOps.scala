@@ -147,41 +147,68 @@ object DedupOps {
 
   private val bucketStatsSeq = new java.util.concurrent.atomic.AtomicLong
 
-  // one listener per session; the set holds the few long-lived sessions a
-  // JVM creates (tests + harness), not a leak surface
-  private val bucketStatsSessions =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.sql.SparkSession]()
+  // one listener per session, WEAKLY keyed (ADVICE r11: a strong set
+  // accretes sessions in a JVM that churns them — notebook servers,
+  // test suites); the listener holds no session reference, so a dropped
+  // session stays collectable
+  private val bucketStatsSessions = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+
+  // metric names already reported — each `lsh_bucket_stats_<seq>` name is
+  // unique to one capBuckets call, so the synchronous report after the
+  // phase action and the async listener can both fire without duplicate
+  // log lines (one tiny string per capBuckets call per JVM)
+  private val bucketStatsLogged =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def logBucketStatsRow(name: String,
+                                row: org.apache.spark.sql.Row): Unit = {
+    if (!bucketStatsLogged.add(name)) return
+    val nPost = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val maxSeen = if (row.isNullAt(1)) 0L else row.getLong(1)
+    val cap = if (row.isNullAt(2)) 0L else row.getLong(2)
+    val dropped = if (row.isNullAt(3)) 0L else row.getLong(3)
+    val ppm = if (nPost == 0) 0L else dropped * 1000000L / nPost
+    // stdout on purpose: this is the run-log line a production dedup job
+    // ships with its output (bench/verify capture stdout; slf4j INFO is
+    // below the harnesses' WARN root level)
+    println(s"[graft] lsh-bucket-stats postings=$nPost " +
+      s"max_bucket=$maxSeen cap=$cap " +
+      s"dropped_postings=$dropped dropped_ppm=$ppm")
+    if (dropped > 0)
+      graftLog.warn("LSH hot-bucket cap firing: dropping " +
+        s"$dropped postings ($ppm ppm) in buckets over $cap — " +
+        "run lshBucketStats before trusting recall at this cap")
+  }
+
+  /** SYNCHRONOUS drop report (ADVICE r11: the listener bus is async — a
+    * stats line can trail the harness's stdout capture, duplicate on
+    * re-executed actions, or drop on bus overflow): call right after the
+    * action that materialized `df` to log any `lsh_bucket_stats_*`
+    * observation recorded on its executed plan, guaranteed before the
+    * caller returns. The listener stays registered as the catch-all for
+    * consumers that materialize through their own actions (e.g. the
+    * index build's saveAsTable, whose writer executes a cloned plan);
+    * [[bucketStatsLogged]] keeps the two paths from double-logging. */
+  private def reportBucketStats(df: DataFrame): Unit =
+    df.queryExecution.observedMetrics.foreach { case (name, row) =>
+      if (name.startsWith("lsh_bucket_stats_")) logBucketStatsRow(name, row)
+    }
 
   /** Logs every `lsh_bucket_stats_*` observation when the action that
     * executed it completes. Fires once per pipeline run: the first
     * action crossing the metrics node is the phase cut of the pruned
     * candidates, and every later consumer plans against that cut LEAF. */
   private def registerBucketStatsListener(spark: org.apache.spark.sql.SparkSession): Unit =
-    if (bucketStatsSessions.add(spark))
+    if (bucketStatsSessions.putIfAbsent(spark, java.lang.Boolean.TRUE) == null)
       spark.listenerManager.register(
         new org.apache.spark.sql.util.QueryExecutionListener {
           override def onSuccess(funcName: String,
               qe: org.apache.spark.sql.execution.QueryExecution,
               durationNs: Long): Unit =
             qe.observedMetrics.foreach { case (name, row) =>
-              if (name.startsWith("lsh_bucket_stats_")) {
-                val nPost = if (row.isNullAt(0)) 0L else row.getLong(0)
-                val maxSeen = if (row.isNullAt(1)) 0L else row.getLong(1)
-                val cap = if (row.isNullAt(2)) 0L else row.getLong(2)
-                val dropped = if (row.isNullAt(3)) 0L else row.getLong(3)
-                val ppm = if (nPost == 0) 0L else dropped * 1000000L / nPost
-                // stdout on purpose: this is the run-log line a
-                // production dedup job ships with its output (bench/
-                // verify capture stdout; slf4j INFO is below the
-                // harnesses' WARN root level)
-                println(s"[graft] lsh-bucket-stats postings=$nPost " +
-                  s"max_bucket=$maxSeen cap=$cap " +
-                  s"dropped_postings=$dropped dropped_ppm=$ppm")
-                if (dropped > 0)
-                  graftLog.warn("LSH hot-bucket cap firing: dropping " +
-                    s"$dropped postings ($ppm ppm) in buckets over $cap — " +
-                    "run lshBucketStats before trusting recall at this cap")
-              }
+              if (name.startsWith("lsh_bucket_stats_"))
+                logBucketStatsRow(name, row)
             }
           override def onFailure(funcName: String,
               qe: org.apache.spark.sql.execution.QueryExecution,
@@ -445,13 +472,16 @@ object DedupOps {
     // build + join-back), so the pruned list — whose lineage carries the
     // band self-join and the estimate filter — is the one candidate-side
     // phase that must be cut (see nearDupsOnShingles).
-    val pruned = pairs
+    val pruned0 = pairs
       .join(sizes.select(col("id").as("id_a"), col("psz").as("pa")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("psz").as("pb")), Seq("id_b"))
       .where(least(col("pa"), col("pb")) * 100 >=
         greatest(col("pa"), col("pb")) * tNum)
       .select("id_a", "id_b")
-      .phaseCutAs("lsh.pruned_cand")
+    val pruned = pruned0.phaseCutAs("lsh.pruned_cand")
+    // the cut above is the first action over the candidate lineage — when
+    // it contains a capBuckets metrics node, report drops synchronously
+    reportBucketStats(pruned0)
     jaccardOnPairs(pruned, sh).where(col("jaccard") >= threshold)
   }
 
@@ -478,11 +508,13 @@ object DedupOps {
     // there multiplies every colliding new doc by its full posting list
     // (m_new × m_corpus); capping the corpus bounds that to
     // m_new × maxBucket while the (small) new side stays intact
-    val cand = bandedKeys(sigsN, bands, rows).as("x")
+    val cand0 = bandedKeys(sigsN, bands, rows).as("x")
       .join(capBuckets(bandedKeys(sigsC, bands, rows), maxBucket).as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct().phaseCut
+      .distinct()
+    val cand = cand0.phaseCut
+    reportBucketStats(cand0) // the cut crossed this path's metrics node
     rerankThresholded(cand, shN.unionByName(shC), threshold)
       .phaseCut
   }
@@ -544,7 +576,9 @@ object DedupOps {
     // persist()+count() is not recompute-proof
     val sh   = shingles.phaseCut
     val sigs = minhashSignatures(sh).phaseCut
-    val cand = lshCandidates(sigs, bands, rows).phaseCut
+    val cand0 = lshCandidates(sigs, bands, rows)
+    val cand = cand0.phaseCut
+    reportBucketStats(cand0)
     val sa = sigs.select(col("id").as("id_a") +:
       (0 until k).map(i => col(s"mh$i").as(s"a$i")): _*)
     val sb = sigs.select(col("id").as("id_b") +:

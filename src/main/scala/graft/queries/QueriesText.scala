@@ -622,7 +622,8 @@ object QueriesText {
   /** Streaming MinHash near-dup candidates through the real engine: each
     * arriving document is banded per-row (no shuffle agg), bucket
     * posting lists live in transformWithState ListState
-    * ([[graft.streaming.StreamOps.NearDupProcessor]]), and a new member
+    * ([[graft.streaming.StreamOps.NearDupTtlProcessor]], run at an
+    * infinite horizon), and a new member
     * emits a candidate per existing bucket member whose full-signature
     * agreement clears the threshold — the online counterpart of
     * q_neardup_lsh's candidate generator, now under the DuckDB oracle

@@ -380,6 +380,43 @@ object QueriesTime {
     FROM e JOIN customer ON ck = c_custkey
     GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** [[qStreamEnrich]] in PRODUCTION append mode (r11 verdict item 4):
+    * the enriched hourly rollup runs `withWatermark` + append output
+    * through the real engine
+    * ([[graft.streaming.StreamOps.enrichViaStreamAppend]]) — a window
+    * row is emitted exactly once, when the watermark passes its end.
+    * End-of-input watermark = max(ts) floored to ms minus the 2-hour
+    * delay; a tumbling window is final when `window_end <= watermark`
+    * (Spark evicts on end ≤ watermark for windowed aggregations), so
+    * the oracle filters the batch rollup to the same closed set and the
+    * withheld tail is exactly the final 2h+1h of windows. Late-row drop
+    * behind the watermark is pinned in StreamingSpec. */
+  def qStreamEnrichAppend(spark: SparkSession, dir: String): DataFrame =
+    StreamOps.enrichViaStreamAppend(spark,
+        Tables.events(spark, dir)
+          .select(col("ts"), (col("user_id") % 25 + 1).as("c_custkey"),
+            round(col("value") * 100).cast("long").as("c")),
+        Tables.customer(spark, dir).select("c_custkey", "c_mktsegment"),
+        Seq("c_custkey"), "ts", "1 hour", StreamWatermark,
+        Seq(col("c_mktsegment")),
+        Seq(count(lit(1)).as("n"),
+          (sum(col("c")).cast("double") / 100.0).as("sum_value")))
+      .select("window_start", "c_mktsegment", "n", "sum_value")
+      .orderBy("window_start", "c_mktsegment")
+
+  val qStreamEnrichAppendOracle: String = """
+    WITH e AS (SELECT ts, user_id % 25 + 1 AS ck,
+                      CAST(round(value*100) AS BIGINT) c FROM events),
+    wm AS (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL '2 hours' w
+           FROM events)
+    SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', e.ts)) AS BIGINT)
+             AS window_start,
+           c_mktsegment, count(*) AS n,
+           CAST(sum(c) AS DOUBLE)/100.0 AS sum_value
+    FROM e JOIN customer ON ck = c_custkey, wm
+    WHERE time_bucket(INTERVAL '1 hour', e.ts) + INTERVAL '1 hour' <= wm.w
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** The exactly-once foreachBatch snapshot sink under the oracle gate:
     * events replay one file per micro-batch through
     * [[graft.streaming.StreamOps.upsertSnapshot]] (compact-and-swap with
@@ -862,6 +899,8 @@ object QueriesTime {
     QueryDef("q_stream_funnel", qStreamFunnel, Some(qFunnelOracle)),
     QueryDef("q_stream_cumsum", qStreamCumsum, Some(qStreamCumsumOracle)),
     QueryDef("q_stream_enrich", qStreamEnrich, Some(qStreamEnrichOracle)),
+    QueryDef("q_stream_enrich_append", qStreamEnrichAppend,
+      Some(qStreamEnrichAppendOracle)),
     QueryDef("q_stream_upsert", qStreamUpsert, Some(qStreamUpsertOracle)),
     QueryDef("q_hist", qHist, Some(qHistOracle)),
     QueryDef("q_range_join", qRangeJoin, Some(qRangeJoinOracle)),

@@ -143,14 +143,16 @@ object StreamOps {
                             left: DataFrame, leftKey: String, leftTs: String,
                             right: DataFrame, rightKey: String,
                             rightTs: String, lookback: String): DataFrame = {
-    val delayUs = math.max(watermarkPlan(left, leftTs)._1,
-      watermarkPlan(right, rightTs)._1)
+    val (lDelay, _, lLo, lHi) = watermarkPlan(left, leftTs)
+    val (rDelay, _, rLo, rHi) = watermarkPlan(right, rightTs)
+    val delayUs = math.max(lDelay, rDelay)
     val watermark = s"${delayUs / 1000000L} seconds"
     viaStream(spark, Seq(left, right),
       dfs => intervalJoin(dfs(0), leftKey, leftTs,
         dfs(1), rightKey, rightTs, lookback, watermark),
       maxFilesPerTrigger = Some(1), outputMode = "append",
-      sliceBy = Map(0 -> leftTs, 1 -> rightTs))
+      sliceBy = Map(0 -> leftTs, 1 -> rightTs),
+      sliceBounds = Map(0 -> ((lLo, lHi)), 1 -> ((rLo, rHi))))
   }
 
   /** The watermark-buffered funnel state machine under the oracle gate,
@@ -173,7 +175,7 @@ object StreamOps {
     import spark.implicits._
     val src0 = events.select(col("user_id").cast("long").as("user_id"),
       col("event_type"), col("ts").cast("timestamp").as("ts"))
-    val (delayUs, sentinelUs) = watermarkPlan(src0, "ts")
+    val (delayUs, sentinelUs, loUs, hiUs) = watermarkPlan(src0, "ts")
     val src = src0.unionByName(spark.range(1).select(
       lit(-1L).as("user_id"), lit("__wm__").as("event_type"),
       timestamp_micros(lit(sentinelUs)).as("ts")))
@@ -186,7 +188,7 @@ object StreamOps {
               .as[(Long, String, Long, java.sql.Timestamp)])
             .toDF("user_id", "stage", "ts_us", "lag_us"),
         maxFilesPerTrigger = Some(1), outputMode = "append",
-        sliceBy = Map(0 -> "ts"))
+        sliceBy = Map(0 -> "ts"), sliceBounds = Map(0 -> ((loUs, hiUs))))
     }
   }
 
@@ -195,17 +197,25 @@ object StreamOps {
     * span (≥ two staging slice widths, so intra- and cross-slice
     * disorder is never late) and a sentinel timestamp one delay plus a
     * margin past the corpus max (final watermark = real max + margin →
-    * every real event flushes at end-of-input). */
-  private def watermarkPlan(src: DataFrame, tsCol: String): (Long, Long) = {
+    * every real event flushes at end-of-input). Returns
+    * (delayUs, sentinelUs, loUs, hiUs); the bounds feed the gate's
+    * [[stageTimeSliced]] call so the span is scanned ONCE per gate
+    * (r12 — was one agg here plus one per staged source). An EMPTY
+    * source gets safe defaults (the sentinel alone then flows and stays
+    * withheld past the watermark → empty result, not the NPE the r11
+    * shape threw on the null aggregate — ADVICE r11). */
+  private def watermarkPlan(src: DataFrame, tsCol: String)
+      : (Long, Long, Long, Long) = {
     val b = src.agg(min(unix_micros(col(tsCol))),
       max(unix_micros(col(tsCol)))).head()
+    if (b.isNullAt(0)) return (60000000L, 70000000L, 0L, 0L)
     val (lo, hi) = (b.getLong(0), b.getLong(1))
     val delayUs = math.max((hi - lo) / 4, 60000000L)
     val marginUs = math.max((hi - lo) / 8, 10000000L)
-    (delayUs, hi + delayUs + marginUs)
+    (delayUs, hi + delayUs + marginUs, lo, hi)
   }
 
-  /** [[NearDupProcessor]] under the oracle gate: documents stage and
+  /** [[streamingNearDup]] under the oracle gate: documents stage and
     * re-read one file per micro-batch, so most bucket collisions pair a
     * new arrival against posting-list STATE left by earlier batches.
     * The candidate set is arrival-order-independent (every earlier
@@ -252,7 +262,7 @@ object StreamOps {
       col("user_id").cast("long").as("user_id"),
       round(col("value") * 100).cast("long").cast("double").as("c"),
       col("ts").cast("timestamp").as("ts"))
-    val (delayUs, sentinelUs) = watermarkPlan(src0, "ts")
+    val (delayUs, sentinelUs, loUs, hiUs) = watermarkPlan(src0, "ts")
     val src = src0.unionByName(spark.range(1).select(
       lit(-1L).as("event_id"), lit(-1L).as("user_id"), lit(0.0).as("c"),
       timestamp_micros(lit(sentinelUs)).as("ts")))
@@ -267,7 +277,8 @@ object StreamOps {
       // one output row PER EVENT — the unbounded-grain gate the memory
       // sink must not drain to the driver (10M rows at sf10); the file
       // sink keeps the result distributed end to end
-      fileSink = true, sliceBy = Map(0 -> "ts"))
+      fileSink = true, sliceBy = Map(0 -> "ts"),
+      sliceBounds = Map(0 -> ((loUs, hiUs))))
   }
 
   /** Stream-static enrichment + windowed rollup through the real engine:
@@ -288,6 +299,30 @@ object StreamOps {
         .withColumn("window_start", unix_timestamp(col("window.start")))
         .drop("window"),
       maxFilesPerTrigger = Some(1))
+
+  /** [[enrichViaStream]] in PRODUCTION append mode (r11 verdict item 4):
+    * `withWatermark` before the post-join tumbling rollup, append-mode
+    * sink — the mode an unbounded deployment runs, where an enriched
+    * window row is emitted exactly once, when the watermark passes its
+    * end, and open windows stay withheld in state. Complements the
+    * complete-mode gate (which re-emits everything and so never
+    * exercises watermark finalization of the ENRICHED rollup). All
+    * staged files process in one batch (the q_stream_session_append
+    * shape): the watermark starts at the epoch so nothing drops mid-run,
+    * then the no-data finalization batch advances it to max(ts) − delay
+    * and emits every window that closed before it — a deterministic,
+    * oracle-checkable subset. Per-batch dim re-planning is the complete
+    * gate's job; late-row drop is pinned in StreamingSpec. */
+  def enrichViaStreamAppend(spark: SparkSession, source: DataFrame,
+                            static: DataFrame, keys: Seq[String],
+                            tsCol: String, duration: String,
+                            watermark: String, groupKeys: Seq[Column],
+                            aggs: Seq[Column]): DataFrame =
+    viaStream(spark, Seq(source),
+      dfs => tumblingAggWatermarked(
+        enrichWithStatic(dfs.head, static, keys),
+        tsCol, duration, watermark, groupKeys, aggs),
+      outputMode = "append")
 
   /** transformWithState requires the multi-column-family store: RocksDB
     * (also the provider a production deployment runs). Scope the conf to
@@ -341,7 +376,8 @@ object StreamOps {
                         maxFilesPerTrigger: Option[Int] = None,
                         outputMode: String = "complete",
                         fileSink: Boolean = false,
-                        sliceBy: Map[Int, String] = Map.empty)
+                        sliceBy: Map[Int, String] = Map.empty,
+                        sliceBounds: Map[Int, (Long, Long)] = Map.empty)
       : DataFrame =
     // Per-file-batch gates: 8 state partitions for the whole run. Every
     // micro-batch pays a state-store open/commit per partition per
@@ -353,7 +389,7 @@ object StreamOps {
     withConf(spark, if (maxFilesPerTrigger.isDefined)
         Map("spark.sql.shuffle.partitions" -> "8") else Map.empty) {
     viaStream0(spark, sources, build, maxFilesPerTrigger, outputMode,
-      fileSink, sliceBy)
+      fileSink, sliceBy, sliceBounds)
   }
 
   private def viaStream0(spark: SparkSession, sources: Seq[DataFrame],
@@ -361,7 +397,8 @@ object StreamOps {
                         maxFilesPerTrigger: Option[Int],
                         outputMode: String,
                         fileSink: Boolean,
-                        sliceBy: Map[Int, String])
+                        sliceBy: Map[Int, String],
+                        sliceBounds: Map[Int, (Long, Long)])
       : DataFrame = {
     val stages = sources.map(_ => java.nio.file.Files
       .createTempDirectory("graft-stream-src").toString)
@@ -396,7 +433,8 @@ object StreamOps {
       // switches a source to event-time-range slices instead, for gates
       // whose watermark must ADVANCE during replay.
       sliceBy.get(si) match {
-        case Some(tsCol) => stageTimeSliced(source, tsCol, stage)
+        case Some(tsCol) =>
+          stageTimeSliced(source, tsCol, stage, sliceBounds.get(si))
         case None =>
           val staged = if (maxFilesPerTrigger.isDefined &&
               source.rdd.getNumPartitions < 8) source.repartition(8)
@@ -544,33 +582,56 @@ object StreamOps {
     * covers it, which the buffered processors' gates pick at runtime
     * from the observed span. */
   private def stageTimeSliced(source: DataFrame, tsCol: String,
-                              stage: String): Unit = {
+                              stage: String,
+                              bounds: Option[(Long, Long)] = None): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val spark = source.sparkSession
     val withUs = source.withColumn("__us",
       unix_micros(col(tsCol).cast("timestamp")))
-    val b = withUs.agg(min(col("__us")), max(col("__us"))).head()
-    val (lo, hi) = (b.getLong(0), b.getLong(1))
-    val width = math.max((hi - lo) / TimeSlices + 1, 1L)
-    val baseMs = System.currentTimeMillis()
-    (0 until TimeSlices).foreach { k =>
-      val slice = withUs
-        .filter(col("__us") >= lo + k * width &&
-          col("__us") < lo + (k + 1) * width)
-        .drop("__us")
-      val tmp = Files.createTempDirectory("graft-stream-slice").toString
-      try {
-        slice.repartition(1).write.mode("overwrite").parquet(tmp)
-        val part = Files.list(Paths.get(tmp)).filter(p =>
-          p.getFileName.toString.startsWith("part-")).findFirst()
-        if (part.isPresent) {
-          val target = Paths.get(stage, f"slice-$k%03d.parquet")
-          Files.move(part.get(), target, StandardCopyOption.ATOMIC_MOVE)
-          // deterministic replay order even on coarse-mtime filesystems
-          Files.setLastModifiedTime(target,
-            java.nio.file.attribute.FileTime.fromMillis(baseMs + k))
-        }
-      } finally cleanupDirs(Seq(tmp))
+    val loHi = bounds.orElse {
+      val b = withUs.agg(min(col("__us")), max(col("__us"))).head()
+      if (b.isNullAt(0)) None else Some((b.getLong(0), b.getLong(1)))
+    }
+    loHi match {
+      case None =>
+        // empty source (ADVICE r11: the unguarded getLong NPE'd here):
+        // stage one empty file so the gate replays to an empty result
+        source.coalesce(1).write.mode("overwrite").parquet(stage)
+      case Some((lo, hi)) =>
+        val width = math.max((hi - lo) / TimeSlices + 1, 1L)
+        // ONE source scan (r12, verdict item 7 — was one filter pass per
+        // slice): tag each row with its slice id, hash-partition by the
+        // tag so every slice lands in exactly one task (one part file per
+        // Hive dir), write `partitionBy(__slice)` — the data files then
+        // carry exactly the source schema — and move each slice's file
+        // into place with strictly increasing mtimes. `least` clamps rows
+        // past `hi` into the LAST slice: with watermarkPlan's real-event
+        // bounds, that is where the end-of-input sentinel rides.
+        val tmp = Files.createTempDirectory("graft-stream-slice").toString
+        try {
+          withUs.withColumn("__slice",
+              least(floor((col("__us") - lit(lo)) / lit(width)),
+                lit((TimeSlices - 1).toLong)).cast("int"))
+            .drop("__us")
+            .repartition(TimeSlices, col("__slice"))
+            .write.partitionBy("__slice").mode("overwrite").parquet(tmp)
+          val baseMs = System.currentTimeMillis()
+          (0 until TimeSlices).foreach { k =>
+            val dir = Paths.get(tmp, s"__slice=$k")
+            val part = if (Files.exists(dir)) {
+              val s = Files.list(dir)
+              try s.filter(p =>
+                p.getFileName.toString.startsWith("part-")).findFirst()
+              finally s.close()
+            } else java.util.Optional.empty[java.nio.file.Path]()
+            if (part.isPresent) {
+              val target = Paths.get(stage, f"slice-$k%03d.parquet")
+              Files.move(part.get(), target, StandardCopyOption.ATOMIC_MOVE)
+              // deterministic replay order even on coarse-mtime filesystems
+              Files.setLastModifiedTime(target,
+                java.nio.file.attribute.FileTime.fromMillis(baseMs + k))
+            }
+          }
+        } finally cleanupDirs(Seq(tmp))
     }
   }
 
@@ -917,55 +978,11 @@ object StreamOps {
       .transformWithState(new FunnelProcessor, TimeMode.None(), OutputMode.Append())
   }
 
-  /** One (doc, signature) posting-list member held in band-bucket state. */
-  case class SigMember(id: Long, sig: Seq[Long])
-
-  /** Streaming MinHash near-dup detection: each arriving document is
-    * banded (per-row signature, no shuffle agg — TextFunctions
-    * .rowMinhashSig); state shards by (band, bucket-key) exactly like the
-    * batch LSH posting lists, and a new member emits one candidate pair
-    * per existing bucket member whose full-signature agreement (the
-    * MinHash Jaccard estimate) clears the threshold. Output is
-    * (id_a, id_b, est_jaccard) with id_a < id_b; a pair sharing several
-    * buckets emits once per bucket — deduplicate downstream (the batch
-    * path's `distinct()`), or feed the exact-Jaccard rerank which is
-    * idempotent per pair.
-    *
-    * The candidate SET is arrival-order-independent (every earlier member
-    * is in state when a later one arrives), which is what lets the spec
-    * compare stream output against the batch LSH candidates exactly.
-    * State per bucket is its posting list — bound it with a TTL in
-    * production (matching the dedup horizon), same knob as
-    * [[streamingDedup]]'s watermark. */
-  class NearDupProcessor(simThreshold: Double)
-      extends org.apache.spark.sql.streaming.StatefulProcessor[
-        String, (String, Long, Seq[Long]), (Long, Long, Double)] {
-    import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TTLConfig}
-    @transient private var members: ListState[SigMember] = _
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      members = getHandle.getListState[SigMember]("members",
-        org.apache.spark.sql.Encoders.product[SigMember], TTLConfig.NONE)
-    override def handleInputRows(key: String,
-        rows: Iterator[(String, Long, Seq[Long])],
-        timers: org.apache.spark.sql.streaming.TimerValues)
-        : Iterator[(Long, Long, Double)] = {
-      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
-      rows.toSeq.sortBy(_._2).foreach { case (_, id, sig) =>
-        val seen = members.get()
-        while (seen.hasNext) {
-          val m = seen.next()
-          if (m.id != id) {
-            val matches = m.sig.iterator.zip(sig.iterator).count { case (a, b) => a == b }
-            val est = matches.toDouble / sig.size.toDouble
-            if (est >= simThreshold)
-              out += ((math.min(m.id, id), math.max(m.id, id), est))
-          }
-        }
-        members.appendValue(SigMember(id, sig))
-      }
-      out.iterator
-    }
-  }
+  /** JVM-wide count of postings the streaming LSH bucket cap dropped —
+    * the diagnostic mirror of the batch path's `observe` metrics
+    * (per-executor in a distributed deployment; the per-bucket WARN is
+    * the operational signal a real run ships). */
+  val nearDupDroppedPostings = new java.util.concurrent.atomic.AtomicLong
 
   /** Band a frame carrying a per-row `sig` array: explode band INDICES
     * first, then derive each band's bucket from the signature AFTER the
@@ -985,22 +1002,30 @@ object StreamOps {
         (0 until rows).map(r =>
           element_at(col("sig"), col("__band") * lit(rows) + lit(r + 1))): _*))
 
-  /** [[NearDupProcessor]] over (id, text) rows: band the per-row
-    * signature, key by (band, bucket), scan bucket state. */
+  /** Streaming MinHash near-dup over raw (id, text) rows — the
+    * raw-corpus diagnostic gate: band the per-row signature, key by
+    * (band, bucket), scan bucket state. Runs [[NearDupTtlProcessor]]
+    * with an INFINITE horizon (r12 — the raw and production gates share
+    * one state machine, so the hot-bucket cap and any future fix land
+    * once). Ids ride the digest slot as zero-padded decimals: the
+    * processor's lexicographic (lo, hi) pair ordering then matches the
+    * numeric order the batch LSH / DuckDB oracle emit. Ids must be
+    * non-negative (fixture doc_ids are). */
   def streamingNearDup(ds: org.apache.spark.sql.Dataset[(Long, String)],
                        bands: Int, rows: Int, simThreshold: Double)
       : org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
     import ds.sparkSession.implicits._
     import graft.functions.TextFunctions
-    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     val banded = bandBuckets(ds.toDF("id", "text")
         .withColumn("sig", TextFunctions.rowMinhashSig(col("text"))),
         bands, rows)
-      .select(col("bucket"), col("id"), col("sig"))
-      .as[(String, Long, Seq[Long])]
-    banded.groupByKey(_._1)
-      .transformWithState(new NearDupProcessor(simThreshold),
-        TimeMode.None(), OutputMode.Append())
+      .select(col("bucket"), format_string("%019d", col("id")).as("dig"),
+        col("sig"), lit(0L).as("ts_us"))
+      .as[(String, String, Seq[Long], Long)]
+    nearDupTtlOnBanded(banded, simThreshold, ttlUs = Long.MaxValue)
+      .select(col("_1").cast("long").as("_1"),
+        col("_2").cast("long").as("_2"), col("_3"))
+      .as[(Long, Long, Double)]
   }
 
   /** One (digest, signature, event-time) posting-list member held in
@@ -1008,7 +1033,7 @@ object StreamOps {
   case class TtlMember(dig: String, sig: Seq[Long], tsUs: Long)
 
   /** The production online near-dup processor: posting lists keyed by
-    * (band, bucket) exactly like [[NearDupProcessor]], with two changes
+    * (band, bucket) exactly like the batch LSH, with two changes
     * that make the state machine runnable on an unbounded crawl:
     *
     *   1. it runs AFTER content-digest dedup (members are unique texts,
@@ -1025,8 +1050,25 @@ object StreamOps {
     * and the spec deterministic: eviction depends only on the data. The
     * horizon prune is exact for in-order arrivals and conservative under
     * disorder bounded by the upstream dedup watermark (a posting is only
-    * dropped when some arrival is a full TTL ahead of it). */
-  class NearDupTtlProcessor(simThreshold: Double, ttlUs: Long)
+    * dropped when some arrival is a full TTL ahead of it).
+    *
+    * Hot-bucket cap (r12 — the streaming mirror of
+    * [[graft.ops.DedupOps]]'s batch cap): once a bucket's live posting
+    * list holds `maxBucket` members, further arrivals to it are DROPPED
+    * (no pairs, no state growth) until TTL eviction shrinks it — at
+    * 100 TB one boilerplate bucket otherwise makes the stage O(bucket)
+    * per arrival with unbounded within-horizon state. Drops are counted
+    * ([[nearDupDroppedPostings]]) and WARN-logged per micro-batch slice,
+    * matching the batch path's drop-visibility contract.
+    *
+    * State I/O is one read + at most one write per (key, micro-batch):
+    * the posting list is materialized into memory once per
+    * `handleInputRows` call and written back once (ADVICE r11 — the
+    * per-arriving-row `members.get()` of the r11 shape re-iterated the
+    * RocksDB list per row, O(batchRows × stateSize) read amplification
+    * on exactly the hot buckets the cap exists for). */
+  class NearDupTtlProcessor(simThreshold: Double, ttlUs: Long,
+                            maxBucket: Int = graft.ops.DedupOps.DefaultMaxBucket)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         String, (String, String, Seq[Long], Long), (String, String, Double)] {
     import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TTLConfig}
@@ -1039,16 +1081,26 @@ object StreamOps {
         timers: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[(String, String, Double)] = {
       val out = scala.collection.mutable.ArrayBuffer[(String, String, Double)]()
+      val live = scala.collection.mutable.ArrayBuffer[TtlMember]()
+      val it = members.get()
+      while (it.hasNext) live += it.next()
+      val stateSize0 = live.size
+      var evicted = false
+      var dropped = 0L
+      // oldest live posting: an O(1) per-row eviction check instead of a
+      // scan (arrivals are sorted by ts, so the horizon only advances)
+      var minTs = if (live.isEmpty) Long.MaxValue else live.map(_.tsUs).min
       rows.toSeq.sortBy(r => (r._4, r._2)).foreach { case (_, dig, sig, ts) =>
         val horizon = ts - ttlUs
-        val it = members.get()
-        val live = scala.collection.mutable.ArrayBuffer[TtlMember]()
-        var evicted = false
-        while (it.hasNext) {
-          val m = it.next()
-          if (m.tsUs < horizon) evicted = true
-          else {
-            live += m
+        if (minTs < horizon) {
+          live.filterInPlace(_.tsUs >= horizon)
+          minTs = if (live.isEmpty) Long.MaxValue else live.map(_.tsUs).min
+          evicted = true
+        }
+        if (live.size >= maxBucket) {
+          dropped += 1
+        } else {
+          live.foreach { m =>
             if (m.dig != dig) {
               val matches = m.sig.iterator.zip(sig.iterator)
                 .count { case (a, b) => a == b }
@@ -1059,9 +1111,18 @@ object StreamOps {
               }
             }
           }
+          live += TtlMember(dig, sig, ts)
+          minTs = math.min(minTs, ts)
         }
-        live += TtlMember(dig, sig, ts)
-        if (evicted) members.put(live.toArray) else members.appendValue(live.last)
+      }
+      if (evicted) members.put(live.toArray)
+      else if (live.size > stateSize0)
+        members.appendList(live.drop(stateSize0).toArray)
+      if (dropped > 0) {
+        nearDupDroppedPostings.addAndGet(dropped)
+        graftLog.warn(s"streaming LSH hot-bucket cap firing: bucket=$key " +
+          s"dropped=$dropped postings (cap=$maxBucket) — near-dups against " +
+          "dropped postings are missed; audit the bucket before trusting recall")
       }
       out.iterator
     }
@@ -1072,12 +1133,14 @@ object StreamOps {
     * with exact bucket/signature control. */
   def nearDupTtlOnBanded(
       ds: org.apache.spark.sql.Dataset[(String, String, Seq[Long], Long)],
-      simThreshold: Double, ttlUs: Long)
+      simThreshold: Double, ttlUs: Long,
+      maxBucket: Int = graft.ops.DedupOps.DefaultMaxBucket)
       : org.apache.spark.sql.Dataset[(String, String, Double)] = {
     import ds.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     ds.groupByKey(_._1)
-      .transformWithState(new NearDupTtlProcessor(simThreshold, ttlUs),
+      .transformWithState(
+        new NearDupTtlProcessor(simThreshold, ttlUs, maxBucket),
         TimeMode.None(), OutputMode.Append())
   }
 

@@ -397,6 +397,96 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("near-dup hot-bucket cap: a bucket past maxBucket stops growing; drops are counted") {
+    // cap=2 (r12 — the streaming mirror of DedupOps.capBuckets): A and B
+    // admit and pair; C and D arrive to a FULL bucket → dropped (no pairs,
+    // no state growth — D pairing with C would prove growth) and counted
+    // in the JVM-wide diagnostic counter. A second bucket stays unaffected.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sig = (1L to 16L).toSeq
+    val t0 = 1700000000000000L
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val dropped0 = StreamOps.nearDupDroppedPostings.get()
+    val in = MemoryStream[(String, String, Seq[Long], Long)]
+    val q = StreamOps.nearDupTtlOnBanded(in.toDS(), 0.6,
+        ttlUs = Long.MaxValue, maxBucket = 2)
+      .toDF("dig_a", "dig_b", "est")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ndcap_out").start()
+    try {
+      in.addData(("b0", "digA", sig, t0)); q.processAllAvailable()
+      in.addData(("b0", "digB", sig, t0 + 1)); q.processAllAvailable()
+      in.addData(("b0", "digC", sig, t0 + 2)); q.processAllAvailable()
+      in.addData(("b0", "digD", sig, t0 + 3),
+        ("b1", "digE", sig, t0 + 4), ("b1", "digF", sig, t0 + 5))
+      q.processAllAvailable()
+      val got = spark.table("ndcap_out").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+      assert(got == Set(("digA", "digB", 1.0), ("digE", "digF", 1.0)), got)
+      assert(StreamOps.nearDupDroppedPostings.get() - dropped0 == 2L)
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("order-sensitive gates survive EMPTY input (watermarkPlan null guard)") {
+    // ADVICE r11: the unguarded Row.getLong on the min/max aggregate NPE'd
+    // funnelViaStream/cumsumViaStream on an empty frame; both must return
+    // an empty result instead (the sentinel row alone stays withheld
+    // behind the watermark and never emits).
+    import spark.implicits._
+    val emptyEvents = Seq.empty[(Long, Long, String, Double, java.sql.Timestamp)]
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+    assert(StreamOps.funnelViaStream(spark, emptyEvents).count() == 0)
+    assert(StreamOps.cumsumViaStream(spark, emptyEvents).count() == 0)
+  }
+
+  test("append-mode enriched rollup: closed windows emit once; late row past the watermark drops") {
+    // deterministic watermark pin for the q_stream_enrich_append shape
+    // (enrichWithStatic → tumblingAggWatermarked, append mode):
+    //   batch 1: 10:05 and 10:20 (ck 1) → watermark 0, nothing final
+    //   batch 2: 11:30 → watermark 11:20 → window [10:00,11:00) closes
+    //            (end ≤ watermark) and emits n=2
+    //   batch 3: LATE 10:40 (behind the 11:20 watermark → dropped) +
+    //            13:00 → watermark 12:50 → [11:00,12:00) closes with n=1
+    //            — the late row did NOT resurrect or join the window
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dim = Seq((1L, "SEG_A")).toDF("c_custkey", "c_mktsegment")
+    val in = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val agg = StreamOps.tumblingAggWatermarked(
+      StreamOps.enrichWithStatic(
+        in.toDF().toDF("ts", "c_custkey", "c"), dim, Seq("c_custkey")),
+      "ts", "1 hour", "10 minutes",
+      Seq(col("c_mktsegment")), Seq(count(lit(1)).as("n"), sum(col("c")).as("sc")))
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("enr_app_out").start()
+    try {
+      in.addData((ts("2024-01-01 10:05:00"), 1L, 10L),
+        (ts("2024-01-01 10:20:00"), 1L, 20L)); q.processAllAvailable()
+      in.addData((ts("2024-01-01 11:30:00"), 1L, 5L)); q.processAllAvailable()
+      in.addData((ts("2024-01-01 10:40:00"), 1L, 999L),
+        (ts("2024-01-01 13:00:00"), 1L, 7L)); q.processAllAvailable()
+      val got = spark.table("enr_app_out")
+        .select(col("window_start"), col("c_mktsegment"), col("n"), col("sc"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val w10 = ts("2024-01-01 10:00:00").getTime / 1000
+      val w11 = ts("2024-01-01 11:00:00").getTime / 1000
+      assert(got == Set((w10, "SEG_A", 2L, 30L), (w11, "SEG_A", 1L, 5L)), got)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join == batch join (dim broadcast per micro-batch)") {
     val ev  = Tables.events(spark, dir)
       .select(col("ts"), col("event_id"), (col("user_id") % 25).as("c_custkey"))
