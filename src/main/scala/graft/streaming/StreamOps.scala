@@ -671,9 +671,7 @@ object StreamOps {
     // fail with the cause, not a bare NoSuchFileException
     require(java.nio.file.Files.exists(pointer),
       s"upsertViaStream: no snapshot committed under $snap (empty source?)")
-    val cur = new String(java.nio.file.Files.readAllBytes(pointer),
-      "UTF-8").trim
-    localize(spark, spark.read.parquet(s"$snap/$cur"))
+    localize(spark, readSnapshot(spark, snap))
     } finally cleanupDirs(Seq(stage, ckpt, snap))
   }
 
@@ -1250,25 +1248,72 @@ object StreamOps {
                        keys: Seq[String]): DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(static), keys)
 
-  /** Idempotent compact-and-swap snapshot upsert — the exactly-once
-    * `foreachBatch` sink pattern for stores without MERGE transactions.
+  /** Number of hash buckets [[upsertSnapshot]] shards a snapshot into.
+    * Sizing knob: per-batch rewrite cost is (touched buckets) ×
+    * (snapshot / buckets); more buckets → finer rewrites but more files
+    * per full-snapshot scan. */
+  val DefaultSnapshotBuckets = 64
+
+  /** Deterministic bucket of a key tuple (Murmur3 via `hash()`, stable
+    * across runs/partitionings — the property the manifest relies on). */
+  private def bucketOf(keys: Seq[String], numBuckets: Int): Column =
+    pmod(hash(keys.map(col): _*), lit(numBuckets))
+
+  /** Manifest = the commit record of a bucketed snapshot: the committed
+    * batch id plus, per bucket, the batch directory holding that
+    * bucket's CURRENT version. Serialized as one line per entry. */
+  private case class SnapshotManifest(committed: Long, refs: Map[Int, Long]) {
+    def serialize: String =
+      (s"committed=$committed" +:
+        refs.toSeq.sortBy(_._1).map { case (b, id) => s"$b=$id" })
+        .mkString("\n")
+  }
+  private def parseManifest(s: String): SnapshotManifest = {
+    val lines = s.split("\n").map(_.trim).filter(_.nonEmpty)
+    val committed = lines.head.stripPrefix("committed=").toLong
+    val refs = lines.tail.map { l =>
+      val Array(b, id) = l.split("=", 2); b.toInt -> id.toLong
+    }.toMap
+    SnapshotManifest(committed, refs)
+  }
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+                           p: org.apache.hadoop.fs.Path)
+      : Option[SnapshotManifest] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      Some(parseManifest(s))
+    }
+
+  /** Idempotent HASH-BUCKETED compact-and-swap snapshot upsert — the
+    * exactly-once `foreachBatch` sink pattern for stores without MERGE
+    * transactions, with per-batch cost proportional to the TOUCHED
+    * buckets, not the snapshot (r11 verdict item 6: the previous shape
+    * rewrote the full snapshot every trigger — a full-table rewrite per
+    * batch at a 100 TB dim).
     *
-    * Each micro-batch: read the current snapshot (via the `_CURRENT`
-    * pointer), union the batch's updates, keep the max-`verCol` row per
-    * key (ties broken by the update side), write the new snapshot to a
-    * batchId-stamped directory, then atomically swap the pointer. A
-    * REPLAYED batch (same batchId after failure recovery) finds its
-    * stamped directory already committed and becomes a no-op — that is
-    * what upgrades at-least-once micro-batch delivery to exactly-once
-    * state. All heavy work is distributed (one shuffle per batch, no
-    * driver-side collection); the pointer file is the only driver write.
+    * Layout: the snapshot is sharded into [[DefaultSnapshotBuckets]]
+    * key-hash buckets; each micro-batch writes ONLY the buckets its
+    * update keys hash into, as one Hive-partitioned directory
+    * `batch-<id>/_bkt=<k>/`, and commits a MANIFEST mapping every bucket
+    * to the batch directory holding its current version. Untouched
+    * buckets keep pointing at their old directories — their files are
+    * never rewritten (byte-identical across disjoint-key batches, pinned
+    * in StreamingSpec). The `_CURRENT` pointer (atomic rename) holds the
+    * manifest; a REPLAYED batch (same batchId after failure recovery)
+    * finds `committed >= batchId` and becomes a no-op — the exactly-once
+    * contract, unchanged. All heavy work is distributed (one shuffle
+    * over touched data per batch); the only driver work is the manifest
+    * and the (≤ numBuckets) touched-bucket id list.
     * Wire as: `stream.writeStream.foreachBatch(upsertSnapshot(dir, keys,
     * ver) _)`. */
   def upsertSnapshot(snapshotRoot: String, keys: Seq[String], verCol: String,
-                     retainSnapshots: Int = 2)
+                     retainSnapshots: Int = 2,
+                     numBuckets: Int = DefaultSnapshotBuckets)
                     (updates: DataFrame, batchId: Long): Unit = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions._
     import org.apache.hadoop.fs.{Options, Path}
     val spark   = updates.sparkSession
     val conf    = spark.sparkContext.hadoopConfiguration
@@ -1280,14 +1325,7 @@ object StreamOps {
     // after a partial target write leaves the pointer untouched, and the
     // replay (same batchId) overwrites the partial output and swaps the
     // pointer — skipping on target-dir existence would lose the batch.
-    val committed: Option[String] =
-      if (fs.exists(pointer)) {
-        val in  = fs.open(pointer)
-        val cur = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-        Some(cur)
-      } else None
-    val committedId = committed.map(_.stripPrefix("batch-").toLong)
+    val committed = readManifest(fs, pointer)
     // Replay of the committed batch (same id after failure recovery) is
     // the expected exactly-once no-op. A batchId strictly BELOW the
     // committed one is anomalous: a one-off redelivery of an old batch is
@@ -1297,57 +1335,92 @@ object StreamOps {
     // already reflects a later state), but say so loudly so the operator
     // can tell the two apart; a fresh-checkpoint restart logs this every
     // batch, which is the signal to use a new snapshot root.
-    if (committedId.exists(_ >= batchId)) {
-      if (committedId.exists(_ > batchId))
+    if (committed.exists(_.committed >= batchId)) {
+      if (committed.exists(_.committed > batchId))
         graftLog.warn(
           s"upsertSnapshot: skipping batch $batchId at $snapshotRoot — " +
-            s"already committed through batch ${committedId.get}. If this " +
-            "repeats for every batch, the stream is running a FRESH " +
-            "checkpoint against a stale snapshot root and its data is " +
-            "being dropped; point it at a new snapshot root or restore " +
+            s"already committed through batch ${committed.get.committed}. " +
+            "If this repeats for every batch, the stream is running a " +
+            "FRESH checkpoint against a stale snapshot root and its data " +
+            "is being dropped; point it at a new snapshot root or restore " +
             "the original checkpoint.")
       return
     }
-    val current = committed.map(cur => spark.read.parquet(s"$snapshotRoot/$cur"))
-    val unioned = current match {
-      case Some(snap) => snap.withColumn("_upd", lit(0))
-        .unionByName(updates.withColumn("_upd", lit(1)))
-      case None => updates.withColumn("_upd", lit(1))
-    }
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(verCol).desc, col("_upd").desc)
-    val target = new Path(root, s"batch-$batchId")
-    unioned.withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1).drop("_rn", "_upd")
-      .write.mode("overwrite").parquet(target.toString)
-    // atomic pointer swap commits the batch (FileContext rename with
-    // OVERWRITE is atomic on HDFS-like filesystems)
+    val refs = committed.map(_.refs).getOrElse(Map.empty[Int, Long])
+    val upd = updates.withColumn("_bkt", bucketOf(keys, numBuckets))
+    // the touched-bucket list is ≤ numBuckets ints — the one driver-side
+    // collection, bounded by the layout, not the data
+    val touched = upd.select("_bkt").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val newRefs =
+      if (touched.isEmpty) refs // empty batch: commit the id, move no data
+      else {
+        // current rows of the touched buckets only: group by the batch
+        // dir holding them, partition-prune `_bkt in touched ∩ assigned`
+        val currentTouched = refs.filter { case (b, _) => touched(b) }.toSeq
+          .groupBy(_._2).map { case (dirId, entries) =>
+            spark.read.parquet(new Path(root, s"batch-$dirId").toString)
+              .where(col("_bkt").isin(entries.map(_._1): _*))
+          }.reduceOption(_ unionByName _)
+        val unioned = currentTouched match {
+          case Some(snap) => snap.withColumn("_upd", lit(0))
+            .unionByName(upd.withColumn("_upd", lit(1)))
+          case None => upd.withColumn("_upd", lit(1))
+        }
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(col(verCol).desc, col("_upd").desc)
+        val target = new Path(root, s"batch-$batchId")
+        unioned.withColumn("_rn", row_number().over(w))
+          .where(col("_rn") === 1).drop("_rn", "_upd")
+          .write.mode("overwrite").partitionBy("_bkt")
+          .parquet(target.toString)
+        refs ++ touched.map(_ -> batchId)
+      }
+    val manifest = SnapshotManifest(batchId, newRefs)
+    // persist this generation's manifest (retention works by reference:
+    // a batch dir lives while any of the newest `retainSnapshots`
+    // manifests still points at it), then atomically swap the pointer —
+    // the rename is the commit (atomic on HDFS-like filesystems)
+    val gen = new Path(root, s"manifest-$batchId")
+    val genOut = fs.create(gen, true)
+    try genOut.write(manifest.serialize.getBytes("UTF-8"))
+    finally genOut.close()
     val tmp = new Path(root, s"_CURRENT.$batchId.tmp")
     val out = fs.create(tmp, true)
-    try out.write(s"batch-$batchId".getBytes("UTF-8")) finally out.close()
+    try out.write(manifest.serialize.getBytes("UTF-8")) finally out.close()
     org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
       .rename(tmp, pointer, Options.Rename.OVERWRITE)
-    // Prune superseded snapshots now that the pointer moved — but keep the
-    // `retainSnapshots` most recent ones, NOT just the new commit: a
-    // reader that resolved _CURRENT a moment ago may still be scanning the
-    // previous snapshot directory (resolution and the scan are not one
-    // atomic step), and deleting it mid-scan fails that reader. Retaining
-    // the previous snapshot gives in-flight readers one full commit
-    // interval to finish (see [[readSnapshot]] for the contract); storage
-    // stays bounded at `retainSnapshots` full snapshots.
-    val batchDirs = fs.listStatus(root)
+    // Prune: keep every batch dir referenced by the newest
+    // `retainSnapshots` manifests — NOT just the current one: a reader
+    // that resolved _CURRENT a moment ago may still be scanning the
+    // previous generation's directories (resolution and the scan are not
+    // one atomic step); retaining the previous generation gives
+    // in-flight readers one full commit interval to finish (see
+    // [[readSnapshot]]). Storage stays bounded by the live snapshot plus
+    // the superseded buckets of the retained generations.
+    val keepGens = fs.listStatus(root)
+      .filter(st => st.getPath.getName.startsWith("manifest-"))
+      .sortBy(st => st.getPath.getName.stripPrefix("manifest-").toLong)
+      .toSeq
+    val (old, kept) = keepGens.splitAt(
+      math.max(keepGens.size - math.max(retainSnapshots, 1), 0))
+    val live: Set[Long] = kept
+      .flatMap(st => readManifest(fs, st.getPath))
+      .flatMap(m => m.refs.values).toSet
+    fs.listStatus(root)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch-"))
-      .sortBy(st => st.getPath.getName.stripPrefix("batch-").toLong)
-    batchDirs.dropRight(math.max(retainSnapshots, 1)).foreach { st =>
-      fs.delete(st.getPath, true)
-    }
+      .filterNot(st => live(st.getPath.getName.stripPrefix("batch-").toLong))
+      .foreach(st => fs.delete(st.getPath, true))
+    old.foreach(st => fs.delete(st.getPath, false))
   }
 
-  /** Read the current snapshot written by [[upsertSnapshot]].
+  /** Read the current snapshot written by [[upsertSnapshot]]: resolve the
+    * manifest, scan each referenced batch directory pruned to the buckets
+    * it currently owns, union.
     *
-    * Staleness/retention contract: the returned DataFrame is pinned to the
-    * snapshot directory `_CURRENT` named AT CALL TIME — later commits are
-    * not picked up (re-call to refresh), and the directory remains on disk
+    * Staleness/retention contract: the returned DataFrame is pinned to
+    * the manifest resolved AT CALL TIME — later commits are not picked up
+    * (re-call to refresh), and the referenced directories remain on disk
     * for at least `retainSnapshots − 1` further commits (default: one).
     * A scan that outlives that window can hit deleted files; raise
     * `retainSnapshots` (or snapshot less often) if readers run longer
@@ -1356,9 +1429,15 @@ object StreamOps {
     import org.apache.hadoop.fs.Path
     val root = new Path(snapshotRoot)
     val fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in   = fs.open(new Path(root, "_CURRENT"))
-    val cur  = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-    finally in.close()
-    spark.read.parquet(s"$snapshotRoot/$cur")
+    val m = readManifest(fs, new Path(root, "_CURRENT")).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"$snapshotRoot/_CURRENT: no committed snapshot"))
+    m.refs.toSeq.groupBy(_._2).map { case (dirId, entries) =>
+      spark.read.parquet(new Path(root, s"batch-$dirId").toString)
+        .where(col("_bkt").isin(entries.map(_._1): _*))
+    }.reduceOption(_ unionByName _)
+      .map(_.drop("_bkt"))
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"$snapshotRoot: committed manifest references no data"))
   }
 }
