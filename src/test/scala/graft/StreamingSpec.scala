@@ -437,6 +437,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("near-dup cap + TTL: eviction shrinks a full bucket and re-admits new postings") {
+    // the cap is a LIVE-size bound, not a lifetime bound: once TTL
+    // eviction drains a full bucket, later arrivals are admitted and
+    // pair again (a boilerplate burst must not permanently poison its
+    // bucket for the rest of an unbounded stream)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sig = (1L to 16L).toSeq
+    val t0 = 1700000000000000L
+    val s = 1000000L
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[(String, String, Seq[Long], Long)]
+    val q = StreamOps.nearDupTtlOnBanded(in.toDS(), 0.6,
+        ttlUs = 100L * s, maxBucket = 2)
+      .toDF("dig_a", "dig_b", "est")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ndcapttl_out").start()
+    try {
+      in.addData(("b0", "digA", sig, t0)); q.processAllAvailable()
+      in.addData(("b0", "digB", sig, t0 + 1)); q.processAllAvailable()
+      // bucket full: C dropped (no pair, no growth)
+      in.addData(("b0", "digC", sig, t0 + 2)); q.processAllAvailable()
+      // 200 s later: A and B fall behind the 100 s horizon -> evicted;
+      // D is admitted into the now-empty bucket (no pair - C was dropped)
+      in.addData(("b0", "digD", sig, t0 + 200 * s)); q.processAllAvailable()
+      // E pairs with the re-admitted D
+      in.addData(("b0", "digE", sig, t0 + 201 * s)); q.processAllAvailable()
+      val got = spark.table("ndcapttl_out").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+      assert(got == Set(("digA", "digB", 1.0), ("digD", "digE", 1.0)), got)
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("order-sensitive gates survive EMPTY input (watermarkPlan null guard)") {
     // ADVICE r11: the unguarded Row.getLong on the min/max aggregate NPE'd
     // funnelViaStream/cumsumViaStream on an empty frame; both must return
