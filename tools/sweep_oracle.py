@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Full-suite differential sweep driver for scale points (sf1+).
+
+Routes each dumped query to the right checker:
+  - dumps above SIZE_CUTOFF bytes -> tools/check_scale.py semantics
+    (in-DuckDB dual-checksum reduction; pandas compare would not hold
+    tens of millions of pair rows)
+  - q_ivf_recall -> tools/check_ivf_scale.py semantics (needs the
+    engine-trained centroids as input; pass CENT_DIR)
+  - everything else -> tools/check_oracle.py exact pandas compare,
+    run in sequential CHUNKS of fresh DuckDB processes (a single
+    process evaluating 180+ oracles back-to-back can misreport under
+    temp-storage pressure — observed round 10; chunks must be
+    sequential, concurrent chunks clobber .tmp/duckdb_temp_storage)
+
+Usage: sweep_oracle.py SF_DIR OUT_DIR [CENT_DIR] [--chunk N]
+Prints per-query OK/FAIL lines and a final tally; exit 1 on any FAIL.
+"""
+import os
+import subprocess
+import sys
+
+SIZE_CUTOFF = 10 * 1024 * 1024
+CHUNK = 30
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def dir_size(p):
+    total = 0
+    for root, _, files in os.walk(p):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def run(cmd):
+    r = subprocess.run(cmd, capture_output=True, text=True)
+    sys.stdout.write(r.stdout)
+    if r.returncode != 0 and r.stderr:
+        sys.stdout.write(r.stderr[-2000:])
+    return r.returncode == 0 and "FAIL" not in r.stdout
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir, out_dir = args[0], args[1]
+    cent_dir = args[2] if len(args) > 2 else None
+    chunk = CHUNK
+    for a in sys.argv[1:]:
+        if a.startswith("--chunk"):
+            chunk = int(a.split("=", 1)[1])
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    big = [n for n in names
+           if dir_size(os.path.join(out_dir, n)) > SIZE_CUTOFF]
+    ivf = [n for n in names if n == "q_ivf_recall" and cent_dir]
+    small = [n for n in names if n not in big and n not in ivf]
+    ok = True
+    for i in range(0, len(small), chunk):
+        ok &= run([sys.executable, os.path.join(HERE, "check_oracle.py"),
+                   sf_dir, out_dir] + small[i:i + chunk])
+    if big:
+        print(f"[sweep] {len(big)} large dumps via checksum harness: {big}")
+        ok &= run([sys.executable, os.path.join(HERE, "check_scale.py"),
+                   sf_dir, out_dir] + big)
+    if ivf:
+        ok &= run([sys.executable, os.path.join(HERE, "check_ivf_scale.py"),
+                   sf_dir, out_dir, cent_dir])
+    print(f"[sweep] {'ALL OK' if ok else 'FAILURES'} over {len(names)} queries")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
