@@ -494,6 +494,37 @@ object QueriesSim {
     WHERE cos_sim >= $NdThreshold ORDER BY id_a, id_b"""
   }
 
+  /** Streaming embedding near-dup through the real engine (r12): the
+    * online counterpart of q_embed_neardup — sign-LSH posting lists live
+    * in transformWithState state ([[graft.streaming.StreamOps
+    * .embedNearDupCandViaStream]], the unified near-dup processor), one
+    * staged file per micro-batch so collisions are cross-batch state
+    * hits, then the exact cosine rerank in batch (idempotent per pair).
+    * The candidate set is arrival-order-independent and equals the
+    * batch banded candidate set, so the thresholded rerank output is
+    * IDENTICAL to q_embed_neardup's and shares its oracle — the
+    * near-dup gate a streaming ingest runs over an embedding column. */
+  def qStreamEmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cand = graft.streaming.StreamOps.embedNearDupCandViaStream(
+      spark, emb, "vec_id", "embedding", NdBands, NdPlanesPerBand)
+    val v = emb.select(col("vec_id"),
+        SimilarityOps.quantize(col("embedding")).as("v"))
+      .withColumn("n2", SimilarityOps.norm2Q(col("v")))
+    cand
+      .join(v.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("n2").as("na")), Seq("id_a"))
+      .join(v.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("n2").as("nb")), Seq("id_b"))
+      .withColumn("cos_sim",
+        when(col("na") === 0 || col("nb") === 0, lit(null))
+          .otherwise(SimilarityOps.dotQ(col("va"), col("vb")).cast("double") /
+            sqrt(col("na").cast("double") * col("nb").cast("double"))))
+      .where(col("cos_sim") >= NdThreshold)
+      .select("id_a", "id_b", "cos_sim")
+      .orderBy("id_a", "id_b")
+  }
+
   val KmDims = 4
 
   /** One k-means (Lloyd) iteration: nearest-centroid assignment by cosine
@@ -649,5 +680,7 @@ object QueriesSim {
     QueryDef("q_embed_neardup", qEmbedNearDup, Some(qEmbedNearDupOracle)),
     QueryDef("q_kmeans_iter", qKmeansIter, Some(qKmeansIterOracle)),
     QueryDef("q_ann_recall", qAnnRecall, Some(qAnnRecallOracle)),
-    QueryDef("q_ivf_recall", qIvfRecall, Some(qIvfRecallOracle)))
+    QueryDef("q_ivf_recall", qIvfRecall, Some(qIvfRecallOracle)),
+    QueryDef("q_stream_embed_neardup", qStreamEmbedNearDup,
+      Some(qEmbedNearDupOracle)))
 }

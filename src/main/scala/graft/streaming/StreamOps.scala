@@ -1208,6 +1208,61 @@ object StreamOps {
     out
   }
 
+  /** Streaming sign-LSH (embedding) near-dup CANDIDATES through the real
+    * engine — the embedding-cosine analog of [[streamingNearDup]], on the
+    * same unified [[NearDupTtlProcessor]]: per-row quantize + banded
+    * hyperplane signatures, posting lists sharded by (band, signature),
+    * every co-bucket pair emitted as a candidate.
+    *
+    * Single-evaluation discipline (the r11 minhash lesson — `quantize`
+    * is a higher-order `transform`, codegen-fallback with no CSE, and
+    * CollapseProject would inline it into all bands·planes dot-product
+    * references): the quantized vector rides a single-element `transform`
+    * let-binding, the per-band signatures are computed ONCE into an
+    * array below a `posexplode` Generate (a collapse barrier), so each
+    * row quantizes once and hashes bands·planes times — the irreducible
+    * work.
+    *
+    * Members carry a constant 1-element signature: with threshold 0
+    * every co-bucket pair emits, and the candidate SET is
+    * arrival-order-independent and equals the batch
+    * [[graft.ops.SimilarityOps.bandedNearDupPairs]] candidate set at
+    * signature level — the caller applies the exact cosine rerank
+    * (idempotent per pair). Output: deduplicated (id_a, id_b),
+    * id_a < id_b; ids must be non-negative (padded-decimal ordering,
+    * as [[streamingNearDup]]). File-sinked: candidate grain is
+    * unbounded (~6M pairs at sf1). */
+  def embedNearDupCandViaStream(spark: SparkSession, emb: DataFrame,
+                                idCol: String, vecCol: String,
+                                bands: Int, planesPerBand: Int,
+                                dim: Int = 64): DataFrame = {
+    import graft.ops.SimilarityOps
+    val src = emb.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("v"))
+    withRocksDbStore(spark) {
+      viaStream(spark, Seq(src), dfs => {
+        import spark.implicits._
+        val sigs = element_at(
+          transform(array(SimilarityOps.quantize(col("v"))),
+            q => array((0 until bands).map(b =>
+              SimilarityOps.bandSig(q, b, planesPerBand, dim)): _*)),
+          1)
+        val banded = dfs.head
+          .select(col("id"), posexplode(sigs).as(Seq("band", "sig")))
+          .select(concat_ws("_", col("band"), col("sig")).as("bucket"),
+            format_string("%019d", col("id")).as("dig"),
+            typedLit(Seq(1L)).as("csig"), lit(0L).as("ts_us"))
+          .as[(String, String, Seq[Long], Long)]
+        nearDupTtlOnBanded(banded, 0.0, ttlUs = Long.MaxValue)
+          .toDF("a", "b", "est")
+          .select(col("a").cast("long").as("id_a"),
+            col("b").cast("long").as("id_b"))
+      }, maxFilesPerTrigger = Some(1), outputMode = "append",
+        fileSink = true)
+        .distinct()
+    }
+  }
+
   /** [[statefulCumsum]] on the transformWithState API. */
   def statefulCumsumTws(ds: org.apache.spark.sql.Dataset[(Long, Long, Double)])
       : org.apache.spark.sql.Dataset[(Long, Long, Double)] = {

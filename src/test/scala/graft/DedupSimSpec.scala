@@ -255,6 +255,22 @@ class DedupSimSpec extends SparkSpec {
       s"planted dup pair ($i, ${100 + i}) missed"))
   }
 
+  test("streaming embed near-dup == batch bandedNearDupPairs (fixture, full output)") {
+    // the streaming sign-LSH posting lists (unified TTL processor at an
+    // infinite horizon, candidates-only members) + batch rerank must
+    // reproduce the batch banded pipeline EXACTLY — same candidate set
+    // (arrival-order-independent), same exact cosine, same threshold
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val batch = SimilarityOps.bandedNearDupPairs(
+        emb, "vec_id", "embedding", bands = 8, planesPerBand = 8, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val stream = graft.queries.QueriesSim.qStreamEmbedNearDup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(stream == batch, s"stream ${stream.size} vs batch ${batch.size}")
+    assert(stream.nonEmpty)
+  }
+
   test("lshTopK: bucket-mates of the query are exact-cosine ranked") {
     val rnd = new scala.util.Random(7)
     val vecs = (0L until 50L).map(i =>
