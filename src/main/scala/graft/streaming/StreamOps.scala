@@ -1236,21 +1236,13 @@ object StreamOps {
                                 idCol: String, vecCol: String,
                                 bands: Int, planesPerBand: Int,
                                 dim: Int = 64): DataFrame = {
-    import graft.ops.SimilarityOps
     val src = emb.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("v"))
     withRocksDbStore(spark) {
       viaStream(spark, Seq(src), dfs => {
         import spark.implicits._
-        val sigs = element_at(
-          transform(array(SimilarityOps.quantize(col("v"))),
-            q => array((0 until bands).map(b =>
-              SimilarityOps.bandSig(q, b, planesPerBand, dim)): _*)),
-          1)
-        val banded = dfs.head
-          .select(col("id"), posexplode(sigs).as(Seq("band", "sig")))
-          .select(concat_ws("_", col("band"), col("sig")).as("bucket"),
-            format_string("%019d", col("id")).as("dig"),
+        val banded = embedBandBuckets(dfs.head, bands, planesPerBand, dim)
+          .select(col("bucket"), format_string("%019d", col("id")).as("dig"),
             typedLit(Seq(1L)).as("csig"), lit(0L).as("ts_us"))
           .as[(String, String, Seq[Long], Long)]
         nearDupTtlOnBanded(banded, 0.0, ttlUs = Long.MaxValue)
@@ -1261,6 +1253,25 @@ object StreamOps {
         fileSink = true)
         .distinct()
     }
+  }
+
+  /** Band a frame carrying a `v` embedding column into (band, sig)
+    * bucket keys, quantizing ONCE per row: the quantized vector rides a
+    * single-element `transform` let-binding and the per-band signatures
+    * land in one array below the posexplode Generate (a collapse
+    * barrier) — plan-locked in PlanAuditSpec, the [[bandBuckets]]
+    * discipline applied to embeddings. */
+  private[graft] def embedBandBuckets(df: DataFrame, bands: Int,
+                                      planesPerBand: Int, dim: Int)
+      : DataFrame = {
+    import graft.ops.SimilarityOps
+    val sigs = element_at(
+      transform(array(SimilarityOps.quantize(col("v"))),
+        q => array((0 until bands).map(b =>
+          SimilarityOps.bandSig(q, b, planesPerBand, dim)): _*)),
+      1)
+    df.select(col("*"), posexplode(sigs).as(Seq("band", "sig")))
+      .withColumn("bucket", concat_ws("_", col("band"), col("sig")))
   }
 
   /** [[statefulCumsum]] on the transformWithState API. */

@@ -484,4 +484,25 @@ class PlanAuditSpec extends SparkSpec {
       s"signature inlined $md5Count times — banding lost its collapse barrier:\n$opt")
     assert("Generate ".r.findAllIn(opt).size == 1, opt)
   }
+
+  test("streaming embed banding: the vector is quantized once per row") {
+    // same regression class as the minhash lock above: `quantize` is a
+    // higher-order transform (codegen-fallback, no CSE); inlined into
+    // every bandSig reference it would re-quantize bands x planes times
+    // per row. embedBandBuckets let-binds the quantized vector and
+    // computes all band signatures into one array below the posexplode
+    // Generate, so the optimized plan carries the quantize round()
+    // exactly once (the plane sign matrices are plan-time literals — no
+    // other round() exists in the projection).
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val banded = graft.streaming.StreamOps.embedBandBuckets(emb, 8, 8, 64)
+      .select("id", "bucket")
+    val opt = banded.queryExecution.optimizedPlan.toString
+    val roundCount = "round\\(".r.findAllIn(opt).size
+    assert(roundCount == 1,
+      s"quantize inlined $roundCount times — embed banding lost its barrier:\n$opt")
+    assert("Generate ".r.findAllIn(opt).size == 1, opt)
+  }
 }
