@@ -157,12 +157,19 @@ object DedupOps {
   // metric names already reported — each `lsh_bucket_stats_<seq>` name is
   // unique to one capBuckets call, so the synchronous report after the
   // phase action and the async listener can both fire without duplicate
-  // log lines (one tiny string per capBuckets call per JVM)
+  // log lines. BOUNDED: a long-lived JVM mints a fresh name per pipeline
+  // run, so the set is cleared once it passes a generous size — a rare
+  // duplicate stats line after a clear is benign; an unbounded string
+  // set in a server JVM is not (the same leak class the weak session
+  // registry above avoids).
   private val bucketStatsLogged =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val BucketStatsLoggedBound = 10000
 
   private def logBucketStatsRow(name: String,
                                 row: org.apache.spark.sql.Row): Unit = {
+    if (bucketStatsLogged.size > BucketStatsLoggedBound)
+      bucketStatsLogged.clear()
     if (!bucketStatsLogged.add(name)) return
     val nPost = if (row.isNullAt(0)) 0L else row.getLong(0)
     val maxSeen = if (row.isNullAt(1)) 0L else row.getLong(1)

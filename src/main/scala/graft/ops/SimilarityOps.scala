@@ -191,6 +191,32 @@ object SimilarityOps {
       .phaseCut
   }
 
+  /** Exact cosine rerank of an (id_a, id_b) candidate pair list against
+    * the embedding table: quantize ONCE (phase-cut — the quantized table
+    * feeds both join sides, and quantize is a codegen-fallback HOF that
+    * CollapseProject would otherwise inline twice per pair), broadcast-
+    * or hash-join the vectors back, exact integer dot + one float
+    * division, threshold. Shared by the batch banded pipeline's
+    * semantics and the streaming gate (idempotent per pair — reranking
+    * a candidate twice yields the same row). */
+  def rerankPairs(cand: DataFrame, emb: DataFrame, idCol: String,
+                  vecCol: String, threshold: Double): DataFrame = {
+    val v = emb.select(col(idCol).as("id"), quantize(col(vecCol)).as("v"))
+      .withColumn("n2", norm2Q(col("v")))
+      .phaseCut
+    cand
+      .join(v.select(col("id").as("id_a"), col("v").as("va"),
+        col("n2").as("na")), Seq("id_a"))
+      .join(v.select(col("id").as("id_b"), col("v").as("vb"),
+        col("n2").as("nb")), Seq("id_b"))
+      .withColumn("cos_sim",
+        when(col("na") === 0 || col("nb") === 0, lit(null))
+          .otherwise(dotQ(col("va"), col("vb")).cast("double") /
+            sqrt(col("na").cast("double") * col("nb").cast("double"))))
+      .where(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
+
   /** Exact integer mean rounded half away from zero: sign(s)·⌊(2|s|+n)/(2n)⌋
     * — the quantized-centroid update of [[trainCodebook]], spelled in pure
     * integer arithmetic (`div`, not float `/`) so Spark and the DuckDB

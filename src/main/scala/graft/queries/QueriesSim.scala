@@ -508,20 +508,7 @@ object QueriesSim {
     val emb = Tables.embeddings(spark, dir)
     val cand = graft.streaming.StreamOps.embedNearDupCandViaStream(
       spark, emb, "vec_id", "embedding", NdBands, NdPlanesPerBand)
-    val v = emb.select(col("vec_id"),
-        SimilarityOps.quantize(col("embedding")).as("v"))
-      .withColumn("n2", SimilarityOps.norm2Q(col("v")))
-    cand
-      .join(v.select(col("vec_id").as("id_a"), col("v").as("va"),
-        col("n2").as("na")), Seq("id_a"))
-      .join(v.select(col("vec_id").as("id_b"), col("v").as("vb"),
-        col("n2").as("nb")), Seq("id_b"))
-      .withColumn("cos_sim",
-        when(col("na") === 0 || col("nb") === 0, lit(null))
-          .otherwise(SimilarityOps.dotQ(col("va"), col("vb")).cast("double") /
-            sqrt(col("na").cast("double") * col("nb").cast("double"))))
-      .where(col("cos_sim") >= NdThreshold)
-      .select("id_a", "id_b", "cos_sim")
+    SimilarityOps.rerankPairs(cand, emb, "vec_id", "embedding", NdThreshold)
       .orderBy("id_a", "id_b")
   }
 

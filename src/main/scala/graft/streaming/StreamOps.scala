@@ -1050,14 +1050,22 @@ object StreamOps {
     * disorder bounded by the upstream dedup watermark (a posting is only
     * dropped when some arrival is a full TTL ahead of it).
     *
-    * Hot-bucket cap (r12 — the streaming mirror of
+    * Hot-bucket cap (r12 — the streaming counterpart of
     * [[graft.ops.DedupOps]]'s batch cap): once a bucket's live posting
     * list holds `maxBucket` members, further arrivals to it are DROPPED
     * (no pairs, no state growth) until TTL eviction shrinks it — at
     * 100 TB one boilerplate bucket otherwise makes the stage O(bucket)
-    * per arrival with unbounded within-horizon state. Drops are counted
-    * ([[nearDupDroppedPostings]]) and WARN-logged per micro-batch slice,
-    * matching the batch path's drop-visibility contract.
+    * per arrival with unbounded within-horizon state. The SEMANTICS
+    * differ from the batch cap exactly when firing, necessarily: batch
+    * sees the whole bucket and anti-joins it away (zero pairs from it);
+    * a stream cannot retract already-emitted pairs, so it keeps the
+    * FIRST `maxBucket` postings (their pairs stand) and drops later
+    * arrivals — both bound cost to O(maxBucket) per arrival, they keep
+    * different survivors on a degenerate bucket, and neither fires on
+    * any measured corpus (caps are invisible at every verified SF).
+    * Drops are counted ([[nearDupDroppedPostings]]) and WARN-logged per
+    * micro-batch slice, matching the batch path's drop-visibility
+    * contract.
     *
     * State I/O is one read + at most one write per (key, micro-batch):
     * the posting list is materialized into memory once per
@@ -1225,17 +1233,27 @@ object StreamOps {
     *
     * Members carry a constant 1-element signature: with threshold 0
     * every co-bucket pair emits, and the candidate SET is
-    * arrival-order-independent and equals the batch
+    * arrival-order-independent and — while no bucket exceeds
+    * `maxBucket` — equals the batch
     * [[graft.ops.SimilarityOps.bandedNearDupPairs]] candidate set at
-    * signature level — the caller applies the exact cosine rerank
-    * (idempotent per pair). Output: deduplicated (id_a, id_b),
-    * id_a < id_b; ids must be non-negative (padded-decimal ordering,
-    * as [[streamingNearDup]]). File-sinked: candidate grain is
-    * unbounded (~6M pairs at sf1). */
+    * signature level; the caller applies the exact cosine rerank
+    * (idempotent per pair). Cap caveat (the batch banded path carries
+    * no cap): sign-LSH has only 2^planesPerBand signatures per band, so
+    * uniform buckets grow ~N/2^p — at the default cap that is ~1.3M
+    * vectors for p=8. Past it the stream keeps the first `maxBucket`
+    * postings per bucket, WARNs, and counts drops
+    * ([[nearDupDroppedPostings]]) — bounded state/cost traded for
+    * bounded recall loss; every measured SF (≤ sf1) sits far below the
+    * cap and the equality is verified exact there. Output: deduplicated
+    * (id_a, id_b), id_a < id_b; ids must be non-negative
+    * (padded-decimal ordering, as [[streamingNearDup]]). File-sinked:
+    * candidate grain is unbounded (~6M pairs at sf1). */
   def embedNearDupCandViaStream(spark: SparkSession, emb: DataFrame,
                                 idCol: String, vecCol: String,
                                 bands: Int, planesPerBand: Int,
-                                dim: Int = 64): DataFrame = {
+                                dim: Int = 64,
+                                maxBucket: Int = graft.ops.DedupOps.DefaultMaxBucket)
+      : DataFrame = {
     val src = emb.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("v"))
     withRocksDbStore(spark) {
@@ -1245,7 +1263,7 @@ object StreamOps {
           .select(col("bucket"), format_string("%019d", col("id")).as("dig"),
             typedLit(Seq(1L)).as("csig"), lit(0L).as("ts_us"))
           .as[(String, String, Seq[Long], Long)]
-        nearDupTtlOnBanded(banded, 0.0, ttlUs = Long.MaxValue)
+        nearDupTtlOnBanded(banded, 0.0, ttlUs = Long.MaxValue, maxBucket)
           .toDF("a", "b", "est")
           .select(col("a").cast("long").as("id_a"),
             col("b").cast("long").as("id_b"))
@@ -1419,8 +1437,16 @@ object StreamOps {
     val touched = upd.select("_bkt").distinct()
       .collect().map(_.getInt(0)).toSet
     val newRefs =
-      if (touched.isEmpty) refs // empty batch: commit the id, move no data
-      else {
+      if (touched.isEmpty && refs.nonEmpty) refs // empty batch: commit id only
+      else if (touched.isEmpty) {
+        // empty batch on an EMPTY snapshot: write one schema-only bucket
+        // so readSnapshot returns an empty frame with the right schema
+        // (the pre-bucketed layout's behavior) instead of failing on a
+        // committed manifest that references no data
+        val target = new Path(root, s"batch-$batchId")
+        upd.limit(0).write.mode("overwrite").parquet(target.toString)
+        Map(0 -> batchId)
+      } else {
         // current rows of the touched buckets only: group by the batch
         // dir holding them, partition-prune `_bkt in touched ∩ assigned`
         val currentTouched = refs.filter { case (b, _) => touched(b) }.toSeq

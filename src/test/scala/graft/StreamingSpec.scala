@@ -682,6 +682,25 @@ class StreamingSpec extends SparkSpec {
       assert(spark.read.parquet(s"$root/$d").count() > 0, s"$d unreadable"))
   }
 
+  test("bucketed upsert: empty batches on an empty snapshot read back as empty, not an error") {
+    // regression guard (round-12 review): a committed manifest with no
+    // data must give readSnapshot an empty frame with the right schema —
+    // the pre-bucketed layout's behavior — not a FileNotFoundException
+    import spark.implicits._
+    val root = tmpPath("graft_upsert_empty")
+    val empty = Seq.empty[(Long, String, Long)].toDF("k", "state", "ver")
+    StreamOps.upsertSnapshot(root, Seq("k"), "ver")(empty, 0L)
+    val got = StreamOps.readSnapshot(spark, root)
+    assert(got.count() == 0)
+    assert(got.columns.toSet == Set("k", "state", "ver"), got.columns.toSeq)
+    // and a later REAL batch upserts on top of the empty commit
+    StreamOps.upsertSnapshot(root, Seq("k"), "ver")(
+      Seq((1L, "a", 1L)).toDF("k", "state", "ver"), 1L)
+    val after = StreamOps.readSnapshot(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after == Set((1L, "a")))
+  }
+
   test("bucketed upsert: a disjoint-key batch leaves untouched bucket files byte-identical") {
     // r11 verdict item 6: per-batch cost must be proportional to the
     // TOUCHED buckets. Proof shape: commit batch 0 over several keys,

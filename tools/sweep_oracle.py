@@ -42,19 +42,34 @@ def run(cmd):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir, out_dir = args[0], args[1]
-    cent_dir = args[2] if len(args) > 2 else None
-    chunk = CHUNK
-    for a in sys.argv[1:]:
-        if a.startswith("--chunk"):
+    argv, positional, chunk = sys.argv[1:], [], CHUNK
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--chunk="):
             chunk = int(a.split("=", 1)[1])
+        elif a == "--chunk":
+            i += 1
+            chunk = int(argv[i])
+        else:
+            positional.append(a)
+        i += 1
+    sf_dir, out_dir = positional[0], positional[1]
+    cent_dir = positional[2] if len(positional) > 2 else None
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
-    big = [n for n in names
-           if dir_size(os.path.join(out_dir, n)) > SIZE_CUTOFF]
     ivf = [n for n in names if n == "q_ivf_recall" and cent_dir]
+    # q_ivf_recall never routes to the checksum harness: check_scale.py
+    # evaluates the DECLARED oracle, which is the Lloyd-replay DNF this
+    # tool exists to avoid at sf1+
+    big = [n for n in names if n not in ivf
+           and dir_size(os.path.join(out_dir, n)) > SIZE_CUTOFF]
     small = [n for n in names if n not in big and n not in ivf]
+    if "q_ivf_recall" in small and cent_dir is None:
+        print("[sweep] WARNING: no CENT_DIR given — q_ivf_recall falls "
+              "back to its declared Lloyd-replay oracle, which DNFs at "
+              "sf1+ (dump centroids with `runMain graft.IvfCentroids "
+              "SF_DIR CENT_DIR` and pass CENT_DIR)")
     ok = True
     for i in range(0, len(small), chunk):
         ok &= run([sys.executable, os.path.join(HERE, "check_oracle.py"),
