@@ -157,20 +157,24 @@ object DedupOps {
   // metric names already reported — each `lsh_bucket_stats_<seq>` name is
   // unique to one capBuckets call, so the synchronous report after the
   // phase action and the async listener can both fire without duplicate
-  // log lines. BOUNDED: a long-lived JVM mints a fresh name per pipeline
-  // run, so the set is cleared once it passes a generous size — a rare
-  // duplicate stats line after a clear is benign; an unbounded string
-  // set in a server JVM is not (the same leak class the weak session
-  // registry above avoids).
-  private val bucketStatsLogged =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // log lines. BOUNDED as an insertion-order LRU: past the bound the
+  // ELDEST entry is evicted one at a time (r12 verdict: the previous
+  // wholesale clear() dropped ALL dedupe state at once, so one pipeline
+  // crossing the threshold could double-log its own in-flight stats
+  // line). The eldest name belongs to a long-finished run whose listener
+  // can no longer fire, so eviction never re-enables a duplicate.
   private val BucketStatsLoggedBound = 10000
+  private val bucketStatsLogged = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, java.lang.Boolean]() {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean =
+        size() > BucketStatsLoggedBound
+    })
 
   private def logBucketStatsRow(name: String,
                                 row: org.apache.spark.sql.Row): Unit = {
-    if (bucketStatsLogged.size > BucketStatsLoggedBound)
-      bucketStatsLogged.clear()
-    if (!bucketStatsLogged.add(name)) return
+    if (bucketStatsLogged.putIfAbsent(name, java.lang.Boolean.TRUE) != null)
+      return
     val nPost = if (row.isNullAt(0)) 0L else row.getLong(0)
     val maxSeen = if (row.isNullAt(1)) 0L else row.getLong(1)
     val cap = if (row.isNullAt(2)) 0L else row.getLong(2)

@@ -307,36 +307,37 @@ object SimilarityOps {
       trainCodebook(corpus, idCol, vecCol, centroidMod, centroidRem, iters),
       nprobe)
 
-  /** IVF search machinery over an explicit codebook (cid, centv). */
-  def ivfTopKWithCentroids(queries: DataFrame, corpus: DataFrame,
-                           idCol: String, vecCol: String, k: Int,
-                           centroids: DataFrame,
-                           nprobe: Int = 1): DataFrame = {
-    val cent = broadcast(
-      centroids.withColumn("centn", norm2Q(col("centv"))))
+  /** Nearest-`probes` centroid assignment against a (broadcast) codebook
+    * carrying (cid, centv, centn): deterministic tie-break by centroid
+    * id; emits (outId, cluster_id, v, vn). Corpus rows store under
+    * exactly one centroid (probes=1), query rows probe their
+    * top-`nprobe` (the IVF recall lever — a probe multiplies candidates
+    * by ~1/nlist, never all-pairs). Shared by the inline search
+    * ([[ivfTopKWithCentroids]]) and the persisted index
+    * ([[writeIvfIndex]]/[[probeIvfIndex]]), which is what makes the two
+    * provably output-identical. */
+  private[graft] def assignProbe(df: DataFrame, idCol: String, vecCol: String,
+                                 outId: String, probes: Int,
+                                 cent: DataFrame): DataFrame = {
+    val v = df.select(col(idCol).as(outId), quantize(col(vecCol)).as("v"))
+      .withColumn("vn", norm2Q(col("v")))
+    val scored = v.join(cent)
+      .withColumn("ccos",
+        when(col("vn") === 0 || col("centn") === 0, lit(null))
+          .otherwise(dotQ(col("v"), col("centv")).cast("double") /
+            sqrt(col("vn").cast("double") * col("centn").cast("double"))))
+    val w = Window.partitionBy(col(outId))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    scored.withColumn("crn", row_number().over(w)).where(col("crn") <= probes)
+      .select(col(outId), col("cid").as("cluster_id"), col("v"), col("vn"))
+  }
 
-    // nearest `probes` centroids per vector, deterministic tie-break by
-    // centroid id; corpus rows always store under exactly one centroid,
-    // query rows probe their top-`nprobe` (the IVF recall lever — a probe
-    // multiplies candidates by ~1/nlist, never all-pairs)
-    def assign(df: DataFrame, outId: String, probes: Int): DataFrame = {
-      val v = df.select(col(idCol).as(outId), quantize(col(vecCol)).as("v"))
-        .withColumn("vn", norm2Q(col("v")))
-      val scored = v.join(cent)
-        .withColumn("ccos",
-          when(col("vn") === 0 || col("centn") === 0, lit(null))
-            .otherwise(dotQ(col("v"), col("centv")).cast("double") /
-              sqrt(col("vn").cast("double") * col("centn").cast("double"))))
-      val w = Window.partitionBy(col(outId))
-        .orderBy(col("ccos").desc, col("cid").asc)
-      scored.withColumn("crn", row_number().over(w)).where(col("crn") <= probes)
-        .select(col(outId), col("cid").as("cluster_id"), col("v"), col("vn"))
-    }
-    val cAssigned = assign(corpus, "neighbor_id", 1)
-      .withColumnRenamed("v", "cv").withColumnRenamed("vn", "cn")
-    val qAssigned = broadcast(assign(queries, "query_id", nprobe)
-      .withColumnRenamed("v", "qv").withColumnRenamed("vn", "qn"))
-
+  /** The probe-side tail shared by the inline search and the persisted
+    * index: join query probes (broadcast) against cluster-keyed corpus
+    * postings (neighbor_id, cluster_id, cv, cn), exact cosine, per-query
+    * top-k. */
+  private def probeTopK(cAssigned: DataFrame, qAssigned: DataFrame,
+                        k: Int): DataFrame = {
     val scored = cAssigned.join(qAssigned, Seq("cluster_id"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos_sim", dotQ(col("qv"), col("cv")).cast("double") /
@@ -346,6 +347,63 @@ object SimilarityOps {
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .where(col("rk") <= k)
       .select("query_id", "rk", "neighbor_id", "cos_sim")
+  }
+
+  /** IVF search machinery over an explicit codebook (cid, centv). */
+  def ivfTopKWithCentroids(queries: DataFrame, corpus: DataFrame,
+                           idCol: String, vecCol: String, k: Int,
+                           centroids: DataFrame,
+                           nprobe: Int = 1): DataFrame = {
+    val cent = broadcast(
+      centroids.withColumn("centn", norm2Q(col("centv"))))
+    val cAssigned = assignProbe(corpus, idCol, vecCol, "neighbor_id", 1, cent)
+      .withColumnRenamed("v", "cv").withColumnRenamed("vn", "cn")
+    val qAssigned = broadcast(
+      assignProbe(queries, idCol, vecCol, "query_id", nprobe, cent)
+        .withColumnRenamed("v", "qv").withColumnRenamed("vn", "qn"))
+    probeTopK(cAssigned, qAssigned, k)
+  }
+
+  /** PERSIST a trained IVF index (the at-rest ANN deployment shape — the
+    * IVF analog of [[graft.ops.DedupOps.writeLshIndex]]): the
+    * Lloyd-trained codebook lands as `<table>_centroids` (k·dim longs,
+    * broadcast-size at any corpus), and the corpus — assigned ONCE to its
+    * nearest centroid, quantized vector + norm stored alongside — lands
+    * as `<table>_postings` BUCKETED on `cluster_id`. The train + assign
+    * shuffles are paid at build time; every later [[probeIvfIndex]]
+    * scans the posting table co-located on the join key (no corpus-side
+    * exchange even when the probe side outgrows broadcast). At 100 TB
+    * the index builds once and is probed per crawl batch. */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    centroidMod: Int, centroidRem: Int, iters: Int,
+                    table: String, buckets: Int = 32): Unit = {
+    val spark = corpus.sparkSession
+    trainCodebook(corpus, idCol, vecCol, centroidMod, centroidRem, iters)
+      .write.mode("overwrite").saveAsTable(s"${table}_centroids")
+    val cent = broadcast(spark.table(s"${table}_centroids")
+      .withColumn("centn", norm2Q(col("centv"))))
+    assignProbe(Phase.fanout(corpus), idCol, vecCol, "neighbor_id", 1, cent)
+      .withColumnRenamed("v", "cv").withColumnRenamed("vn", "cn")
+      .write.mode("overwrite").bucketBy(buckets, "cluster_id")
+      .sortBy("cluster_id").saveAsTable(s"${table}_postings")
+  }
+
+  /** Probe a persisted IVF index: queries assign against the STORED
+    * codebook (broadcast), search their `nprobe` nearest clusters'
+    * posting lists, exact cosine rerank, per-query top-k.
+    * Output-identical to [[ivfTopKTrained]] at the same parameters (same
+    * training arithmetic, same assignment, same rerank — all via the
+    * shared [[assignProbe]]/[[probeTopK]]), which is what lets the index
+    * query reuse the inline query's oracle verbatim. */
+  def probeIvfIndex(queries: DataFrame, idCol: String, vecCol: String,
+                    k: Int, table: String, nprobe: Int = 1): DataFrame = {
+    val spark = queries.sparkSession
+    val cent = broadcast(spark.table(s"${table}_centroids")
+      .withColumn("centn", norm2Q(col("centv"))))
+    val qAssigned = broadcast(
+      assignProbe(queries, idCol, vecCol, "query_id", nprobe, cent)
+        .withColumnRenamed("v", "qv").withColumnRenamed("vn", "qn"))
+    probeTopK(spark.table(s"${table}_postings"), qAssigned, k)
   }
 
   /** One Lloyd (k-means) iteration over quantized embeddings: assign every

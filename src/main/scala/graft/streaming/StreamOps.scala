@@ -235,11 +235,13 @@ object StreamOps {
       // sf10 — a memory sink accumulates every pair in the driver and
       // OOMs a 64 GB heap; measured round 11). The executors write the
       // pairs to parquet and the read-back stays distributed.
-      viaStream(spark, Seq(src),
+      val out = viaStream(spark, Seq(src),
         dfs => streamingNearDup(dfs.head.as[(Long, String)], bands, rows,
             simThreshold)
           .toDF("id_a", "id_b", "est_jaccard"),
         maxFilesPerTrigger = Some(1), outputMode = "append", fileSink = true)
+      reportNearDupLoss()
+      out
     }
   }
 
@@ -469,6 +471,7 @@ object StreamOps {
       .start()
     started = Some(q)
     q.awaitTermination()
+    logGateProgress(q)
     started = None
     sinkDir match {
       case Some(out) =>
@@ -526,6 +529,64 @@ object StreamOps {
     }
   }
 
+  /** Aggregate and log state-store metrics across a drained gate's
+    * micro-batches (r12 verdict item 1 — observability for the sf1 gate
+    * timing drift): per stateful operator, batch count, input rows,
+    * final state rows/bytes, summed update/removal/commit work and the
+    * RocksDB byte traffic when that provider is active. One stdout line
+    * per operator (the bench/TimeQ harnesses capture stdout — same
+    * channel as the lsh-bucket-stats line), so every gate run carries
+    * the measurement that separates state-I/O growth from box weather. */
+  private def logGateProgress(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = try {
+    val progs = q.recentProgress
+    if (progs.isEmpty) return
+    val batches = progs.length
+    val inRows = progs.map(_.numInputRows).sum
+    // (opName, opIndex-within-plan) → summed/last metrics; LinkedHashMap
+    // keeps plan order in the log
+    case class Agg(var stateRows: Long = 0L, var memBytes: Long = 0L,
+                   var updated: Long = 0L, var removed: Long = 0L,
+                   var droppedWm: Long = 0L, var updateMs: Long = 0L,
+                   var removalMs: Long = 0L, var commitMs: Long = 0L,
+                   var rdbRead: Long = 0L, var rdbWrite: Long = 0L)
+    val byOp = scala.collection.mutable.LinkedHashMap[String, Agg]()
+    progs.foreach { p =>
+      p.stateOperators.zipWithIndex.foreach { case (so, i) =>
+        val name = Option(so.operatorName).filter(_.nonEmpty)
+          .getOrElse("stateOp") + s"#$i"
+        val a = byOp.getOrElseUpdate(name, Agg())
+        a.stateRows = so.numRowsTotal          // last batch wins
+        a.memBytes  = so.memoryUsedBytes
+        a.updated   += so.numRowsUpdated
+        a.removed   += so.numRowsRemoved
+        a.droppedWm += so.numRowsDroppedByWatermark
+        a.updateMs  += so.allUpdatesTimeMs
+        a.removalMs += so.allRemovalsTimeMs
+        a.commitMs  += so.commitTimeMs
+        val cm = so.customMetrics
+        if (cm != null) {
+          a.rdbRead  += Option(cm.get("rocksdbTotalBytesRead")).map(_.longValue).getOrElse(0L)
+          a.rdbWrite += Option(cm.get("rocksdbTotalBytesWritten")).map(_.longValue).getOrElse(0L)
+        }
+      }
+    }
+    if (byOp.isEmpty)
+      println(s"[graft] stream-gate-state batches=$batches " +
+        s"input_rows=$inRows state_ops=0")
+    else byOp.foreach { case (name, a) =>
+      println(s"[graft] stream-gate-state op=$name batches=$batches " +
+        s"input_rows=$inRows state_rows=${a.stateRows} " +
+        s"state_bytes=${a.memBytes} updated=${a.updated} " +
+        s"removed=${a.removed} dropped_by_wm=${a.droppedWm} " +
+        s"update_ms=${a.updateMs} removal_ms=${a.removalMs} " +
+        s"commit_ms=${a.commitMs} rocksdb_read_bytes=${a.rdbRead} " +
+        s"rocksdb_write_bytes=${a.rdbWrite}")
+    }
+  } catch { case e: Throwable =>
+    graftLog.warn(s"stream-gate-state logging failed: ${e.getMessage}")
+  }
+
   /** Copy a bounded frame into a local relation so every staged artifact
     * behind it can be deleted (gate results are windowed aggregates /
     * key sets / snapshots — bounded by construction). */
@@ -581,9 +642,9 @@ object StreamOps {
     * stays arbitrary: a watermark delay of one slice width or more
     * covers it, which the buffered processors' gates pick at runtime
     * from the observed span. */
-  private def stageTimeSliced(source: DataFrame, tsCol: String,
-                              stage: String,
-                              bounds: Option[(Long, Long)] = None): Unit = {
+  private[graft] def stageTimeSliced(source: DataFrame, tsCol: String,
+                                     stage: String,
+                                     bounds: Option[(Long, Long)] = None): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val withUs = source.withColumn("__us",
       unix_micros(col(tsCol).cast("timestamp")))
@@ -606,11 +667,16 @@ object StreamOps {
         // into place with strictly increasing mtimes. `least` clamps rows
         // past `hi` into the LAST slice: with watermarkPlan's real-event
         // bounds, that is where the end-of-input sentinel rides.
+        // `greatest` clamps rows BELOW `lo` into the FIRST slice (ADVICE
+        // r12: caller-supplied bounds that under-cover the low side used
+        // to yield a negative __slice whose directory the move loop never
+        // picks up — a silent drop from the replay).
         val tmp = Files.createTempDirectory("graft-stream-slice").toString
         try {
           withUs.withColumn("__slice",
-              least(floor((col("__us") - lit(lo)) / lit(width)),
-                lit((TimeSlices - 1).toLong)).cast("int"))
+              greatest(lit(0L),
+                least(floor((col("__us") - lit(lo)) / lit(width)),
+                  lit((TimeSlices - 1).toLong))).cast("int"))
             .drop("__us")
             .repartition(TimeSlices, col("__slice"))
             .write.partitionBy("__slice").mode("overwrite").parquet(tmp)
@@ -666,6 +732,7 @@ object StreamOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    logGateProgress(q)
     val pointer = java.nio.file.Paths.get(snap, "_CURRENT")
     // an empty source commits no batch and never writes the pointer —
     // fail with the cause, not a bare NoSuchFileException
@@ -982,6 +1049,42 @@ object StreamOps {
     * the operational signal a real run ships). */
   val nearDupDroppedPostings = new java.util.concurrent.atomic.AtomicLong
 
+  /** Cluster-correct recall-loss accounting for the streaming LSH cap
+    * (r12 verdict item 2 — quantified, not just flagged): Spark
+    * accumulators, so executor-side increments aggregate on the driver
+    * in a real deployment, unlike the JVM-local AtomicLong above.
+    *
+    *   - `postings`: every row that reached the processor (the ppm
+    *     denominator);
+    *   - `dropped`: postings discarded because their bucket sat at the
+    *     cap — near-dups against them are MISSED;
+    *   - `suppressedPairsUb`: Σ over drops of the bucket's live size at
+    *     drop time — an upper bound on the candidate pairs the drops
+    *     suppressed (each dropped posting would have paired against at
+    *     most the bucket's live members).
+    */
+  case class NearDupLossAcc(
+      postings: org.apache.spark.util.LongAccumulator,
+      dropped: org.apache.spark.util.LongAccumulator,
+      suppressedPairsUb: org.apache.spark.util.LongAccumulator) {
+    def droppedPpm: Long =
+      if (postings.value == 0L) 0L
+      else dropped.value * 1000000L / postings.value
+    /** One parsable stdout line per gate run — same channel as the batch
+      * path's `lsh-bucket-stats` line. */
+    def report: String =
+      s"[graft] stream-lsh-loss postings=${postings.value} " +
+        s"dropped=${dropped.value} dropped_ppm=$droppedPpm " +
+        s"suppressed_pairs_ub=${suppressedPairsUb.value}"
+  }
+
+  /** Loss accumulators of the most recent [[nearDupTtlOnBanded]] plan
+    * built in this JVM — the gate that drives the stream reads and
+    * prints them after the drain. Single-assignment per gate run (gates
+    * run sequentially in a JVM; a concurrent-gates JVM should thread the
+    * handle explicitly instead). */
+  @volatile private[graft] var lastNearDupLoss: Option[NearDupLossAcc] = None
+
   /** Band a frame carrying a per-row `sig` array: explode band INDICES
     * first, then derive each band's bucket from the signature AFTER the
     * Generate. Order matters for cost, not correctness: a projection
@@ -1074,7 +1177,8 @@ object StreamOps {
     * RocksDB list per row, O(batchRows × stateSize) read amplification
     * on exactly the hot buckets the cap exists for). */
   class NearDupTtlProcessor(simThreshold: Double, ttlUs: Long,
-                            maxBucket: Int = graft.ops.DedupOps.DefaultMaxBucket)
+                            maxBucket: Int = graft.ops.DedupOps.DefaultMaxBucket,
+                            loss: Option[NearDupLossAcc] = None)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         String, (String, String, Seq[Long], Long), (String, String, Double)] {
     import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TTLConfig}
@@ -1096,7 +1200,10 @@ object StreamOps {
       // oldest live posting: an O(1) per-row eviction check instead of a
       // scan (arrivals are sorted by ts, so the horizon only advances)
       var minTs = if (live.isEmpty) Long.MaxValue else live.map(_.tsUs).min
+      var suppressedUb = 0L
+      var arrived = 0L
       rows.toSeq.sortBy(r => (r._4, r._2)).foreach { case (_, dig, sig, ts) =>
+        arrived += 1
         val horizon = ts - ttlUs
         if (minTs < horizon) {
           live.filterInPlace(_.tsUs >= horizon)
@@ -1105,6 +1212,9 @@ object StreamOps {
         }
         if (live.size >= maxBucket) {
           dropped += 1
+          // each dropped posting would have paired against at most the
+          // bucket's live members — the suppressed-pair upper bound
+          suppressedUb += live.size
         } else {
           live.foreach { m =>
             if (m.dig != dig) {
@@ -1124,6 +1234,10 @@ object StreamOps {
       if (evicted) members.put(live.toArray)
       else if (live.size > stateSize0)
         members.appendList(live.drop(stateSize0).toArray)
+      loss.foreach { l =>
+        l.postings.add(arrived)
+        if (dropped > 0) { l.dropped.add(dropped); l.suppressedPairsUb.add(suppressedUb) }
+      }
       if (dropped > 0) {
         nearDupDroppedPostings.addAndGet(dropped)
         graftLog.warn(s"streaming LSH hot-bucket cap firing: bucket=$key " +
@@ -1144,10 +1258,24 @@ object StreamOps {
       : org.apache.spark.sql.Dataset[(String, String, Double)] = {
     import ds.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val sc = ds.sparkSession.sparkContext
+    val loss = NearDupLossAcc(
+      sc.longAccumulator("graft.nearDup.postings"),
+      sc.longAccumulator("graft.nearDup.droppedPostings"),
+      sc.longAccumulator("graft.nearDup.suppressedPairsUb"))
+    lastNearDupLoss = Some(loss)
     ds.groupByKey(_._1)
       .transformWithState(
-        new NearDupTtlProcessor(simThreshold, ttlUs, maxBucket),
+        new NearDupTtlProcessor(simThreshold, ttlUs, maxBucket, Some(loss)),
         TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Print (and return) the loss report of the most recent near-dup
+    * stream built in this JVM — called by the gates after the drain so
+    * every run's output carries the quantified recall loss. */
+  def reportNearDupLoss(): Option[NearDupLossAcc] = {
+    lastNearDupLoss.foreach(l => println(l.report))
+    lastNearDupLoss
   }
 
   /** Band a (dig, text, ts) stream per row and run the TTL'd posting-list
@@ -1211,6 +1339,7 @@ object StreamOps {
           maxFilesPerTrigger = Some(1), outputMode = "append")
       }
     }
+    reportNearDupLoss()
     graftLog.warn(f"nearDupProd: stage1 dedup ${(t1 - t0) / 1e9}%.1f s, " +
       f"stage2 lsh ${(System.nanoTime() - t1) / 1e9}%.1f s")
     out
@@ -1257,7 +1386,7 @@ object StreamOps {
     val src = emb.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("v"))
     withRocksDbStore(spark) {
-      viaStream(spark, Seq(src), dfs => {
+      val out = viaStream(spark, Seq(src), dfs => {
         import spark.implicits._
         val banded = embedBandBuckets(dfs.head, bands, planesPerBand, dim)
           .select(col("bucket"), format_string("%019d", col("id")).as("dig"),
@@ -1270,6 +1399,8 @@ object StreamOps {
       }, maxFilesPerTrigger = Some(1), outputMode = "append",
         fileSink = true)
         .distinct()
+      reportNearDupLoss()
+      out
     }
   }
 
@@ -1332,6 +1463,18 @@ object StreamOps {
                        keys: Seq[String]): DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(static), keys)
 
+  /** Test-only crash injection for [[upsertSnapshot]]'s two commit
+    * windows (r12 verdict item 3 — the crash-consistency specs): set to
+    * `"before_commit"` (after the bucket/manifest writes, before the
+    * `_CURRENT` rename — a crash here must leave readers on the previous
+    * generation and replay must converge) or `"before_gc"` (after the
+    * rename, before retention pruning — a crash here is already
+    * committed; replay must no-op and the next commit must prune). */
+  @volatile private[graft] var upsertFailpoint: Option[String] = None
+  private def maybeFail(point: String): Unit =
+    if (upsertFailpoint.contains(point))
+      throw new RuntimeException(s"graft test failpoint: $point")
+
   /** Number of hash buckets [[upsertSnapshot]] shards a snapshot into.
     * Sizing knob: per-batch rewrite cost is (touched buckets) ×
     * (snapshot / buckets); more buckets → finer rewrites but more files
@@ -1354,6 +1497,15 @@ object StreamOps {
   }
   private def parseManifest(s: String): SnapshotManifest = {
     val lines = s.split("\n").map(_.trim).filter(_.nonEmpty)
+    // A pre-manifest `_CURRENT` (the old single-directory layout wrote a
+    // bare `batch-<id>` pointer) cannot be migrated in place — the old
+    // layout is unbucketed, so no per-bucket refs can be reconstructed.
+    // Fail with the remedy instead of a bare NumberFormatException
+    // (ADVICE r12).
+    require(lines.nonEmpty && lines.head.startsWith("committed="),
+      s"legacy/corrupt snapshot pointer (expected 'committed=<id>', got " +
+        s"'${lines.headOption.getOrElse("")}'): this snapshot root predates " +
+        "the bucketed manifest layout — re-seed it under a new root")
     val committed = lines.head.stripPrefix("committed=").toLong
     val refs = lines.tail.map { l =>
       val Array(b, id) = l.split("=", 2); b.toInt -> id.toLong
@@ -1392,7 +1544,18 @@ object StreamOps {
     * over touched data per batch); the only driver work is the manifest
     * and the (≤ numBuckets) touched-bucket id list.
     * Wire as: `stream.writeStream.foreachBatch(upsertSnapshot(dir, keys,
-    * ver) _)`. */
+    * ver) _)`.
+    *
+    * SINGLE-WRITER CONTRACT (r12 verdict item 8): exactly one streaming
+    * query (one checkpoint) may write a snapshot root. The batchId guard
+    * fences replays and stale REDELIVERIES (id ≤ committed), but a
+    * ZOMBIE writer resumed from an abandoned checkpoint whose batchIds
+    * run AHEAD of the live writer's will be accepted — last-committer-
+    * wins by batchId is the whole fence (pinned in StreamingSpec). On
+    * failover, ensure the old writer is dead before starting the new one
+    * from the SAME checkpoint; when re-seeding from a fresh checkpoint,
+    * use a NEW snapshot root (the fresh-checkpoint skip WARN above is
+    * the misconfiguration signal). */
   def upsertSnapshot(snapshotRoot: String, keys: Seq[String], verCol: String,
                      retainSnapshots: Int = 2,
                      numBuckets: Int = DefaultSnapshotBuckets)
@@ -1480,8 +1643,10 @@ object StreamOps {
     val tmp = new Path(root, s"_CURRENT.$batchId.tmp")
     val out = fs.create(tmp, true)
     try out.write(manifest.serialize.getBytes("UTF-8")) finally out.close()
+    maybeFail("before_commit")
     org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
       .rename(tmp, pointer, Options.Rename.OVERWRITE)
+    maybeFail("before_gc")
     // Prune: keep every batch dir referenced by the newest
     // `retainSnapshots` manifests — NOT just the current one: a reader
     // that resolved _CURRENT a moment ago may still be scanning the

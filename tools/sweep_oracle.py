@@ -61,8 +61,11 @@ def main():
     ivf = [n for n in names if n == "q_ivf_recall" and cent_dir]
     # q_ivf_recall never routes to the checksum harness: check_scale.py
     # evaluates the DECLARED oracle, which is the Lloyd-replay DNF this
-    # tool exists to avoid at sf1+
-    big = [n for n in names if n not in ivf
+    # tool exists to avoid at sf1+. Exclude it from `big` UNCONDITIONALLY
+    # (ADVICE r12: with no CENT_DIR a large recall dump used to land in
+    # `big` and hit exactly that harness) — without CENT_DIR it falls to
+    # `small` and the warning below covers it.
+    big = [n for n in names if n != "q_ivf_recall"
            and dir_size(os.path.join(out_dir, n)) > SIZE_CUTOFF]
     small = [n for n in names if n not in big and n not in ivf]
     if "q_ivf_recall" in small and cent_dir is None:
