@@ -13,8 +13,15 @@ Routes each dumped query to the right checker:
     temp-storage pressure — observed round 10; chunks must be
     sequential, concurrent chunks clobber .tmp/duckdb_temp_storage)
 
-Usage: sweep_oracle.py SF_DIR OUT_DIR [CENT_DIR] [--chunk N]
+Usage: sweep_oracle.py SF_DIR OUT_DIR [CENT_DIR] [--chunk N] [--embed-scale]
 Prints per-query OK/FAIL lines and a final tally; exit 1 on any FAIL.
+
+--embed-scale (sf10 sweeps): route the whole embedding/ANN family to
+tools/check_embed_scale.py (list-native batched re-expressions, one
+fresh DuckDB process per query) — their declared oracles build 10s of
+billions of unnested rows at sf10 and DNF; the re-expressions are
+validated bit-exact against the declared oracles at sf0.01. The IVF
+members need CENT_DIR (graft.IvfCentroids dump).
 """
 import os
 import subprocess
@@ -23,6 +30,23 @@ import sys
 SIZE_CUTOFF = 10 * 1024 * 1024
 CHUNK = 30
 HERE = os.path.dirname(os.path.abspath(__file__))
+
+# query -> check_embed_scale.py mode (the --embed-scale routing table);
+# True = needs CENT_DIR. q_embed_topk is also in the family but routes
+# to the pre-existing tools/check_topk_scale.py (special-cased below).
+EMBED_MODES = {
+    "q_embed_topk": ("topk", False),
+    "q_embed_lsh": ("lsh", False),
+    "q_embed_lsh_probe": ("lsh_probe", False),
+    "q_ann_recall": ("ann_recall", False),
+    "q_kmeans_iter": ("kmeans", False),
+    "q_embed_neardup": ("neardup", False),
+    "q_stream_embed_neardup": ("stream_embed_neardup", False),
+    "q_embed_ivf": ("ivf", True),
+    "q_embed_ivf_index": ("ivf_index", True),
+    "q_embed_ivf_probe": ("ivf_probe", True),
+    "q_ivf_recall": ("ivf_recall", True),
+}
 
 
 def dir_size(p):
@@ -42,7 +66,7 @@ def run(cmd):
 
 
 def main():
-    argv, positional, chunk = sys.argv[1:], [], CHUNK
+    argv, positional, chunk, embed_scale = sys.argv[1:], [], CHUNK, False
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -51,6 +75,8 @@ def main():
         elif a == "--chunk":
             i += 1
             chunk = int(argv[i])
+        elif a == "--embed-scale":
+            embed_scale = True
         else:
             positional.append(a)
         i += 1
@@ -58,6 +84,39 @@ def main():
     cent_dir = positional[2] if len(positional) > 2 else None
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
+    if embed_scale:
+        embed = [n for n in names if n in EMBED_MODES]
+        rest = [n for n in names if n not in EMBED_MODES]
+        big = [n for n in rest
+               if dir_size(os.path.join(out_dir, n)) > SIZE_CUTOFF]
+        small = [n for n in rest if n not in big]
+        ok = True
+        for i in range(0, len(small), chunk):
+            ok &= run([sys.executable, os.path.join(HERE, "check_oracle.py"),
+                       sf_dir, out_dir] + small[i:i + chunk])
+        if big:
+            print(f"[sweep] {len(big)} large dumps via checksum harness: {big}")
+            ok &= run([sys.executable, os.path.join(HERE, "check_scale.py"),
+                       sf_dir, out_dir] + big)
+        for n in embed:
+            if n == "q_embed_topk":
+                ok &= run([sys.executable,
+                           os.path.join(HERE, "check_topk_scale.py"),
+                           sf_dir, out_dir])
+                continue
+            mode, needs_cent = EMBED_MODES[n]
+            if needs_cent and cent_dir is None:
+                print(f"FAIL {n}: --embed-scale mode {mode} needs CENT_DIR")
+                ok = False
+                continue
+            cmd = [sys.executable, os.path.join(HERE, "check_embed_scale.py"),
+                   mode, sf_dir, out_dir]
+            if needs_cent:
+                cmd.append(cent_dir)
+            ok &= run(cmd)
+        print(f"[sweep] {'ALL OK' if ok else 'FAILURES'} over "
+              f"{len(names)} queries")
+        sys.exit(0 if ok else 1)
     ivf = [n for n in names if n == "q_ivf_recall" and cent_dir]
     # q_ivf_recall never routes to the checksum harness: check_scale.py
     # evaluates the DECLARED oracle, which is the Lloyd-replay DNF this
