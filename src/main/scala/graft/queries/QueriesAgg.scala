@@ -1349,9 +1349,21 @@ object QueriesAgg {
       CAST(sb AS DOUBLE)/CAST(nb AS DOUBLE)/100.0 mean_b,
       (CAST(sa AS DOUBLE)/CAST(na AS DOUBLE)
         - CAST(sb AS DOUBLE)/CAST(nb AS DOUBLE)) /
-      sqrt(CAST(na*ssa - sa*sa AS DOUBLE)/CAST(na*na*(na-1) AS DOUBLE)
-         + CAST(nb*ssb - sb*sb AS DOUBLE)/CAST(nb*nb*(nb-1) AS DOUBLE)) t_welch
+      sqrt(CAST(CAST(na AS HUGEINT)*CAST(ssa AS HUGEINT)
+                - CAST(sa AS HUGEINT)*CAST(sa AS HUGEINT) AS DOUBLE)
+           / CAST(CAST(na AS HUGEINT)*CAST(na AS HUGEINT)
+                  *CAST(na-1 AS HUGEINT) AS DOUBLE)
+         + CAST(CAST(nb AS HUGEINT)*CAST(ssb AS HUGEINT)
+                - CAST(sb AS HUGEINT)*CAST(sb AS HUGEINT) AS DOUBLE)
+           / CAST(CAST(nb AS HUGEINT)*CAST(nb AS HUGEINT)
+                  *CAST(nb-1 AS HUGEINT) AS DOUBLE)) t_welch
     FROM a"""
+    // HUGEINT (not BIGINT) products: at sf10 na*ssa ≈ 2e20 overflows
+    // INT64 and ANSI DuckDB errors out (caught by the r13 full-suite
+    // sf10 sweep). The ENGINE side already forms these in Decimal(38,0)
+    // (vOverN above) — the oracle now matches it exactly; identical
+    // values at every SF (HUGEINT->DOUBLE and Decimal(38)->double both
+    // round the same exact integer to nearest).
 
   /** Top-k rows per group via the custom heap aggregate
     * ([[graft.functions.TopKByValue]], a TypedImperativeAggregate):

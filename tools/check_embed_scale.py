@@ -82,6 +82,28 @@ def verdict(name, oracle, spark):
         sys.exit(1)
 
 
+CACHE = {"dir": None}
+
+
+def cache_path(name):
+    return os.path.join(CACHE["dir"], f"{name}.parquet")
+
+
+def have_cache(name):
+    return CACHE["dir"] and os.path.exists(cache_path(name))
+
+
+def save_cache(con, table, name):
+    if CACHE["dir"]:
+        os.makedirs(CACHE["dir"], exist_ok=True)
+        con.execute(f"COPY {table} TO '{cache_path(name)}' (FORMAT PARQUET)")
+
+
+def load_cache(con, table, name):
+    con.execute(f"CREATE TEMP TABLE {table} AS "
+                f"SELECT * FROM read_parquet('{cache_path(name)}')")
+
+
 def setup(con, sf_dir):
     emb = os.path.join(sf_dir, "embeddings.parquet")
     if os.path.isdir(emb):
@@ -149,9 +171,19 @@ def mode_lsh(con, out_dir, nb, planes, name, probe):
 
 
 def build_exact_topk(con, nb):
-    """Brute-force exact top-K per query into temp table ex — the r10
-    check_topk_scale computation, reused as the recall reference."""
-    con.execute("CREATE TEMP TABLE ex (query_id BIGINT, neighbor_id BIGINT)")
+    """Brute-force exact top-K per query into temp table ex(query_id,
+    neighbor_id, cos_sim, rk) — the r10 check_topk_scale computation,
+    shared by the topk/ann_recall/ivf_recall modes via the parquet cache
+    (computing it once instead of once per mode; ~2B dots at sf10).
+    Join orientation matters in DuckDB: the SMALL (batched query) side
+    must be listed FIRST — flipping it serializes the nested-loop join
+    to one thread (measured 7x slower at sf10)."""
+    if have_cache("ex3"):
+        load_cache(con, "ex", "ex3")
+        print("  exact top-k loaded from cache", flush=True)
+        return
+    con.execute("CREATE TEMP TABLE ex (query_id BIGINT, neighbor_id BIGINT,"
+                " cos_sim DOUBLE, rk BIGINT)")
     for b in range(nb):
         con.execute(f"""
             INSERT INTO ex
@@ -162,11 +194,21 @@ def build_exact_topk(con, nb):
                        JOIN evn nc ON c.vec_id = nc.vec_id
                        WHERE q.vec_id % {QUERY_MOD} = 0
                          AND (q.vec_id // {QUERY_MOD}) % {nb} = {b})
-            SELECT qid, nid FROM (
-              SELECT qid, nid, row_number() OVER (PARTITION BY qid
-                       ORDER BY cos_sim DESC, nid) rk FROM s)
-            WHERE rk <= {K}""")
+            SELECT qid, nid, cos_sim,
+                   CAST(row_number() OVER (PARTITION BY qid
+                     ORDER BY cos_sim DESC, nid) AS BIGINT) rk
+            FROM s QUALIFY rk <= {K}""")
         print(f"  exact batch {b + 1}/{nb}", flush=True)
+    save_cache(con, "ex", "ex3")
+
+
+def mode_topk(con, out_dir, nb):
+    cols = '"cos_sim", "neighbor_id", "query_id", "rk"'
+    build_exact_topk(con, nb)
+    o = con.execute(f"""
+        SELECT {hashes_sql(cols)} FROM
+        (SELECT query_id, rk, neighbor_id, cos_sim FROM ex)""").fetchone()
+    verdict("q_embed_topk", o, spark_sums(con, out_dir, "q_embed_topk", cols))
 
 
 def mode_ann_recall(con, out_dir, nb):
@@ -209,27 +251,43 @@ def mode_ann_recall(con, out_dir, nb):
     verdict("q_ann_recall", o, spark_sums(con, out_dir, "q_ann_recall", cols))
 
 
-def build_assign(con, nb, cent_table, out_table, max_crn):
+def build_assign(con, nb, cent_table, out_table, cache_name):
     """Nearest-centroid assignment (crn <= max_crn) of every vector
     against cent_table(cid, cv, cn2), batched by vec_id — the oracle's
     row_number(PARTITION BY vec_id ORDER BY ccs DESC, cid) with its
     zero-norm NULL guard."""
+    # always computed to crn <= 3 (the superset every consumer filters
+    # from), cached under a name that identifies the CENTROID SET — the
+    # first cut keyed the cache by the temp-table name, so the kmeans
+    # seed assignment poisoned the trained-codebook modes' cache
+    if have_cache(cache_name):
+        load_cache(con, out_table, cache_name)
+        print(f"  assign[{out_table}] loaded from cache {cache_name}",
+              flush=True)
+        return
     con.execute(f"CREATE TEMP TABLE {out_table} "
-                "(vec_id BIGINT, cid BIGINT, crn BIGINT)")
-    for b in range(nb):
+                "(vec_id BIGINT, cid BIGINT, ccs DOUBLE, crn BIGINT)")
+    # centroid side FIRST (small), batched corpus side SECOND: DuckDB
+    # parallelizes the nested-loop over the right side's morsels, so the
+    # right side must be the big one; a handful of large batches beats
+    # many small ones (each right slice needs >~50k rows to fill 32
+    # threads)
+    anb = min(nb, 5)
+    for b in range(anb):
         con.execute(f"""
             INSERT INTO {out_table}
             WITH s AS (SELECT e.vec_id, c.cid,
                          CASE WHEN e.n2 = 0 OR c.cn2 = 0 THEN NULL
                               ELSE list_dot_product(e.v, c.cv)
                                    / sqrt(e.n2 * c.cn2) END ccs
-                       FROM evn e, {cent_table} c
-                       WHERE e.vec_id % {nb} = {b})
-            SELECT vec_id, cid, crn FROM (
-              SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                       FROM {cent_table} c, evn e
+                       WHERE e.vec_id % {anb} = {b})
+            SELECT vec_id, cid, ccs, crn FROM (
+              SELECT vec_id, cid, ccs, row_number() OVER (PARTITION BY vec_id
                        ORDER BY ccs DESC, cid) crn FROM s)
-            WHERE crn <= {max_crn}""")
-        print(f"  assign[{out_table}] batch {b + 1}/{nb}", flush=True)
+            WHERE crn <= 3""")
+        print(f"  assign[{out_table}] batch {b + 1}/{anb}", flush=True)
+    save_cache(con, out_table, cache_name)
 
 
 def load_trained(con, cent_dir):
@@ -248,7 +306,7 @@ def load_trained(con, cent_dir):
 def mode_ivf(con, out_dir, cent_dir, nb, nprobe, name):
     cols = '"cos_sim", "neighbor_id", "query_id", "rk"'
     load_trained(con, cent_dir)
-    build_assign(con, nb, "tcn", "asg", max(nprobe, 1))
+    build_assign(con, nb, "tcn", "asg", "asg_trained")
     # probe: query-side top-nprobe clusters join corpus-side crn=1 lists;
     # candidates ~ |Q| * nprobe * corpus/nlist — small, one rerank pass.
     # NOTE the probe scoring mirrors ivfTopKWithCentroids/the declared
@@ -273,8 +331,8 @@ def mode_ivf_recall(con, out_dir, cent_dir, nb):
         SELECT vec_id cid, v cv, n2 cn2 FROM evn
         WHERE vec_id % {IVF_MOD} = {IVF_REM}""")
     load_trained(con, cent_dir)
-    build_assign(con, nb, "scn", "sasg", NPROBE)
-    build_assign(con, nb, "tcn", "tasg", NPROBE)
+    build_assign(con, nb, "scn", "sasg", "asg_seed")
+    build_assign(con, nb, "tcn", "tasg", "asg_trained")
 
     def arm(asg):
         return f"""
@@ -320,17 +378,40 @@ def mode_kmeans(con, out_dir, nb):
         CREATE TEMP TABLE scn AS
         SELECT vec_id cid, v cv, n2 cn2 FROM evn
         WHERE vec_id % {IVF_MOD} = {IVF_REM}""")
-    build_assign(con, nb, "scn", "asg", 1)
+    build_assign(con, nb, "scn", "asg", "asg_seed")
     dims = ", ".join(
         f"CAST(CAST(sum(v[{d + 1}]) AS BIGINT) AS DOUBLE) / count(*) AS c{d}"
         for d in range(4))
     o = con.execute(f"""
         WITH out AS (SELECT a.cid cluster_id, count(*) n, {dims}
                      FROM asg a JOIN ev ON a.vec_id = ev.vec_id
+                     WHERE a.crn = 1
                      GROUP BY a.cid)
         SELECT {hashes_sql(cols)} FROM out""").fetchone()
     verdict("q_kmeans_iter", o,
             spark_sums(con, out_dir, "q_kmeans_iter", cols))
+
+
+def mode_diversity(con, out_dir, nb):
+    cols = '"centrality", "cluster_id", "n_cluster", "rk", "vec_id"'
+    con.execute(f"""
+        CREATE TEMP TABLE scn AS
+        SELECT vec_id cid, v cv, n2 cn2 FROM evn
+        WHERE vec_id % {IVF_MOD} = {IVF_REM}""")
+    build_assign(con, nb, "scn", "asg", "asg_seed")
+    o = con.execute(f"""
+        WITH best AS (SELECT vec_id, cid cluster_id, ccs FROM asg
+                      WHERE crn = 1),
+        sizes AS (SELECT cluster_id, count(*) n_cluster FROM best GROUP BY 1),
+        sel AS (SELECT cluster_id, vec_id, ccs,
+                       CAST(row_number() OVER (PARTITION BY cluster_id
+                         ORDER BY ccs DESC, vec_id) AS BIGINT) rk
+                FROM best),
+        out AS (SELECT sel.cluster_id, rk, vec_id, ccs centrality, n_cluster
+                FROM sel JOIN sizes USING (cluster_id) WHERE rk <= 5)
+        SELECT {hashes_sql(cols)} FROM out""").fetchone()
+    verdict("q_diversity_sample", o,
+            spark_sums(con, out_dir, "q_diversity_sample", cols))
 
 
 def mode_neardup(con, out_dir, nb, name):
@@ -371,9 +452,12 @@ def main():
     rest = sys.argv[4:]
     cent_dir = rest[0] if rest and not rest[0].isdigit() else None
     nb = int(rest[-1]) if rest and rest[-1].isdigit() else 40
+    CACHE["dir"] = os.path.join(out_dir, ".oracle_cache")
     con = duckdb.connect()
     setup(con, sf_dir)
-    if mode == "lsh":
+    if mode == "topk":
+        mode_topk(con, out_dir, nb)
+    elif mode == "lsh":
         mode_lsh(con, out_dir, nb, LSH_PLANES, "q_embed_lsh", probe=False)
     elif mode == "lsh_probe":
         mode_lsh(con, out_dir, nb, PROBE_PLANES, "q_embed_lsh_probe",
@@ -382,6 +466,8 @@ def main():
         mode_ann_recall(con, out_dir, nb)
     elif mode == "kmeans":
         mode_kmeans(con, out_dir, nb)
+    elif mode == "diversity":
+        mode_diversity(con, out_dir, nb)
     elif mode == "neardup":
         mode_neardup(con, out_dir, nb, "q_embed_neardup")
     elif mode == "stream_embed_neardup":

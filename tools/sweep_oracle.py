@@ -32,10 +32,13 @@ CHUNK = 30
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 # query -> check_embed_scale.py mode (the --embed-scale routing table);
-# True = needs CENT_DIR. q_embed_topk is also in the family but routes
-# to the pre-existing tools/check_topk_scale.py (special-cased below).
+# True = needs CENT_DIR. All family members go through
+# check_embed_scale.py, which caches the shared heavy intermediates
+# (brute-force top-k, centroid assignments) under OUT_DIR/.oracle_cache
+# so each is computed once per sweep.
 EMBED_MODES = {
     "q_embed_topk": ("topk", False),
+    "q_diversity_sample": ("diversity", False),
     "q_embed_lsh": ("lsh", False),
     "q_embed_lsh_probe": ("lsh_probe", False),
     "q_ann_recall": ("ann_recall", False),
@@ -99,11 +102,6 @@ def main():
             ok &= run([sys.executable, os.path.join(HERE, "check_scale.py"),
                        sf_dir, out_dir] + big)
         for n in embed:
-            if n == "q_embed_topk":
-                ok &= run([sys.executable,
-                           os.path.join(HERE, "check_topk_scale.py"),
-                           sf_dir, out_dir])
-                continue
             mode, needs_cent = EMBED_MODES[n]
             if needs_cent and cent_dir is None:
                 print(f"FAIL {n}: --embed-scale mode {mode} needs CENT_DIR")
