@@ -89,7 +89,8 @@ def main():
                    if os.path.isdir(os.path.join(out_dir, d)))
     if embed_scale:
         embed = [n for n in names if n in EMBED_MODES]
-        rest = [n for n in names if n not in EMBED_MODES]
+        rest = [n for n in names if n not in EMBED_MODES
+                and n != "q_triangles"]
         big = [n for n in rest
                if dir_size(os.path.join(out_dir, n)) > SIZE_CUTOFF]
         small = [n for n in rest if n not in big]
@@ -101,6 +102,13 @@ def main():
             print(f"[sweep] {len(big)} large dumps via checksum harness: {big}")
             ok &= run([sys.executable, os.path.join(HERE, "check_scale.py"),
                        sf_dir, out_dir] + big)
+        if "q_triangles" in names:
+            # member-level wedge close DNFs on the replicated scale
+            # corpora; the contracted harness expands family-grain
+            # triangles exactly (validated at sf0.001/sf0.01/sf10)
+            ok &= run([sys.executable,
+                       os.path.join(HERE, "check_triangles_scale.py"),
+                       sf_dir, out_dir])
         for n in embed:
             mode, needs_cent = EMBED_MODES[n]
             if needs_cent and cent_dir is None:
