@@ -96,7 +96,11 @@ def have_cache(name):
 def save_cache(con, table, name):
     if CACHE["dir"]:
         os.makedirs(CACHE["dir"], exist_ok=True)
-        con.execute(f"COPY {table} TO '{cache_path(name)}' (FORMAT PARQUET)")
+        # write-then-rename: concurrent checker processes share this cache
+        # (atomic publish; a reader never sees a half-written file)
+        tmp = cache_path(name) + f".{os.getpid()}.tmp"
+        con.execute(f"COPY {table} TO '{tmp}' (FORMAT PARQUET)")
+        os.replace(tmp, cache_path(name))
 
 
 def load_cache(con, table, name):
@@ -117,9 +121,15 @@ def setup(con, sf_dir):
                list_transform(embedding,
                  x -> CAST(round(CAST(x AS DOUBLE)*1000) AS DOUBLE)) v
         FROM read_parquet('{emb}')""")
+    # SLIM norm table — joining a (v, n2)-wide norm table attached extra
+    # vector-list copies to every scored row and the window materialization
+    # OOM-killed the process at sf10 (67 GB RSS); norms join slim, vectors
+    # come only from ev where the dot needs them
     con.execute("""
         CREATE TEMP TABLE evn AS
-        SELECT vec_id, v, list_dot_product(v, v) n2 FROM ev""")
+        SELECT vec_id, list_dot_product(v, v) n2 FROM ev""")
+    # spill instead of dying: the OOM killer took the first sf10 attempt
+    con.execute("SET memory_limit = '40GB'")
 
 
 def acc(con, sql, into):
@@ -185,15 +195,19 @@ def build_exact_topk(con, nb):
     con.execute("CREATE TEMP TABLE ex (query_id BIGINT, neighbor_id BIGINT,"
                 " cos_sim DOUBLE, rk BIGINT)")
     for b in range(nb):
+        # the r10-proven batch shape: norms ride the per-side projections
+        # (no extra norm JOINs multiplying list payloads through the join)
         con.execute(f"""
             INSERT INTO ex
-            WITH s AS (SELECT q.vec_id qid, c.vec_id nid,
-                         list_dot_product(q.v, c.v) / sqrt(nq.n2 * nc.n2) cos_sim
-                       FROM ev q JOIN ev c ON q.vec_id <> c.vec_id
-                       JOIN evn nq ON q.vec_id = nq.vec_id
-                       JOIN evn nc ON c.vec_id = nc.vec_id
-                       WHERE q.vec_id % {QUERY_MOD} = 0
-                         AND (q.vec_id // {QUERY_MOD}) % {nb} = {b})
+            WITH c AS (SELECT e.vec_id nid, e.v cv, n.n2 cn2
+                       FROM ev e JOIN evn n USING (vec_id)),
+            q AS (SELECT e.vec_id qid, e.v qv, n.n2 qn2
+                  FROM ev e JOIN evn n USING (vec_id)
+                  WHERE e.vec_id % {QUERY_MOD} = 0
+                    AND (e.vec_id // {QUERY_MOD}) % {nb} = {b}),
+            s AS (SELECT qid, nid,
+                         list_dot_product(qv, cv) / sqrt(qn2 * cn2) cos_sim
+                  FROM q JOIN c ON qid <> nid)
             SELECT qid, nid, cos_sim,
                    CAST(row_number() OVER (PARTITION BY qid
                      ORDER BY cos_sim DESC, nid) AS BIGINT) rk
@@ -272,16 +286,18 @@ def build_assign(con, nb, cent_table, out_table, cache_name):
     # right side must be the big one; a handful of large batches beats
     # many small ones (each right slice needs >~50k rows to fill 32
     # threads)
-    anb = min(nb, 5)
+    anb = max(nb // 2, 20)
     for b in range(anb):
         con.execute(f"""
             INSERT INTO {out_table}
-            WITH s AS (SELECT e.vec_id, c.cid,
+            WITH ew AS (SELECT e.vec_id, e.v, n.n2
+                        FROM ev e JOIN evn n USING (vec_id)
+                        WHERE e.vec_id % {anb} = {b}),
+            s AS (SELECT e.vec_id, c.cid,
                          CASE WHEN e.n2 = 0 OR c.cn2 = 0 THEN NULL
                               ELSE list_dot_product(e.v, c.cv)
                                    / sqrt(e.n2 * c.cn2) END ccs
-                       FROM {cent_table} c, evn e
-                       WHERE e.vec_id % {anb} = {b})
+                       FROM {cent_table} c, ew e)
             SELECT vec_id, cid, ccs, crn FROM (
               SELECT vec_id, cid, ccs, row_number() OVER (PARTITION BY vec_id
                        ORDER BY ccs DESC, cid) crn FROM s)
@@ -328,8 +344,9 @@ def mode_ivf_recall(con, out_dir, cent_dir, nb):
     # seed codebook = raw subsample; trained = engine dump
     con.execute(f"""
         CREATE TEMP TABLE scn AS
-        SELECT vec_id cid, v cv, n2 cn2 FROM evn
-        WHERE vec_id % {IVF_MOD} = {IVF_REM}""")
+        SELECT e.vec_id cid, e.v cv, n.n2 cn2
+        FROM ev e JOIN evn n USING (vec_id)
+        WHERE e.vec_id % {IVF_MOD} = {IVF_REM}""")
     load_trained(con, cent_dir)
     build_assign(con, nb, "scn", "sasg", "asg_seed")
     build_assign(con, nb, "tcn", "tasg", "asg_trained")
@@ -376,8 +393,9 @@ def mode_kmeans(con, out_dir, nb):
     cols = '"c0", "c1", "c2", "c3", "cluster_id", "n"'
     con.execute(f"""
         CREATE TEMP TABLE scn AS
-        SELECT vec_id cid, v cv, n2 cn2 FROM evn
-        WHERE vec_id % {IVF_MOD} = {IVF_REM}""")
+        SELECT e.vec_id cid, e.v cv, n.n2 cn2
+        FROM ev e JOIN evn n USING (vec_id)
+        WHERE e.vec_id % {IVF_MOD} = {IVF_REM}""")
     build_assign(con, nb, "scn", "asg", "asg_seed")
     dims = ", ".join(
         f"CAST(CAST(sum(v[{d + 1}]) AS BIGINT) AS DOUBLE) / count(*) AS c{d}"
@@ -396,8 +414,9 @@ def mode_diversity(con, out_dir, nb):
     cols = '"centrality", "cluster_id", "n_cluster", "rk", "vec_id"'
     con.execute(f"""
         CREATE TEMP TABLE scn AS
-        SELECT vec_id cid, v cv, n2 cn2 FROM evn
-        WHERE vec_id % {IVF_MOD} = {IVF_REM}""")
+        SELECT e.vec_id cid, e.v cv, n.n2 cn2
+        FROM ev e JOIN evn n USING (vec_id)
+        WHERE e.vec_id % {IVF_MOD} = {IVF_REM}""")
     build_assign(con, nb, "scn", "asg", "asg_seed")
     o = con.execute(f"""
         WITH best AS (SELECT vec_id, cid cluster_id, ccs FROM asg
