@@ -323,18 +323,25 @@ def mode_ivf(con, out_dir, cent_dir, nb, nprobe, name):
     cols = '"cos_sim", "neighbor_id", "query_id", "rk"'
     load_trained(con, cent_dir)
     build_assign(con, nb, "tcn", "asg", "asg_trained")
-    # probe: query-side top-nprobe clusters join corpus-side crn=1 lists;
-    # candidates ~ |Q| * nprobe * corpus/nlist — small, one rerank pass.
-    # NOTE the probe scoring mirrors ivfTopKWithCentroids/the declared
-    # oracle tail: no zero-norm guard in the rerank (assignment has it).
-    cand = f"""
-        SELECT q.vec_id qid, c.vec_id nid
-        FROM (SELECT vec_id, cid FROM asg
-              WHERE crn <= {nprobe} AND vec_id % {QUERY_MOD} = 0) q
-        JOIN (SELECT vec_id, cid FROM asg WHERE crn = 1) c
-          ON q.cid = c.cid AND q.vec_id <> c.vec_id"""
-    o = con.execute(topk_from_cand(cand, cols)).fetchone()
-    verdict(name, o, spark_sums(con, out_dir, name, cols))
+    # probe: query-side top-nprobe clusters join corpus-side crn=1 lists.
+    # BATCHED by query id: Lloyd on a low-diversity corpus can collapse to
+    # few live clusters (sf10 measured 50), making the candidate set
+    # ~|Q|*nprobe*corpus/50 ~ 120M pairs — one unbatched rerank dragged
+    # 40GB+ of list payloads into spill. The probe scoring mirrors
+    # ivfTopKWithCentroids/the declared oracle tail: no zero-norm guard in
+    # the rerank (assignment has it).
+    sums = [0, 0, 0]
+    for b in range(nb):
+        cand = f"""
+            SELECT q.vec_id qid, c.vec_id nid
+            FROM (SELECT vec_id, cid FROM asg
+                  WHERE crn <= {nprobe} AND vec_id % {QUERY_MOD} = 0
+                    AND (vec_id // {QUERY_MOD}) % {nb} = {b}) q
+            JOIN (SELECT vec_id, cid FROM asg WHERE crn = 1) c
+              ON q.cid = c.cid AND q.vec_id <> c.vec_id"""
+        acc(con, topk_from_cand(cand, cols), sums)
+        print(f"  ivf batch {b + 1}/{nb}: cum {sums[0]} rows", flush=True)
+    verdict(name, sums, spark_sums(con, out_dir, name, cols))
 
 
 def mode_ivf_recall(con, out_dir, cent_dir, nb):
@@ -351,28 +358,38 @@ def mode_ivf_recall(con, out_dir, cent_dir, nb):
     build_assign(con, nb, "scn", "sasg", "asg_seed")
     build_assign(con, nb, "tcn", "tasg", "asg_trained")
 
-    def arm(asg):
-        return f"""
-        SELECT qid query_id, nid neighbor_id FROM (
-          SELECT s.qid, s.nid, row_number() OVER (PARTITION BY s.qid
-                   ORDER BY s.cos_sim DESC, s.nid) rk
-          FROM (SELECT DISTINCT cand.qid, cand.nid,
-                       list_dot_product(a.v, b.v) / sqrt(na.n2 * nb.n2) cos_sim
-                FROM (SELECT q.vec_id qid, c.vec_id nid
-                      FROM (SELECT vec_id, cid FROM {asg}
-                            WHERE crn <= {NPROBE}
-                              AND vec_id % {QUERY_MOD} = 0) q
-                      JOIN (SELECT vec_id, cid FROM {asg} WHERE crn = 1) c
-                        ON q.cid = c.cid AND q.vec_id <> c.vec_id) cand
-                JOIN ev a ON cand.qid = a.vec_id
-                JOIN ev b ON cand.nid = b.vec_id
-                JOIN evn na ON cand.qid = na.vec_id
-                JOIN evn nb ON cand.nid = nb.vec_id) s)
-        WHERE rk <= {K}"""
+    def arm(asg, out):
+        # batched like mode_ivf (the collapsed-cluster candidate volume)
+        con.execute(f"CREATE TEMP TABLE {out} "
+                    "(query_id BIGINT, neighbor_id BIGINT)")
+        for b in range(nb):
+            con.execute(f"""
+                INSERT INTO {out}
+                SELECT qid, nid FROM (
+                  SELECT s.qid, s.nid, row_number() OVER (PARTITION BY s.qid
+                           ORDER BY s.cos_sim DESC, s.nid) rk
+                  FROM (SELECT DISTINCT cand.qid, cand.nid,
+                               list_dot_product(a.v, b.v)
+                                 / sqrt(na.n2 * nb.n2) cos_sim
+                        FROM (SELECT q.vec_id qid, c.vec_id nid
+                              FROM (SELECT vec_id, cid FROM {asg}
+                                    WHERE crn <= {NPROBE}
+                                      AND vec_id % {QUERY_MOD} = 0
+                                      AND (vec_id // {QUERY_MOD}) % {nb} = {b}) q
+                              JOIN (SELECT vec_id, cid FROM {asg}
+                                    WHERE crn = 1) c
+                                ON q.cid = c.cid AND q.vec_id <> c.vec_id) cand
+                        JOIN ev a ON cand.qid = a.vec_id
+                        JOIN ev b ON cand.nid = b.vec_id
+                        JOIN evn na ON cand.qid = na.vec_id
+                        JOIN evn nb ON cand.nid = nb.vec_id) s)
+                WHERE rk <= {K}""")
+            print(f"  {out} batch {b + 1}/{nb}", flush=True)
 
+    arm("sasg", "sap")
+    arm("tasg", "tap")
     o = con.execute(f"""
-        WITH sap AS ({arm('sasg')}), tap AS ({arm('tasg')}),
-        sh AS (SELECT query_id, count(*) h FROM ex
+        WITH sh AS (SELECT query_id, count(*) h FROM ex
                JOIN sap USING (query_id, neighbor_id) GROUP BY 1),
         th AS (SELECT query_id, count(*) h FROM ex
                JOIN tap USING (query_id, neighbor_id) GROUP BY 1),
