@@ -146,11 +146,23 @@ object SimilarityOps {
     * exactly reranked and thresholded.
     *
     * Scale shape: candidates come from a posting-list equi-join on
-    * (band, signature) — never an all-pairs product. Pairs are deduped as
-    * ids-only before the rerank joins fetch vectors, so the wide vector
-    * payload crosses the shuffle twice (once per side), not once per
-    * candidate-band. At 100 TB recall/cost tunes by (bands, planesPerBand)
-    * exactly like the reference-style MinHash band table in DedupOps.
+    * (band, signature) — never an all-pairs product — and the quantized
+    * VECTORS RIDE THE POSTINGS, so the cosine is computed and thresholded
+    * INSIDE the self-join before any pair row materializes. The wide
+    * vector payload crosses the shuffle once per posting (bands × corpus
+    * rows — e.g. ~800 MB for 200k 64-dim vectors × 8 bands), never per
+    * candidate pair: the earlier dedup-ids-then-rejoin-vectors shape
+    * sorted/shuffled every co-bucket PAIR with two 512-byte vectors
+    * attached (~340 GB of spill at 620M candidates — measured fatal at
+    * sf10), where this shape streams those pairs through whole-stage
+    * codegen and only the thresholded survivors ever hit a shuffle (the
+    * final distinct, which de-dupes pairs that collide in several bands;
+    * the integer dot makes their cos_sim bit-identical across bands, so
+    * distinct on the full row is exact). A pair sharing k>1 bands costs
+    * k-1 redundant integer dots — CPU, bounded by bands, traded for
+    * never spilling a pair row. At 100 TB recall/cost tunes by (bands,
+    * planesPerBand) exactly like the reference-style MinHash band table
+    * in DedupOps.
     *
     * Cache ownership: the big intermediates (quantized vectors, band
     * posting lists) are unpersisted before returning; the tiny pair
@@ -159,56 +171,64 @@ object SimilarityOps {
   def bandedNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                          bands: Int, planesPerBand: Int, threshold: Double,
                          dim: Int = 64): DataFrame = {
-    // v feeds three plan branches (signatures + both rerank sides) and
-    // posts feeds both sides of the self-join — materialize each phase
-    // with an eager LINEAGE CUT (localCheckpoint; cluster analog:
-    // checkpoint() to reliable storage) so every consumer plans against a
-    // LEAF scan and no re-plan/recompile path can re-run the quantize or
-    // the bands·planes dot products (same phase structure and rationale
-    // as DedupOps.nearDupsOnShingles; blocks are ContextCleaner-reclaimed)
+    // v feeds bands·planes signature dots and posts feeds both sides of
+    // the self-join — materialize each phase with an eager LINEAGE CUT
+    // (localCheckpoint; cluster analog: checkpoint() to reliable storage)
+    // so every consumer plans against a LEAF scan and no re-plan/recompile
+    // path can re-run the quantize or the signature dot products (same
+    // phase structure and rationale as DedupOps.nearDupsOnShingles;
+    // blocks are ContextCleaner-reclaimed)
     val v = Phase.fanout(emb)
       .select(col(idCol).as("id"), quantize(col(vecCol)).as("v"))
       .withColumn("n2", norm2Q(col("v")))
       .phaseCut
-    val posts = v.select(col("id"),
+    val posts = v.select(col("id"), col("v"), col("n2"),
         posexplode(array((0 until bands).map(b =>
           bandSig(col("v"), b, planesPerBand, dim)): _*)).as(Seq("band", "sig")))
       .phaseCut
-    val cand = posts.select(col("band"), col("sig"), col("id").as("id_a"))
-      .join(posts.select(col("band"), col("sig"), col("id").as("id_b")),
-        Seq("band", "sig"))
+    posts.select(col("band"), col("sig"), col("id").as("id_a"),
+        col("v").as("va"), col("n2").as("na"))
+      .join(posts.select(col("band"), col("sig"), col("id").as("id_b"),
+        col("v").as("vb"), col("n2").as("nb")), Seq("band", "sig"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    cand
-      .join(v.select(col("id").as("id_a"), col("v").as("va"), col("n2").as("na")), Seq("id_a"))
-      .join(v.select(col("id").as("id_b"), col("v").as("vb"), col("n2").as("nb")), Seq("id_b"))
       .withColumn("cos_sim",
         when(col("na") === 0 || col("nb") === 0, lit(null))
           .otherwise(dotQ(col("va"), col("vb")).cast("double") /
             sqrt(col("na").cast("double") * col("nb").cast("double"))))
       .where(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
+      .distinct()
       .phaseCut
   }
 
   /** Exact cosine rerank of an (id_a, id_b) candidate pair list against
     * the embedding table: quantize ONCE (phase-cut — the quantized table
     * feeds both join sides, and quantize is a codegen-fallback HOF that
-    * CollapseProject would otherwise inline twice per pair), broadcast-
-    * or hash-join the vectors back, exact integer dot + one float
+    * CollapseProject would otherwise inline twice per pair), BROADCAST
+    * the quantized vectors to both joins, exact integer dot + one float
     * division, threshold. Shared by the batch banded pipeline's
     * semantics and the streaming gate (idempotent per pair — reranking
-    * a candidate twice yields the same row). */
+    * a candidate twice yields the same row).
+    *
+    * Scale shape: the candidate list can be orders of magnitude larger
+    * than the corpus (co-bucket pairs grow quadratically in bucket
+    * occupancy — 620M pairs for 200k vectors at sf10), so the pair rows
+    * must NEVER be sorted or shuffled with vector payloads attached: a
+    * default sort-merge plan here spilled ~340 GB and died at sf10. The
+    * quantized table is ~520 B/vector (105 MB for 200k vectors) —
+    * broadcastable far beyond this corpus; for corpora past broadcast
+    * range, pre-bucket candidates and vectors by id range and rerank
+    * bucket-locally instead (the q_embed_ivf_index pattern). */
   def rerankPairs(cand: DataFrame, emb: DataFrame, idCol: String,
                   vecCol: String, threshold: Double): DataFrame = {
     val v = emb.select(col(idCol).as("id"), quantize(col(vecCol)).as("v"))
       .withColumn("n2", norm2Q(col("v")))
       .phaseCut
     cand
-      .join(v.select(col("id").as("id_a"), col("v").as("va"),
-        col("n2").as("na")), Seq("id_a"))
-      .join(v.select(col("id").as("id_b"), col("v").as("vb"),
-        col("n2").as("nb")), Seq("id_b"))
+      .join(broadcast(v.select(col("id").as("id_a"), col("v").as("va"),
+        col("n2").as("na"))), Seq("id_a"))
+      .join(broadcast(v.select(col("id").as("id_b"), col("v").as("vb"),
+        col("n2").as("nb"))), Seq("id_b"))
       .withColumn("cos_sim",
         when(col("na") === 0 || col("nb") === 0, lit(null))
           .otherwise(dotQ(col("va"), col("vb")).cast("double") /

@@ -727,7 +727,7 @@ object StreamOps {
     val stream = spark.readStream.schema(source.schema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
     val q = stream.writeStream
-      .foreachBatch(upsertSnapshot(snap, keys, verCol) _)
+      .foreachBatch(upsertSnapshot(snap, keys, verCol))
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -1487,12 +1487,16 @@ object StreamOps {
     pmod(hash(keys.map(col): _*), lit(numBuckets))
 
   /** Manifest = the commit record of a bucketed snapshot: the committed
-    * batch id plus, per bucket, the batch directory holding that
-    * bucket's CURRENT version. Serialized as one line per entry. */
-  private case class SnapshotManifest(committed: Long, refs: Map[Int, Long]) {
+    * batch id, the committing WRITER'S EPOCH (the zombie fence, r13
+    * verdict item 2), plus, per bucket, the batch directory holding that
+    * bucket's CURRENT version. Serialized as one line per entry; a
+    * pre-epoch manifest (no `epoch=` line) parses as epoch 0, so any
+    * newly-started writer (epoch ≥ 1) takes over an old root. */
+  private case class SnapshotManifest(committed: Long, epoch: Long,
+                                      refs: Map[Int, String]) {
     def serialize: String =
-      (s"committed=$committed" +:
-        refs.toSeq.sortBy(_._1).map { case (b, id) => s"$b=$id" })
+      (Seq(s"committed=$committed", s"epoch=$epoch") ++
+        refs.toSeq.sortBy(_._1).map { case (b, dir) => s"$b=$dir" })
         .mkString("\n")
   }
   private def parseManifest(s: String): SnapshotManifest = {
@@ -1507,10 +1511,44 @@ object StreamOps {
         s"'${lines.headOption.getOrElse("")}'): this snapshot root predates " +
         "the bucketed manifest layout — re-seed it under a new root")
     val committed = lines.head.stripPrefix("committed=").toLong
-    val refs = lines.tail.map { l =>
-      val Array(b, id) = l.split("=", 2); b.toInt -> id.toLong
+    val epoch = lines.tail.find(_.startsWith("epoch="))
+      .map(_.stripPrefix("epoch=").toLong).getOrElse(0L)
+    val refs = lines.tail.filterNot(_.startsWith("epoch=")).map { l =>
+      val Array(b, ref) = l.split("=", 2)
+      // a pre-epoch manifest stored the bare batchId; those roots named
+      // their dirs `batch-<id>` — normalize to the directory NAME, which
+      // is what refs mean now (epoch-namespaced dirs: `batch-<e>-<id>`)
+      b.toInt -> (if (ref.forall(_.isDigit)) s"batch-$ref" else ref)
     }.toMap
-    SnapshotManifest(committed, refs)
+    SnapshotManifest(committed, epoch, refs)
+  }
+
+  /** Claim the next writer epoch for a snapshot root: atomic
+    * create-if-absent of `epoch-<n>` (HDFS `create(overwrite=false)` is
+    * the lease primitive — two claimants can never both own n). Epochs
+    * only grow, so a claimed epoch strictly exceeds every earlier
+    * writer's; the marker files are empty and one is made per writer
+    * START, so they never accumulate faster than operator actions. */
+  private def claimEpoch(fs: org.apache.hadoop.fs.FileSystem,
+                         root: org.apache.hadoop.fs.Path): Long = {
+    val base = fs.listStatus(root)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("epoch-"))
+      .map(_.stripPrefix("epoch-").toLong)
+      .foldLeft(0L)(math.max)
+    var n = base
+    var attempts = 0
+    while (attempts < 1000) {
+      n += 1; attempts += 1
+      try {
+        fs.create(new org.apache.hadoop.fs.Path(root, s"epoch-$n"), false)
+          .close()
+        return n
+      } catch { case _: java.io.IOException => () /* taken — next id */ }
+    }
+    throw new IllegalStateException(
+      s"claimEpoch: could not claim a writer epoch under $root " +
+        "after 1000 attempts")
   }
   private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
                            p: org.apache.hadoop.fs.Path)
@@ -1544,22 +1582,52 @@ object StreamOps {
     * over touched data per batch); the only driver work is the manifest
     * and the (≤ numBuckets) touched-bucket id list.
     * Wire as: `stream.writeStream.foreachBatch(upsertSnapshot(dir, keys,
-    * ver) _)`.
+    * ver))` — one call builds ONE writer (the returned closure carries
+    * the writer's fencing epoch; see below).
     *
-    * SINGLE-WRITER CONTRACT (r12 verdict item 8): exactly one streaming
-    * query (one checkpoint) may write a snapshot root. The batchId guard
-    * fences replays and stale REDELIVERIES (id ≤ committed), but a
-    * ZOMBIE writer resumed from an abandoned checkpoint whose batchIds
-    * run AHEAD of the live writer's will be accepted — last-committer-
-    * wins by batchId is the whole fence (pinned in StreamingSpec). On
-    * failover, ensure the old writer is dead before starting the new one
-    * from the SAME checkpoint; when re-seeding from a fresh checkpoint,
-    * use a NEW snapshot root (the fresh-checkpoint skip WARN above is
-    * the misconfiguration signal). */
+    * WRITER EPOCH FENCE (r13 verdict item 2 — replaces the pinned
+    * last-committer-wins-by-batchId contract): each call to this method
+    * builds one WRITER, which claims a monotonically-increasing epoch
+    * (atomic `epoch-<n>` create) at its first commit and stamps it into
+    * every manifest. A writer that finds a HIGHER epoch in `_CURRENT`
+    * is a zombie — an abandoned predecessor that woke up after failover
+    * — and FAILS LOUDLY (`IllegalStateException`) instead of clobbering
+    * the live writer's snapshot; its stream dies, which is the correct
+    * outcome for a process that lost the root. The batchId replay guard
+    * is scoped WITHIN an epoch: same-epoch redelivery (failure recovery
+    * re-running a committed batch) is the exactly-once no-op, while a
+    * NEW writer (new epoch — failover from the same checkpoint, or a
+    * re-seeded fresh checkpoint) takes over at whatever batchId it
+    * carries and re-applies — safe because the per-key `verCol` argmax
+    * makes re-upserting deterministic replayed batches content-idempotent.
+    * The one unfenced window is a zombie whose read-check and pointer
+    * rename straddle the live writer's FIRST commit (rename is
+    * last-write-wins); the epoch stamp converts even that into a
+    * self-healing state: the live writer's next commit sees the lower
+    * epoch and re-commits (no silent skip), and the zombie's next commit
+    * throws. */
   def upsertSnapshot(snapshotRoot: String, keys: Seq[String], verCol: String,
                      retainSnapshots: Int = 2,
                      numBuckets: Int = DefaultSnapshotBuckets)
-                    (updates: DataFrame, batchId: Long): Unit = {
+      : (DataFrame, Long) => Unit = {
+    // per-writer fencing epoch, claimed once at the first commit (lazily:
+    // construction may happen on a driver that never runs a batch)
+    var myEpoch = -1L
+    (updates: DataFrame, batchId: Long) =>
+      upsertBatch(snapshotRoot, keys, verCol, retainSnapshots, numBuckets,
+        updates, batchId,
+        claim = { (fs, root) =>
+          if (myEpoch < 0) myEpoch = claimEpoch(fs, root)
+          myEpoch
+        })
+  }
+
+  private def upsertBatch(snapshotRoot: String, keys: Seq[String],
+                          verCol: String, retainSnapshots: Int,
+                          numBuckets: Int, updates: DataFrame, batchId: Long,
+                          claim: (org.apache.hadoop.fs.FileSystem,
+                                  org.apache.hadoop.fs.Path) => Long)
+      : Unit = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.hadoop.fs.{Options, Path}
     val spark   = updates.sparkSession
@@ -1567,33 +1635,48 @@ object StreamOps {
     val root    = new Path(snapshotRoot)
     val fs      = root.getFileSystem(conf)
     fs.mkdirs(root)
+    val myEpoch = claim(fs, root)
     val pointer = new Path(root, "_CURRENT")
     // The POINTER is the commit record, not the target directory: a crash
     // after a partial target write leaves the pointer untouched, and the
     // replay (same batchId) overwrites the partial output and swaps the
     // pointer — skipping on target-dir existence would lose the batch.
     val committed = readManifest(fs, pointer)
-    // Replay of the committed batch (same id after failure recovery) is
-    // the expected exactly-once no-op. A batchId strictly BELOW the
-    // committed one is anomalous: a one-off redelivery of an old batch is
-    // harmless, but a stream restarted with a FRESH checkpoint (batchIds
-    // reset to 0) against an existing snapshot root would skip every
-    // incoming batch — data loss. Still skip (the committed snapshot
-    // already reflects a later state), but say so loudly so the operator
-    // can tell the two apart; a fresh-checkpoint restart logs this every
-    // batch, which is the signal to use a new snapshot root.
-    if (committed.exists(_.committed >= batchId)) {
+    committed.filter(_.epoch > myEpoch).foreach { m =>
+      throw new IllegalStateException(
+        s"upsertSnapshot: writer fenced at $snapshotRoot — a newer writer " +
+          s"(epoch ${m.epoch}, committed through batch ${m.committed}) owns " +
+          s"this root; this writer (epoch $myEpoch) is a zombie from an " +
+          "abandoned run and must shut down")
+    }
+    // In-epoch replay of the committed batch (same id after failure
+    // recovery) is the expected exactly-once no-op; an id strictly below
+    // is a stale redelivery — skip both. A DIFFERENT (lower) epoch with a
+    // higher committed id is NOT a skip: it means this writer just took
+    // over the root (failover, or a fresh-checkpoint re-seed) — it
+    // re-applies, and the verCol argmax keeps the content deterministic.
+    if (committed.exists(m => m.epoch == myEpoch && m.committed >= batchId)) {
       if (committed.exists(_.committed > batchId))
         graftLog.warn(
           s"upsertSnapshot: skipping batch $batchId at $snapshotRoot — " +
-            s"already committed through batch ${committed.get.committed}. " +
-            "If this repeats for every batch, the stream is running a " +
-            "FRESH checkpoint against a stale snapshot root and its data " +
-            "is being dropped; point it at a new snapshot root or restore " +
-            "the original checkpoint.")
+            s"this writer (epoch $myEpoch) already committed through batch " +
+            s"${committed.get.committed}; stale in-epoch redelivery.")
       return
     }
-    val refs = committed.map(_.refs).getOrElse(Map.empty[Int, Long])
+    committed.filter(_.epoch < myEpoch).foreach { m =>
+      graftLog.info(
+        s"upsertSnapshot: writer epoch $myEpoch taking over $snapshotRoot " +
+          s"from epoch ${m.epoch} (committed through batch ${m.committed}) " +
+          s"at batch $batchId")
+    }
+    val refs = committed.map(_.refs).getOrElse(Map.empty[Int, String])
+    // Batch dirs and generation manifests are namespaced by EPOCH: after
+    // a takeover the new writer's batchIds can collide with the dead
+    // epoch's (fresh checkpoint restarts at 0), and an un-namespaced
+    // `batch-0` overwrite would destroy bucket files the manifest still
+    // references. Same-epoch replay still lands on the SAME dir — the
+    // overwrite-the-partials crash contract.
+    val dirName = s"batch-$myEpoch-$batchId"
     val upd = updates.withColumn("_bkt", bucketOf(keys, numBuckets))
     // the touched-bucket list is ≤ numBuckets ints — the one driver-side
     // collection, bounded by the layout, not the data
@@ -1606,15 +1689,15 @@ object StreamOps {
         // so readSnapshot returns an empty frame with the right schema
         // (the pre-bucketed layout's behavior) instead of failing on a
         // committed manifest that references no data
-        val target = new Path(root, s"batch-$batchId")
+        val target = new Path(root, dirName)
         upd.limit(0).write.mode("overwrite").parquet(target.toString)
-        Map(0 -> batchId)
+        Map(0 -> dirName)
       } else {
         // current rows of the touched buckets only: group by the batch
         // dir holding them, partition-prune `_bkt in touched ∩ assigned`
         val currentTouched = refs.filter { case (b, _) => touched(b) }.toSeq
-          .groupBy(_._2).map { case (dirId, entries) =>
-            spark.read.parquet(new Path(root, s"batch-$dirId").toString)
+          .groupBy(_._2).map { case (dir, entries) =>
+            spark.read.parquet(new Path(root, dir).toString)
               .where(col("_bkt").isin(entries.map(_._1): _*))
           }.reduceOption(_ unionByName _)
         val unioned = currentTouched match {
@@ -1624,19 +1707,19 @@ object StreamOps {
         }
         val w = Window.partitionBy(keys.map(col): _*)
           .orderBy(col(verCol).desc, col("_upd").desc)
-        val target = new Path(root, s"batch-$batchId")
+        val target = new Path(root, dirName)
         unioned.withColumn("_rn", row_number().over(w))
           .where(col("_rn") === 1).drop("_rn", "_upd")
           .write.mode("overwrite").partitionBy("_bkt")
           .parquet(target.toString)
-        refs ++ touched.map(_ -> batchId)
+        refs ++ touched.map(_ -> dirName)
       }
-    val manifest = SnapshotManifest(batchId, newRefs)
+    val manifest = SnapshotManifest(batchId, myEpoch, newRefs)
     // persist this generation's manifest (retention works by reference:
     // a batch dir lives while any of the newest `retainSnapshots`
     // manifests still points at it), then atomically swap the pointer —
     // the rename is the commit (atomic on HDFS-like filesystems)
-    val gen = new Path(root, s"manifest-$batchId")
+    val gen = new Path(root, s"manifest-$myEpoch-$batchId")
     val genOut = fs.create(gen, true)
     try genOut.write(manifest.serialize.getBytes("UTF-8"))
     finally genOut.close()
@@ -1655,20 +1738,26 @@ object StreamOps {
     // in-flight readers one full commit interval to finish (see
     // [[readSnapshot]]). Storage stays bounded by the live snapshot plus
     // the superseded buckets of the retained generations.
+    // Generation order is (epoch, committed) read from CONTENTS, not the
+    // filename number: after an epoch takeover the new writer's batchIds
+    // can restart below the old writer's, and filename-order GC would
+    // prune the CURRENT generation while retaining the dead epoch's.
     val keepGens = fs.listStatus(root)
       .filter(st => st.getPath.getName.startsWith("manifest-"))
-      .sortBy(st => st.getPath.getName.stripPrefix("manifest-").toLong)
       .toSeq
+      .map(st => st -> readManifest(fs, st.getPath))
+      .sortBy { case (_, m) => m.map(x => (x.epoch, x.committed))
+        .getOrElse((-1L, -1L)) }
     val (old, kept) = keepGens.splitAt(
       math.max(keepGens.size - math.max(retainSnapshots, 1), 0))
-    val live: Set[Long] = kept
-      .flatMap(st => readManifest(fs, st.getPath))
+    val live: Set[String] = kept
+      .flatMap(_._2)
       .flatMap(m => m.refs.values).toSet
     fs.listStatus(root)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch-"))
-      .filterNot(st => live(st.getPath.getName.stripPrefix("batch-").toLong))
+      .filterNot(st => live(st.getPath.getName))
       .foreach(st => fs.delete(st.getPath, true))
-    old.foreach(st => fs.delete(st.getPath, false))
+    old.foreach { case (st, _) => fs.delete(st.getPath, false) }
   }
 
   /** Read the current snapshot written by [[upsertSnapshot]]: resolve the
@@ -1689,8 +1778,8 @@ object StreamOps {
     val m = readManifest(fs, new Path(root, "_CURRENT")).getOrElse(
       throw new java.io.FileNotFoundException(
         s"$snapshotRoot/_CURRENT: no committed snapshot"))
-    m.refs.toSeq.groupBy(_._2).map { case (dirId, entries) =>
-      spark.read.parquet(new Path(root, s"batch-$dirId").toString)
+    m.refs.toSeq.groupBy(_._2).map { case (dir, entries) =>
+      spark.read.parquet(new Path(root, dir).toString)
         .where(col("_bkt").isin(entries.map(_._1): _*))
     }.reduceOption(_ unionByName _)
       .map(_.drop("_bkt"))

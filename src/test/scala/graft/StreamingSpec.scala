@@ -647,17 +647,18 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(snap() == want)
 
-    // replaying an already-committed batchId must not change the snapshot
+    // a NEW writer (fresh epoch) re-delivering an old batchId with no
+    // rows takes over the root but must not change the snapshot content
     val before = snap()
     StreamOps.upsertSnapshot(root, Seq("user_id"), "ver")(
-      ev.limit(0), batchId = 0L)
+      ev.limit(0), 0L)
     assert(snap() == before)
 
     // a NEW batch with a higher version wins; stale versions lose
     import spark.implicits._
     val upd = Seq((0L, "overridden", Long.MaxValue), (1L, "stale", -1L))
       .toDF("user_id", "state", "ver")
-    StreamOps.upsertSnapshot(root, Seq("user_id"), "ver")(upd, batchId = 999L)
+    StreamOps.upsertSnapshot(root, Seq("user_id"), "ver")(upd, 999L)
     val after = snap()
     assert(after.contains((0L, "overridden")))
     assert(!after.contains((1L, "stale")))
@@ -672,7 +673,7 @@ class StreamingSpec extends SparkSpec {
       .filter(_.getPath.getName.startsWith(prefix))
       .map(_.getPath.getName).toSet
     val batchDirs = nameSet("batch-")
-    assert(batchDirs.contains("batch-999"), batchDirs)
+    assert(batchDirs.exists(_.endsWith("-999")), batchDirs)
     val manifests = nameSet("manifest-")
     assert(manifests.size == 2, s"expected 2 retained manifests: $manifests")
     def refsOf(m: String): Set[String] = {
@@ -680,14 +681,15 @@ class StreamingSpec extends SparkSpec {
       val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
       s.split("\n").drop(1).filter(_.nonEmpty)
-        .map(l => "batch-" + l.split("=")(1)).toSet
+        .filterNot(_.startsWith("epoch="))
+        .map(l => l.split("=")(1)).toSet
     }
     val live = manifests.flatMap(refsOf)
     assert(batchDirs == live,
       s"on-disk $batchDirs != referenced-by-retained-manifests $live")
     // a reader pinned to the PREVIOUS generation (resolved before the 999
     // commit) can still complete its scan: every dir it references exists
-    val prevManifest = (manifests - "manifest-999").head
+    val prevManifest = manifests.filterNot(_.endsWith("-999")).head
     refsOf(prevManifest).foreach(d =>
       assert(spark.read.parquet(s"$root/$d").count() > 0, s"$d unreadable"))
   }
@@ -730,7 +732,7 @@ class StreamingSpec extends SparkSpec {
     val others = kb.filter(_._2 != soloBkt).map(_._1).take(6)
     assert(others.nonEmpty)
     val sink = StreamOps.upsertSnapshot(root, Seq("k"), "ver",
-      numBuckets = nb) _
+      numBuckets = nb)
     sink(others.map(k => (k, s"v$k", 1L)).toSeq.toDF("k", "state", "ver"), 0L)
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -744,24 +746,26 @@ class StreamingSpec extends SparkSpec {
           val b = new java.io.ByteArrayOutputStream()
           org.apache.commons.io.IOUtils.copy(in, b); b.toByteArray.toSeq
         } finally in.close()
-        out(st.getPath.toString.split("batch-0/").last) = buf
+        out(st.getPath.toString.split(dir + "/").last) = buf
       }
       out.toMap
     }
-    val before = fileBytes("batch-0")
+    // this test's single writer claims epoch 1, so its dirs are batch-1-<id>
+    val before = fileBytes("batch-1-0")
     sink(Seq((soloKey, "solo", 2L)).toDF("k", "state", "ver"), 1L)
-    assert(fileBytes("batch-0") == before,
-      "batch-0 files changed on a disjoint-key batch")
+    assert(fileBytes("batch-1-0") == before,
+      "batch-1-0 files changed on a disjoint-key batch")
     // manifest still serves the untouched buckets from batch-0
     val in = fs.open(new org.apache.hadoop.fs.Path(rootPath, "_CURRENT"))
     val cur = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
     val refs = cur.split("\n").drop(1).filter(_.nonEmpty)
-      .map { l => val a = l.split("="); a(0).toInt -> a(1).toLong }.toMap
-    assert(refs(soloBkt) == 1L, refs)
+      .filterNot(_.startsWith("epoch="))
+      .map { l => val a = l.split("="); a(0).toInt -> a(1) }.toMap
+    assert(refs(soloBkt) == "batch-1-1", refs)
     others.foreach { k =>
       val b = kb.find(_._1 == k).get._2
-      assert(refs(b) == 0L, s"bucket $b of untouched key $k was rewritten: $refs")
+      assert(refs(b) == "batch-1-0", s"bucket $b of untouched key $k was rewritten: $refs")
     }
     // and the merged state reads back correctly
     val got = StreamOps.readSnapshot(spark, root)
@@ -777,7 +781,7 @@ class StreamingSpec extends SparkSpec {
     // converge to the snapshot the batch meant to commit.
     import spark.implicits._
     val root = tmpPath("graft_upsert_crash1")
-    val sink = StreamOps.upsertSnapshot(root, Seq("k"), "ver") _
+    val sink = StreamOps.upsertSnapshot(root, Seq("k"), "ver")
     def snap() = StreamOps.readSnapshot(spark, root).select("k", "state")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     sink(Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "state", "ver"), 0L)
@@ -801,7 +805,7 @@ class StreamingSpec extends SparkSpec {
     // deferred retention pruning must simply happen on the next commit.
     import spark.implicits._
     val root = tmpPath("graft_upsert_crash2")
-    val sink = StreamOps.upsertSnapshot(root, Seq("k"), "ver") _
+    val sink = StreamOps.upsertSnapshot(root, Seq("k"), "ver")
     def snap() = StreamOps.readSnapshot(spark, root).select("k", "state")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     sink(Seq((1L, "a", 1L)).toDF("k", "state", "ver"), 0L)
@@ -820,36 +824,75 @@ class StreamingSpec extends SparkSpec {
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val manifests = fs.listStatus(rootPath)
       .map(_.getPath.getName).filter(_.startsWith("manifest-")).toSet
-    assert(manifests == Set("manifest-1", "manifest-2"),
+    assert(manifests == Set("manifest-1-1", "manifest-1-2"),
       s"GC after the crash window did not prune: $manifests")
   }
 
-  test("upsert zombie writer: a stale writer with a HIGHER batchId is accepted (single-writer contract pinned)") {
-    // r12 verdict item 8: the batchId guard fences replays and stale
-    // REdeliveries, but a zombie resumed from an abandoned checkpoint
-    // whose batchIds run AHEAD of the live writer's commits — and then
-    // the live writer's subsequent batches are silently skipped. This
-    // spec pins that behavior as the documented single-writer contract
-    // (see upsertSnapshot's scaladoc), so a change to the fence is a
-    // deliberate act, not drift.
+  test("upsert zombie writer is FENCED by epoch: the abandoned writer fails, the live writer keeps committing") {
+    // r13 verdict item 2 (supersedes the r12 pin): each writer claims a
+    // monotonic epoch at its first commit and a writer that finds a
+    // HIGHER epoch in _CURRENT throws instead of clobbering — a zombie
+    // resumed from an abandoned checkpoint can no longer commit a batch
+    // (however high its batchId) and then silently starve the live
+    // writer's subsequent batches.
     import spark.implicits._
     val root = tmpPath("graft_upsert_zombie")
-    val sink = StreamOps.upsertSnapshot(root, Seq("k"), "ver") _
     def snap() = StreamOps.readSnapshot(spark, root).select("k", "state")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
-    sink(Seq((1L, "live", 10L)).toDF("k", "state", "ver"), 0L)
-    sink(Seq((1L, "live2", 20L)).toDF("k", "state", "ver"), 1L)
-    // zombie from an old checkpoint, batchId far ahead, stale version:
-    // accepted (batchId is the only fence); the per-key version argmax
-    // still protects the newer CONTENT...
-    sink(Seq((1L, "zombie", 5L)).toDF("k", "state", "ver"), 7L)
-    assert(snap() == Set((1L, "live2")))
-    // ...but the live writer's next batch (id 2 < committed 7) is now
-    // silently skipped — the data-loss mode the single-writer contract
-    // exists to prevent. Pinned, not endorsed.
-    sink(Seq((2L, "lost", 30L)).toDF("k", "state", "ver"), 2L)
-    assert(snap() == Set((1L, "live2")),
-      "live-writer batch behind a zombie commit must skip (current fence)")
+    // the original writer: claims epoch 1, commits batches 0-1, then is
+    // abandoned (network partition / stuck JVM) — but its closure lives on
+    val zombie = StreamOps.upsertSnapshot(root, Seq("k"), "ver")
+    zombie(Seq((1L, "old", 10L)).toDF("k", "state", "ver"), 0L)
+    zombie(Seq((1L, "old2", 20L)).toDF("k", "state", "ver"), 1L)
+    // failover: a new writer starts (same or restored checkpoint), claims
+    // epoch 2, and takes over the root
+    val live = StreamOps.upsertSnapshot(root, Seq("k"), "ver")
+    live(Seq((1L, "live", 30L)).toDF("k", "state", "ver"), 2L)
+    assert(snap() == Set((1L, "live")))
+    // the zombie wakes with a batchId far AHEAD — the exact case the old
+    // batchId-only fence accepted — and is now rejected loudly
+    val e = intercept[IllegalStateException] {
+      zombie(Seq((1L, "zombie", 5L)).toDF("k", "state", "ver"), 7L)
+    }
+    assert(e.getMessage.contains("fenced"), e.getMessage)
+    assert(snap() == Set((1L, "live")), "a fenced zombie must not commit")
+    // the live writer's next batches keep landing (no silent starvation)
+    live(Seq((2L, "more", 1L)).toDF("k", "state", "ver"), 3L)
+    assert(snap() == Set((1L, "live"), (2L, "more")))
+    // every later zombie attempt keeps failing
+    intercept[IllegalStateException] {
+      zombie(Seq((3L, "never", 99L)).toDF("k", "state", "ver"), 8L)
+    }
+    assert(snap() == Set((1L, "live"), (2L, "more")))
+  }
+
+  test("upsert fresh-checkpoint restart: a new writer's low batchIds are APPLIED (epoch takeover), not dropped") {
+    // Under the pre-epoch fence a stream restarted with a fresh
+    // checkpoint (batchIds reset to 0) against an existing root skipped
+    // EVERY batch — silent data loss with only a WARN. With epochs the
+    // new writer takes over and re-applies; the per-key verCol argmax
+    // keeps re-upserts content-deterministic.
+    import spark.implicits._
+    val root = tmpPath("graft_upsert_fresh_ckpt")
+    def snap() = StreamOps.readSnapshot(spark, root).select("k", "state")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val w1 = StreamOps.upsertSnapshot(root, Seq("k"), "ver")
+    w1(Seq((1L, "a", 1L), (2L, "b", 5L)).toDF("k", "state", "ver"), 0L)
+    w1(Seq((1L, "a2", 2L)).toDF("k", "state", "ver"), 1L)
+    assert(snap() == Set((1L, "a2"), (2L, "b")))
+    // operator re-seeds from a fresh checkpoint: batchIds restart at 0
+    val w2 = StreamOps.upsertSnapshot(root, Seq("k"), "ver")
+    w2(Seq((3L, "c", 1L)).toDF("k", "state", "ver"), 0L)
+    assert(snap() == Set((1L, "a2"), (2L, "b"), (3L, "c")),
+      "a fresh-checkpoint batch must be applied, not skipped")
+    // a replayed old row loses to the newer version already in the
+    // snapshot — re-application is content-idempotent
+    w2(Seq((1L, "a", 1L), (4L, "d", 1L)).toDF("k", "state", "ver"), 1L)
+    assert(snap() == Set((1L, "a2"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // and WITHIN the new epoch the replay guard still holds: redelivery
+    // of its committed batch 1 with different rows is a no-op
+    w2(Seq((9L, "SPURIOUS", 9L)).toDF("k", "state", "ver"), 1L)
+    assert(snap() == Set((1L, "a2"), (2L, "b"), (3L, "c"), (4L, "d")))
   }
 
   test("legacy _CURRENT pointer fails with an explicit re-seed message") {

@@ -82,11 +82,40 @@ def verdict(name, oracle, spark):
         sys.exit(1)
 
 
-CACHE = {"dir": None}
+CACHE = {"dir": None, "sf_fp": "nofp", "cent_fp": "nocent"}
+
+# Which inputs each cached intermediate derives from: a cache entry is
+# only valid for the exact input files that produced it, so the
+# fingerprint of those inputs is embedded in the cache FILENAME —
+# regenerating the sf data or retraining the codebook changes the
+# fingerprint and the stale file is simply never matched (ADVICE r13:
+# a name-only key silently replayed stale intermediates across
+# regenerated inputs).
+CACHE_DEPS = {"asg_trained": "sf+cent"}  # default: sf only
+
+
+def input_fp(*paths):
+    """Fingerprint of input files: absolute path + size + mtime_ns of
+    every file under each path (stat only — no content reads)."""
+    h = hashlib.sha256()
+    for p in paths:
+        if p is None:
+            continue
+        p = os.path.abspath(p)
+        files = ([p] if os.path.isfile(p) else
+                 sorted(os.path.join(r, f)
+                        for r, _, fs in os.walk(p) for f in fs))
+        for f in files:
+            st = os.stat(f)
+            h.update(f"{f}|{st.st_size}|{st.st_mtime_ns}\n".encode())
+    return h.hexdigest()[:12]
 
 
 def cache_path(name):
-    return os.path.join(CACHE["dir"], f"{name}.parquet")
+    fp = CACHE["sf_fp"]
+    if CACHE_DEPS.get(name) == "sf+cent":
+        fp = f"{fp}_{CACHE['cent_fp']}"
+    return os.path.join(CACHE["dir"], f"{name}.{fp}.parquet")
 
 
 def have_cache(name):
@@ -489,6 +518,9 @@ def main():
     cent_dir = rest[0] if rest and not rest[0].isdigit() else None
     nb = int(rest[-1]) if rest and rest[-1].isdigit() else 40
     CACHE["dir"] = os.path.join(out_dir, ".oracle_cache")
+    CACHE["sf_fp"] = input_fp(sf_dir)
+    if cent_dir:
+        CACHE["cent_fp"] = input_fp(cent_dir)
     con = duckdb.connect()
     setup(con, sf_dir)
     if mode == "topk":
