@@ -235,12 +235,16 @@ object StreamOps {
       // sf10 — a memory sink accumulates every pair in the driver and
       // OOMs a 64 GB heap; measured round 11). The executors write the
       // pairs to parquet and the read-back stays distributed.
+      var loss: Option[NearDupLossAcc] = None
       val out = viaStream(spark, Seq(src),
-        dfs => streamingNearDup(dfs.head.as[(Long, String)], bands, rows,
-            simThreshold)
-          .toDF("id_a", "id_b", "est_jaccard"),
+        dfs => {
+          val (pairs, l) = streamingNearDupWithLoss(
+            dfs.head.as[(Long, String)], bands, rows, simThreshold)
+          loss = Some(l)
+          pairs.toDF("id_a", "id_b", "est_jaccard")
+        },
         maxFilesPerTrigger = Some(1), outputMode = "append", fileSink = true)
-      reportNearDupLoss()
+      reportNearDupLoss(loss)
       out
     }
   }
@@ -464,6 +468,7 @@ object StreamOps {
         view = Some(name)
         agg.writeStream.format("memory").queryName(name)
     }
+    ensureProgressListener(spark)
     val q = writer0
       .outputMode(outputMode)
       .option("checkpointLocation", ckpt)
@@ -529,6 +534,44 @@ object StreamOps {
     }
   }
 
+  /** Per-run progress accumulator behind [[logGateProgress]]:
+    * `q.recentProgress` retains only the last
+    * `spark.sql.streaming.numRecentProgressUpdates` entries (default
+    * 100), so a gate draining more micro-batches would silently
+    * under-report its summed update/commit/RocksDB totals while the log
+    * line reads as a per-run sum (ADVICE r13). A session-level
+    * StreamingQueryListener records EVERY progress event by runId;
+    * logGateProgress merges the accumulated list with recentProgress
+    * (dedup by batchId — the listener bus is async, so the final
+    * batch's event can still be in flight when awaitTermination
+    * returns) and removes the entry. Bounded: entries are dropped once
+    * logged, and the map refuses new runIds past 64 in flight. */
+  private val progressAcc = new java.util.concurrent.ConcurrentHashMap[
+    java.util.UUID,
+    scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.streaming.StreamingQueryProgress]]()
+  private val progressListenerSessions =
+    java.util.concurrent.ConcurrentHashMap
+      .newKeySet[org.apache.spark.sql.SparkSession]()
+  private def ensureProgressListener(spark: SparkSession): Unit =
+    if (progressListenerSessions.add(spark)) {
+      import org.apache.spark.sql.streaming.StreamingQueryListener
+      spark.streams.addListener(new StreamingQueryListener {
+        override def onQueryStarted(
+            e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: StreamingQueryListener.QueryProgressEvent): Unit = {
+          if (progressAcc.size < 64 || progressAcc.containsKey(e.progress.runId)) {
+            val buf = progressAcc.computeIfAbsent(e.progress.runId,
+              _ => scala.collection.mutable.ArrayBuffer())
+            buf.synchronized { buf += e.progress }
+          }
+        }
+        override def onQueryTerminated(
+            e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      })
+    }
+
   /** Aggregate and log state-store metrics across a drained gate's
     * micro-batches (r12 verdict item 1 — observability for the sf1 gate
     * timing drift): per stateful operator, batch count, input rows,
@@ -539,7 +582,12 @@ object StreamOps {
     * the measurement that separates state-I/O growth from box weather. */
   private def logGateProgress(
       q: org.apache.spark.sql.streaming.StreamingQuery): Unit = try {
-    val progs = q.recentProgress
+    val accumulated = Option(progressAcc.remove(q.runId))
+      .map(buf => buf.synchronized { buf.toList }).getOrElse(Nil)
+    // merge (listener may trail the last batch; recentProgress may have
+    // evicted early batches) and dedup by batchId, batch order restored
+    val progs = (accumulated ++ q.recentProgress)
+      .groupBy(_.batchId).map(_._2.head).toArray.sortBy(_.batchId)
     if (progs.isEmpty) return
     val batches = progs.length
     val inRows = progs.map(_.numInputRows).sum
@@ -726,6 +774,7 @@ object StreamOps {
     staged.write.mode("overwrite").parquet(stage)
     val stream = spark.readStream.schema(source.schema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
+    ensureProgressListener(spark)
     val q = stream.writeStream
       .foreachBatch(upsertSnapshot(snap, keys, verCol))
       .option("checkpointLocation", ckpt)
@@ -1067,6 +1116,13 @@ object StreamOps {
       postings: org.apache.spark.util.LongAccumulator,
       dropped: org.apache.spark.util.LongAccumulator,
       suppressedPairsUb: org.apache.spark.util.LongAccumulator) {
+    // AT-LEAST-ONCE counters (ADVICE r13): these accumulate inside a
+    // transformation (handleInputRows), so task retries and speculative
+    // execution DOUBLE-COUNT on a real cluster — read every value as an
+    // upper bound unless speculation is off and the run had no retries
+    // (true of the local gates these instrument). The EMITTED PAIR SET
+    // is exactly-once regardless (state commits are transactional); only
+    // this diagnostic can over-report.
     def droppedPpm: Long =
       if (postings.value == 0L) 0L
       else dropped.value * 1000000L / postings.value
@@ -1078,12 +1134,6 @@ object StreamOps {
         s"suppressed_pairs_ub=${suppressedPairsUb.value}"
   }
 
-  /** Loss accumulators of the most recent [[nearDupTtlOnBanded]] plan
-    * built in this JVM — the gate that drives the stream reads and
-    * prints them after the drain. Single-assignment per gate run (gates
-    * run sequentially in a JVM; a concurrent-gates JVM should thread the
-    * handle explicitly instead). */
-  @volatile private[graft] var lastNearDupLoss: Option[NearDupLossAcc] = None
 
   /** Band a frame carrying a per-row `sig` array: explode band INDICES
     * first, then derive each band's bucket from the signature AFTER the
@@ -1114,7 +1164,15 @@ object StreamOps {
     * non-negative (fixture doc_ids are). */
   def streamingNearDup(ds: org.apache.spark.sql.Dataset[(Long, String)],
                        bands: Int, rows: Int, simThreshold: Double)
-      : org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+      : org.apache.spark.sql.Dataset[(Long, Long, Double)] =
+    streamingNearDupWithLoss(ds, bands, rows, simThreshold)._1
+
+  /** [[streamingNearDup]] with the plan's loss-accumulator handle. */
+  def streamingNearDupWithLoss(
+      ds: org.apache.spark.sql.Dataset[(Long, String)],
+      bands: Int, rows: Int, simThreshold: Double)
+      : (org.apache.spark.sql.Dataset[(Long, Long, Double)],
+         NearDupLossAcc) = {
     import ds.sparkSession.implicits._
     import graft.functions.TextFunctions
     val banded = bandBuckets(ds.toDF("id", "text")
@@ -1123,10 +1181,13 @@ object StreamOps {
       .select(col("bucket"), format_string("%019d", col("id")).as("dig"),
         col("sig"), lit(0L).as("ts_us"))
       .as[(String, String, Seq[Long], Long)]
-    nearDupTtlOnBanded(banded, simThreshold, ttlUs = Long.MaxValue)
+    val (pairs, loss) =
+      nearDupTtlOnBandedWithLoss(banded, simThreshold, ttlUs = Long.MaxValue)
+    (pairs
       .select(col("_1").cast("long").as("_1"),
         col("_2").cast("long").as("_2"), col("_3"))
-      .as[(Long, Long, Double)]
+      .as[(Long, Long, Double)],
+      loss)
   }
 
   /** One (digest, signature, event-time) posting-list member held in
@@ -1255,7 +1316,20 @@ object StreamOps {
       ds: org.apache.spark.sql.Dataset[(String, String, Seq[Long], Long)],
       simThreshold: Double, ttlUs: Long,
       maxBucket: Int = graft.ops.DedupOps.DefaultMaxBucket)
-      : org.apache.spark.sql.Dataset[(String, String, Double)] = {
+      : org.apache.spark.sql.Dataset[(String, String, Double)] =
+    nearDupTtlOnBandedWithLoss(ds, simThreshold, ttlUs, maxBucket)._1
+
+  /** [[nearDupTtlOnBanded]] returning the plan's loss-accumulator handle
+    * alongside the stream, so the driving gate reads the counters of THE
+    * plan it drained — threading the handle replaces the former
+    * @volatile last-plan global, which mis-attributed counters as soon
+    * as two near-dup plans were built in one gate (ADVICE r13). */
+  def nearDupTtlOnBandedWithLoss(
+      ds: org.apache.spark.sql.Dataset[(String, String, Seq[Long], Long)],
+      simThreshold: Double, ttlUs: Long,
+      maxBucket: Int = graft.ops.DedupOps.DefaultMaxBucket)
+      : (org.apache.spark.sql.Dataset[(String, String, Double)],
+         NearDupLossAcc) = {
     import ds.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     val sc = ds.sparkSession.sparkContext
@@ -1263,26 +1337,25 @@ object StreamOps {
       sc.longAccumulator("graft.nearDup.postings"),
       sc.longAccumulator("graft.nearDup.droppedPostings"),
       sc.longAccumulator("graft.nearDup.suppressedPairsUb"))
-    lastNearDupLoss = Some(loss)
-    ds.groupByKey(_._1)
+    (ds.groupByKey(_._1)
       .transformWithState(
         new NearDupTtlProcessor(simThreshold, ttlUs, maxBucket, Some(loss)),
-        TimeMode.None(), OutputMode.Append())
+        TimeMode.None(), OutputMode.Append()),
+      loss)
   }
 
-  /** Print (and return) the loss report of the most recent near-dup
-    * stream built in this JVM — called by the gates after the drain so
-    * every run's output carries the quantified recall loss. */
-  def reportNearDupLoss(): Option[NearDupLossAcc] = {
-    lastNearDupLoss.foreach(l => println(l.report))
-    lastNearDupLoss
-  }
+  /** Print a drained near-dup plan's loss report — called by the gates
+    * after the drain so every run's output carries the quantified recall
+    * loss of exactly the plan it ran. */
+  def reportNearDupLoss(loss: Option[NearDupLossAcc]): Unit =
+    loss.foreach(l => println(l.report))
 
   /** Band a (dig, text, ts) stream per row and run the TTL'd posting-list
     * processor: the stage-2 plan of [[nearDupProdViaStream]]. */
   def streamingNearDupTtl(df: DataFrame, bands: Int, rows: Int,
                           simThreshold: Double, ttlUs: Long)
-      : org.apache.spark.sql.Dataset[(String, String, Double)] = {
+      : (org.apache.spark.sql.Dataset[(String, String, Double)],
+         NearDupLossAcc) = {
     import df.sparkSession.implicits._
     import graft.functions.TextFunctions
     val banded = bandBuckets(df
@@ -1291,7 +1364,7 @@ object StreamOps {
         bands, rows)
       .select(col("bucket"), col("dig"), col("sig"), col("ts_us"))
       .as[(String, String, Seq[Long], Long)]
-    nearDupTtlOnBanded(banded, simThreshold, ttlUs)
+    nearDupTtlOnBandedWithLoss(banded, simThreshold, ttlUs)
   }
 
   /** The PRODUCTION streaming near-dup composition (the declared shape a
@@ -1329,17 +1402,22 @@ object StreamOps {
           .dropDuplicatesWithinWatermark(Seq("dig")),
       maxFilesPerTrigger = Some(1), outputMode = "append", fileSink = true)
     val t1 = System.nanoTime()
+    var loss: Option[NearDupLossAcc] = None
     val out = withRocksDbStore(spark) {
       // state partitions come from the per-file-batch harness default
       withConf(spark, Map(
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")) {
         viaStream(spark, Seq(uniques),
-          dfs => streamingNearDupTtl(dfs.head, bands, rows, simThreshold, ttlUs)
-            .toDF("dig_a", "dig_b", "est_jaccard"),
+          dfs => {
+            val (pairs, l) = streamingNearDupTtl(dfs.head, bands, rows,
+              simThreshold, ttlUs)
+            loss = Some(l)
+            pairs.toDF("dig_a", "dig_b", "est_jaccard")
+          },
           maxFilesPerTrigger = Some(1), outputMode = "append")
       }
     }
-    reportNearDupLoss()
+    reportNearDupLoss(loss)
     graftLog.warn(f"nearDupProd: stage1 dedup ${(t1 - t0) / 1e9}%.1f s, " +
       f"stage2 lsh ${(System.nanoTime() - t1) / 1e9}%.1f s")
     out
@@ -1386,20 +1464,23 @@ object StreamOps {
     val src = emb.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("v"))
     withRocksDbStore(spark) {
+      var loss: Option[NearDupLossAcc] = None
       val out = viaStream(spark, Seq(src), dfs => {
         import spark.implicits._
         val banded = embedBandBuckets(dfs.head, bands, planesPerBand, dim)
           .select(col("bucket"), format_string("%019d", col("id")).as("dig"),
             typedLit(Seq(1L)).as("csig"), lit(0L).as("ts_us"))
           .as[(String, String, Seq[Long], Long)]
-        nearDupTtlOnBanded(banded, 0.0, ttlUs = Long.MaxValue, maxBucket)
-          .toDF("a", "b", "est")
+        val (pairs, l) = nearDupTtlOnBandedWithLoss(banded, 0.0,
+          ttlUs = Long.MaxValue, maxBucket)
+        loss = Some(l)
+        pairs.toDF("a", "b", "est")
           .select(col("a").cast("long").as("id_a"),
             col("b").cast("long").as("id_b"))
       }, maxFilesPerTrigger = Some(1), outputMode = "append",
         fileSink = true)
         .distinct()
-      reportNearDupLoss()
+      reportNearDupLoss(loss)
       out
     }
   }

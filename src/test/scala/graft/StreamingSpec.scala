@@ -412,8 +412,9 @@ class StreamingSpec extends SparkSpec {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val dropped0 = StreamOps.nearDupDroppedPostings.get()
     val in = MemoryStream[(String, String, Seq[Long], Long)]
-    val q = StreamOps.nearDupTtlOnBanded(in.toDS(), 0.6,
+    val (pairs, loss) = StreamOps.nearDupTtlOnBandedWithLoss(in.toDS(), 0.6,
         ttlUs = Long.MaxValue, maxBucket = 2)
+    val q = pairs
       .toDF("dig_a", "dig_b", "est")
       .writeStream.outputMode("append").format("memory")
       .queryName("ndcap_out").start()
@@ -433,7 +434,6 @@ class StreamingSpec extends SparkSpec {
       // the emitted pair set (asserted above) stays the exact subset the
       // surviving postings produce. 6 postings arrived; C and D dropped
       // against a live bucket of 2 each → suppressed ≤ 4 pairs.
-      val loss = StreamOps.lastNearDupLoss.get
       assert(loss.postings.value == 6L, loss.report)
       assert(loss.dropped.value == 2L, loss.report)
       assert(loss.suppressedPairsUb.value == 4L, loss.report)
