@@ -555,6 +555,50 @@ object DedupOps {
       .saveAsTable(s"${table}_shingles")
   }
 
+  /** APPEND a new crawl batch to a persisted LSH index (r13 verdict item
+    * 3 — incremental maintenance, the MinHash analog of
+    * [[graft.ops.SimilarityOps.appendIvfIndex]]): shingle + sign the new
+    * docs, band them with the SAME fixed hash family (LSH has no trained
+    * component, so nothing goes stale), and append postings + shingle
+    * sets preserving both tables' bucket specs — later
+    * [[probeLshIndex]] calls stay exchange-free on the corpus side (a
+    * bucketed append only adds files per bucket).
+    *
+    * Hot-bucket cap across appends: the stored per-bucket counts are
+    * read off the bucketed postings table (an exchange-free agg) and a
+    * bucket already holding `c` postings admits at most `maxBucket − c`
+    * new ones, KEEP-FIRST by id — the streaming cap's semantics
+    * ([[graft.streaming.StreamOps.NearDupTtlProcessor]]), necessarily
+    * different from the build-time batch cap (which sees the whole
+    * bucket and drops it entirely): an append cannot retract stored
+    * postings. On any bucket below the cap — every measured corpus —
+    * `build(A); append(B)` ≡ `build(A ∪ B)` as a posting row set, the
+    * invariant q_lsh_index_append oracle-gates. Shingle sets append for
+    * ALL new docs (rerank needs them even for cap-dropped postings); ids
+    * must be disjoint from already-indexed ids (no upsert). */
+  def appendLshIndex(newDf: DataFrame, idCol: String, textCol: String,
+                     bands: Int, rows: Int, table: String,
+                     buckets: Int = 32,
+                     maxBucket: Int = DefaultMaxBucket): Unit = {
+    require(bands * rows <= MinhashAB.size, "not enough hash functions")
+    import org.apache.spark.sql.expressions.Window
+    val spark = newDf.sparkSession
+    val sh = wordShingleHashes(newDf, idCol, textCol).phaseCut
+    val keyed = bandedKeys(minhashSignatures(sh), bands, rows)
+    val existing = spark.table(s"${table}_postings")
+      .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("__have"))
+    val w = Window.partitionBy(col("band"), col("bkey")).orderBy(col("id"))
+    keyed
+      .join(existing, Seq("band", "bkey"), "left")
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") + coalesce(col("__have"), lit(0L)) <= maxBucket)
+      .select("id", "band", "bkey")
+      .write.mode("append").bucketBy(buckets, "band", "bkey")
+      .sortBy("band", "bkey").saveAsTable(s"${table}_postings")
+    sh.write.mode("append").bucketBy(buckets, "id")
+      .saveAsTable(s"${table}_shingles")
+  }
+
   /** Probe a persisted LSH index with new documents: cross-side band join
     * against the bucketed postings (corpus side exchange-free), exact
     * Jaccard rerank against the stored shingle sets. Output pairs are

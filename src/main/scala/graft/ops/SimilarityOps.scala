@@ -396,15 +396,45 @@ object SimilarityOps {
     * the index builds once and is probed per crawl batch. */
   def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                     centroidMod: Int, centroidRem: Int, iters: Int,
-                    table: String, buckets: Int = 32): Unit = {
+                    table: String, buckets: Int = 32,
+                    initialPostings: Option[DataFrame] = None): Unit = {
     val spark = corpus.sparkSession
     trainCodebook(corpus, idCol, vecCol, centroidMod, centroidRem, iters)
       .write.mode("overwrite").saveAsTable(s"${table}_centroids")
+    writeIvfPostings(initialPostings.getOrElse(corpus), idCol, vecCol,
+      table, buckets, appendMode = false)
+  }
+
+  /** APPEND a new crawl batch to a persisted IVF index (r13 verdict item
+    * 3 — incremental maintenance): assign the batch against the STORED
+    * (frozen) codebook and append its postings to `<table>_postings`,
+    * preserving the bucket spec so every later [[probeIvfIndex]] still
+    * scans co-located on `cluster_id` with no corpus-side exchange (a
+    * bucketed append only adds files per bucket; the bucketed read unions
+    * them). The codebook is deliberately NOT retrained per batch — the
+    * standard IVF maintenance contract: assignment quality for new data
+    * rides the existing centroids, and the operator retrains offline
+    * (rebuilding the index) when drift warrants. Invariant, oracle-gated
+    * by q_embed_ivf_append: for a fixed codebook,
+    * `build(A); append(B)` ≡ `build(A ∪ B)` as a posting row set, so the
+    * probe output over an appended index is bit-identical to the probe
+    * over a one-shot index of the full corpus. Ids must be disjoint from
+    * already-indexed ids (append does not upsert; re-adding an id would
+    * duplicate its posting). */
+  def appendIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
+                     table: String, buckets: Int = 32): Unit =
+    writeIvfPostings(batch, idCol, vecCol, table, buckets, appendMode = true)
+
+  private def writeIvfPostings(batch: DataFrame, idCol: String,
+                               vecCol: String, table: String, buckets: Int,
+                               appendMode: Boolean): Unit = {
+    val spark = batch.sparkSession
     val cent = broadcast(spark.table(s"${table}_centroids")
       .withColumn("centn", norm2Q(col("centv"))))
-    assignProbe(Phase.fanout(corpus), idCol, vecCol, "neighbor_id", 1, cent)
+    assignProbe(Phase.fanout(batch), idCol, vecCol, "neighbor_id", 1, cent)
       .withColumnRenamed("v", "cv").withColumnRenamed("vn", "cn")
-      .write.mode("overwrite").bucketBy(buckets, "cluster_id")
+      .write.mode(if (appendMode) "append" else "overwrite")
+      .bucketBy(buckets, "cluster_id")
       .sortBy("cluster_id").saveAsTable(s"${table}_postings")
   }
 

@@ -364,6 +364,38 @@ object QueriesSim {
     }
   }
 
+  /** Persisted-IVF index maintenance (r13 verdict item 3): the codebook
+    * trains once on the corpus, generation 1 indexes the even vec_ids
+    * ([[SimilarityOps.writeIvfIndex]] with `initialPostings`), generation
+    * 2 APPENDS the odd half against the FROZEN codebook
+    * ([[SimilarityOps.appendIvfIndex]] — bucket-preserving posting
+    * append, no retrain), then the standard query set probes the
+    * combined index. For a fixed codebook `build(A); append(B)` ≡
+    * `build(A ∪ B)` as a posting row set, so the probe output is
+    * bit-identical to q_embed_ivf_index's one-shot build and this row
+    * reuses [[qEmbedIvfOracle]] verbatim — any divergence in the append
+    * path (assignment against the stored codebook, bucket layout, probe
+    * co-location) hash-mismatches. */
+  def qIvfIndexAppend(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val table = s"ivf_apx_${java.util.UUID.randomUUID().toString.take(8)}"
+    try {
+      SimilarityOps.writeIvfIndex(emb, "vec_id", "embedding",
+        IvfMod, IvfRem, KmIters, table,
+        initialPostings = Some(emb.where(col("vec_id") % 2 === 0)))
+      SimilarityOps.appendIvfIndex(emb.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", table)
+      SimilarityOps.probeIvfIndex(
+          emb.where(col("vec_id") % QueryMod === 0), "vec_id", "embedding",
+          K, table, nprobe = 1)
+        .orderBy("query_id", "rk")
+        .phaseCut // materialize before the index tables are dropped
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_centroids")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_postings")
+    }
+  }
+
   val NdBands         = 8
   val NdPlanesPerBand = 8
   val NdThreshold     = 0.4
@@ -695,6 +727,7 @@ object QueriesSim {
     QueryDef("q_embed_lsh_probe", qEmbedLshProbe, Some(qEmbedLshProbeOracle)),
     QueryDef("q_embed_ivf", qEmbedIvf, Some(qEmbedIvfOracle)),
     QueryDef("q_embed_ivf_index", qEmbedIvfIndex, Some(qEmbedIvfOracle)),
+    QueryDef("q_ivf_index_append", qIvfIndexAppend, Some(qEmbedIvfOracle)),
     QueryDef("q_embed_ivf_probe", qEmbedIvfProbe, Some(qEmbedIvfProbeOracle)),
     QueryDef("q_embed_neardup", qEmbedNearDup, Some(qEmbedNearDupOracle)),
     QueryDef("q_kmeans_iter", qKmeansIter, Some(qKmeansIterOracle)),

@@ -314,6 +314,44 @@ object QueriesText {
     }
   }
 
+  /** Incremental dedup through a persisted LSH index built in TWO
+    * generations — the index-maintenance path (r13 verdict item 3): the
+    * corpus is split by doc_id parity, generation 1 builds the index on
+    * the even half ([[DedupOps.writeLshIndex]]), generation 2 APPENDS
+    * the odd half ([[DedupOps.appendLshIndex]] — assign with the same
+    * fixed hash family, bucket-preserving append), then today's crawl
+    * probes the combined index. Because `build(A); append(B)` equals
+    * `build(A ∪ B)` as a posting row set (cap never binds on the
+    * fixtures), the probe output is bit-identical to q_embed_lsh_index's
+    * one-shot build and this row reuses [[qDedupIncrementalOracle]]
+    * verbatim — a divergence anywhere in the append path (assignment,
+    * bucket layout, shingle-set append) hash-mismatches. */
+  def qLshIndexAppend(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val inc  = docs.where(col("source").isin(IncomingSources: _*))
+    val cor  = docs.where(!col("source").isin(IncomingSources: _*))
+    val table = s"lsh_apx_${java.util.UUID.randomUUID().toString.take(8)}"
+    try {
+      DedupOps.writeLshIndex(cor.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", Bands, Rows, table)
+      DedupOps.appendLshIndex(cor.where(col("doc_id") % 2 === 1),
+        "doc_id", "text", Bands, Rows, table)
+      val pairs = DedupOps.probeLshIndex(
+        inc, "doc_id", "text", Bands, Rows, JaccardThreshold, table)
+      inc.select(col("doc_id"))
+        .join(pairs.groupBy(col("id_a").as("doc_id"))
+            .agg(count(lit(1)).as("n_dups"), max("jaccard").as("best_jaccard")),
+          Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_dups"))
+        .withColumn("is_dup", col("n_dups") > 0)
+        .orderBy("doc_id")
+        .phaseCut // materialize before the index tables are dropped
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_postings")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_shingles")
+    }
+  }
+
   val qDedupIncrementalOracle: String = {
     val mhs = MinhashAB.indices.map(minhashExprSql).mkString(", ")
     val bandKeys = (0 until Bands).map { b =>
@@ -2079,6 +2117,8 @@ object QueriesText {
     QueryDef("q_dedup_incremental", qDedupIncremental,
       Some(qDedupIncrementalOracle)),
     QueryDef("q_embed_lsh_index", qEmbedLshIndex,
+      Some(qDedupIncrementalOracle)),
+    QueryDef("q_lsh_index_append", qLshIndexAppend,
       Some(qDedupIncrementalOracle)),
     QueryDef("q_ngram_jaccard", qNgramJaccard, Some(qNgramJaccardOracle)),
     QueryDef("q_tfidf", qTfidf, Some(qTfidfOracle)),

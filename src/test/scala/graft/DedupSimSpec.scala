@@ -199,6 +199,109 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("IVF index append: frozen-codebook append equals one-shot build; probe stays bucketed after append") {
+    // r13 verdict item 3 — incremental maintenance. The invariant the
+    // oracle gate (q_ivf_index_append) rides: for a fixed codebook,
+    // build(A) + append(B) produces the SAME posting row set as
+    // build(A ∪ B), and the bucketed-append files keep the probe's
+    // corpus side exchange-free.
+    import graft.queries.QueriesSim.{IvfMod, IvfRem, K, KmIters, QueryMod}
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      SimilarityOps.writeIvfIndex(emb, "vec_id", "embedding",
+        IvfMod, IvfRem, KmIters, "ivf_one", buckets = 4)
+      SimilarityOps.writeIvfIndex(emb, "vec_id", "embedding",
+        IvfMod, IvfRem, KmIters, "ivf_two", buckets = 4,
+        initialPostings = Some(emb.where(col("vec_id") % 2 === 0)))
+      SimilarityOps.appendIvfIndex(emb.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", "ivf_two", buckets = 4)
+      def postings(t: String) = spark.table(s"${t}_postings")
+        .select("neighbor_id", "cluster_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val one = postings("ivf_one")
+      assert(postings("ivf_two") == one && one.nonEmpty)
+      // probe over the APPENDED index: still bucketed, corpus side never
+      // shuffles (the append added files per bucket, not a new layout)
+      val qs = emb.where(col("vec_id") % QueryMod === 0)
+      val cent = broadcast(spark.table("ivf_two_centroids")
+        .withColumn("centn", SimilarityOps.norm2Q(col("centv"))))
+      val qAssigned = SimilarityOps
+        .assignProbe(qs, "vec_id", "embedding", "query_id", 1, cent)
+        .localCheckpoint(true)
+      val candPlan = spark.table("ivf_two_postings")
+        .join(qAssigned, Seq("cluster_id"))
+        .queryExecution.executedPlan.toString
+      assert(candPlan.contains("Bucketed: true"), candPlan)
+      val exchanges = "[+:]- Exchange[ \\[]".r.findAllIn(candPlan).size
+      assert(exchanges <= 1,
+        s"expected at most the probe-side exchange, got $exchanges:\n$candPlan")
+      // and the probe output equals the one-shot index's
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows(SimilarityOps.probeIvfIndex(
+          qs, "vec_id", "embedding", K, "ivf_two")) ==
+        rows(SimilarityOps.probeIvfIndex(
+          qs, "vec_id", "embedding", K, "ivf_one")))
+    } finally {
+      Seq("ivf_one", "ivf_two").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS ${t}_centroids")
+        spark.sql(s"DROP TABLE IF EXISTS ${t}_postings")
+      }
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("LSH index append: below-cap append equals one-shot build; at-cap bucket admits keep-first by id") {
+    // Part 1 — equality (the q_lsh_index_append oracle invariant): with
+    // no bucket near the cap, build(evens) + append(odds) stores exactly
+    // build(all)'s postings and shingles.
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    try {
+      DedupOps.writeLshIndex(corpus, "doc_id", "text", 4, 4, "lsh_one")
+      DedupOps.writeLshIndex(corpus.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", 4, 4, "lsh_two")
+      DedupOps.appendLshIndex(corpus.where(col("doc_id") % 2 === 1),
+        "doc_id", "text", 4, 4, "lsh_two")
+      def tset(t: String, cols: (String, String)) = spark.table(t)
+        .select(cols._1, cols._2).collect()
+        .map(r => (r.get(0), r.get(1))).toSet
+      assert(tset("lsh_two_postings", ("id", "bkey")) ==
+        tset("lsh_one_postings", ("id", "bkey")))
+      assert(tset("lsh_two_shingles", ("id", "h")) ==
+        tset("lsh_one_shingles", ("id", "h")))
+      // Part 2 — the append-time cap is KEEP-FIRST across generations
+      // (the streaming cap's semantics — an append cannot retract stored
+      // postings the way the build-time batch cap anti-joins a whole
+      // bucket away): 2 stored + cap 3 → exactly one of the three
+      // appended docs (the smallest id) is admitted per bucket; shingle
+      // sets still append for ALL docs (rerank needs them).
+      import spark.implicits._
+      val t = "same text shared by every doc in this degenerate bucket"
+      DedupOps.writeLshIndex(Seq((1L, t), (2L, t)).toDF("doc_id", "text"),
+        "doc_id", "text", 4, 4, "lsh_cap", maxBucket = 3)
+      DedupOps.appendLshIndex(
+        Seq((3L, t), (4L, t), (5L, t)).toDF("doc_id", "text"),
+        "doc_id", "text", 4, 4, "lsh_cap", maxBucket = 3)
+      val perBucket = spark.table("lsh_cap_postings")
+        .groupBy("band", "bkey").agg(collect_set("id").as("ids"))
+        .collect().map(_.getAs[Seq[Long]]("ids").toSet)
+      assert(perBucket.length == 4) // one bucket per band, all docs equal
+      perBucket.foreach(ids => assert(ids == Set(1L, 2L, 3L), ids))
+      val shIds = spark.table("lsh_cap_shingles")
+        .select("id").distinct().collect().map(_.getLong(0)).toSet
+      assert(shIds == Set(1L, 2L, 3L, 4L, 5L))
+    } finally {
+      Seq("lsh_one", "lsh_two", "lsh_cap").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS ${t}_postings")
+        spark.sql(s"DROP TABLE IF EXISTS ${t}_shingles")
+      }
+    }
+  }
+
   test("PPJoin length filter prunes candidates without changing the result") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val sh = graft.ops.DedupOps

@@ -544,6 +544,10 @@ def main():
         mode_ivf(con, out_dir, cent_dir, nb, 1, "q_embed_ivf")
     elif mode == "ivf_index":
         mode_ivf(con, out_dir, cent_dir, nb, 1, "q_embed_ivf_index")
+    elif mode == "ivf_append":
+        # the appended index probes identically to the one-shot index
+        # (frozen codebook; build+append == build-all as a posting set)
+        mode_ivf(con, out_dir, cent_dir, nb, 1, "q_ivf_index_append")
     elif mode == "ivf_probe":
         mode_ivf(con, out_dir, cent_dir, nb, NPROBE, "q_embed_ivf_probe")
     elif mode == "ivf_recall":

@@ -47,6 +47,7 @@ EMBED_MODES = {
     "q_stream_embed_neardup": ("stream_embed_neardup", False),
     "q_embed_ivf": ("ivf", True),
     "q_embed_ivf_index": ("ivf_index", True),
+    "q_ivf_index_append": ("ivf_append", True),
     "q_embed_ivf_probe": ("ivf_probe", True),
     "q_ivf_recall": ("ivf_recall", True),
 }
