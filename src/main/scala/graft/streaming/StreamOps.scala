@@ -347,17 +347,19 @@ object StreamOps {
     }
   }
 
-  private def withRocksDbStore[A](spark: SparkSession)(body: => A): A = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val saved = spark.conf.getOption(key)
-    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state" +
-      ".RocksDBStateStoreProvider")
-    try body
-    finally saved match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
-  }
+  private def withRocksDbStore[A](spark: SparkSession)(body: => A): A =
+    // Changelog checkpointing rides along for EVERY RocksDB gate (r13
+    // verdict residual 2: the raw near-dup gate's band was
+    // commit-dominated — commit_ms 32.8k of ~63 s at sf1 — because each
+    // batch uploaded full SST snapshots per partition; the changelog
+    // commits only the batch's delta and snapshots in the background,
+    // the same setting the production gate already ran with).
+    withConf(spark, Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        ("org.apache.spark.sql.execution.streaming.state" +
+          ".RocksDBStateStoreProvider"),
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+        "true"))(body)
 
   /** Shared drive-the-real-engine harness: stage the batch source to temp
     * parquet, readStream it, apply `buildAgg`, drain through an
@@ -1403,19 +1405,16 @@ object StreamOps {
       maxFilesPerTrigger = Some(1), outputMode = "append", fileSink = true)
     val t1 = System.nanoTime()
     var loss: Option[NearDupLossAcc] = None
+    // changelog checkpointing now rides in withRocksDbStore itself
     val out = withRocksDbStore(spark) {
-      // state partitions come from the per-file-batch harness default
-      withConf(spark, Map(
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")) {
-        viaStream(spark, Seq(uniques),
-          dfs => {
-            val (pairs, l) = streamingNearDupTtl(dfs.head, bands, rows,
-              simThreshold, ttlUs)
-            loss = Some(l)
-            pairs.toDF("dig_a", "dig_b", "est_jaccard")
-          },
-          maxFilesPerTrigger = Some(1), outputMode = "append")
-      }
+      viaStream(spark, Seq(uniques),
+        dfs => {
+          val (pairs, l) = streamingNearDupTtl(dfs.head, bands, rows,
+            simThreshold, ttlUs)
+          loss = Some(l)
+          pairs.toDF("dig_a", "dig_b", "est_jaccard")
+        },
+        maxFilesPerTrigger = Some(1), outputMode = "append")
     }
     reportNearDupLoss(loss)
     graftLog.warn(f"nearDupProd: stage1 dedup ${(t1 - t0) / 1e9}%.1f s, " +
