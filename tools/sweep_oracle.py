@@ -87,7 +87,8 @@ def main():
     sf_dir, out_dir = positional[0], positional[1]
     cent_dir = positional[2] if len(positional) > 2 else None
     names = sorted(d for d in os.listdir(out_dir)
-                   if os.path.isdir(os.path.join(out_dir, d)))
+                   if os.path.isdir(os.path.join(out_dir, d))
+                   and not d.startswith("."))  # skip .oracle_cache
     if embed_scale:
         embed = [n for n in names if n in EMBED_MODES]
         rest = [n for n in names if n not in EMBED_MODES
