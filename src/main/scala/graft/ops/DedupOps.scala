@@ -599,6 +599,18 @@ object DedupOps {
       .saveAsTable(s"${table}_shingles")
   }
 
+  /** Compact an appended LSH index — both the (band, bkey)-bucketed
+    * postings and the id-bucketed shingle sets — back to one file per
+    * bucket (see [[graft.ops.SimilarityOps.compactBucketedTable]] for
+    * the mechanics and the single-maintainer swap contract). */
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
+                      table: String, buckets: Int = 32): Unit = {
+    graft.ops.SimilarityOps.compactBucketedTable(spark,
+      s"${table}_postings", buckets, Seq("band", "bkey"), Seq("band", "bkey"))
+    graft.ops.SimilarityOps.compactBucketedTable(spark,
+      s"${table}_shingles", buckets, Seq("id"), Nil)
+  }
+
   /** Probe a persisted LSH index with new documents: cross-side band join
     * against the bucketed postings (corpus side exchange-free), exact
     * Jaccard rerank against the stored shingle sets. Output pairs are

@@ -425,6 +425,61 @@ object SimilarityOps {
                      table: String, buckets: Int = 32): Unit =
     writeIvfPostings(batch, idCol, vecCol, table, buckets, appendMode = true)
 
+  /** COMPACT a persisted index table that has accreted append
+    * generations: each [[appendIvfIndex]]/[[graft.ops.DedupOps
+    * .appendLshIndex]] call adds one file per touched bucket, so a
+    * long-lived index pays (generations × buckets) file opens per probe
+    * scan. Compaction rewrites the rows into a fresh table with the SAME
+    * bucket spec — `repartition(buckets, bucketCols)` uses the identical
+    * Murmur3 hash as `bucketBy`, so every task holds exactly one
+    * bucket's rows and writes exactly one file — then swaps it in
+    * (DROP + RENAME). Row set unchanged (spec-pinned), probe plans
+    * unchanged (`Bucketed: true` survives the swap). Maintenance
+    * contract: single maintainer, no concurrent probes during the swap
+    * (the saveAsTable + RENAME pair is not atomic for readers — run it
+    * in the same offline window as a codebook retrain). */
+  private[ops] def compactBucketedTable(spark: org.apache.spark.sql.SparkSession,
+                                        tableName: String, buckets: Int,
+                                        bucketCols: Seq[String],
+                                        sortCols: Seq[String]): Unit = {
+    val tmp = s"${tableName}_compacting"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    // Keep the BUCKETED scan pinned on: the repartition below is elided
+    // (the bucketed scan already provides HashPartitioning on the bucket
+    // columns), and with autoBucketedScan left to its default Spark then
+    // decides the scan "doesn't need" bucketing (writes declare no
+    // required distribution), falls back to file splits, and each task
+    // writes a file per bucket it happens to hold — the exact
+    // file-per-generation sprawl compaction exists to remove (observed:
+    // 3× buckets files out of a "compaction"). With the bucketed scan
+    // forced, the plan is exchange-FREE: one task per bucket in, one
+    // file per bucket out.
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      val writer0 = spark.table(tableName)
+        .repartition(buckets, bucketCols.map(col): _*)
+        .write.mode("overwrite")
+        .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      val writer = if (sortCols.nonEmpty)
+        writer0.sortBy(sortCols.head, sortCols.tail: _*) else writer0
+      writer.saveAsTable(tmp)
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+    spark.sql(s"DROP TABLE $tableName")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $tableName")
+  }
+
+  /** Compact an appended IVF index's postings (see
+    * [[compactBucketedTable]] for the contract). */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                      buckets: Int = 32): Unit =
+    compactBucketedTable(spark, s"${table}_postings", buckets,
+      Seq("cluster_id"), Seq("cluster_id"))
+
   private def writeIvfPostings(batch: DataFrame, idCol: String,
                                vecCol: String, table: String, buckets: Int,
                                appendMode: Boolean): Unit = {

@@ -241,10 +241,24 @@ class DedupSimSpec extends SparkSpec {
       def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
         .toSet
+      val probeOne = rows(SimilarityOps.probeIvfIndex(
+        qs, "vec_id", "embedding", K, "ivf_one"))
       assert(rows(SimilarityOps.probeIvfIndex(
-          qs, "vec_id", "embedding", K, "ivf_two")) ==
-        rows(SimilarityOps.probeIvfIndex(
-          qs, "vec_id", "embedding", K, "ivf_one")))
+        qs, "vec_id", "embedding", K, "ivf_two")) == probeOne)
+      // COMPACTION: the append left >1 file in at least one bucket;
+      // compaction restores ≤1 file per bucket with the row set, the
+      // probe output, and the bucketed layout all unchanged
+      val filesBefore = spark.table("ivf_two_postings").inputFiles.length
+      assert(filesBefore > 4, s"append should add files, saw $filesBefore")
+      SimilarityOps.compactIvfIndex(spark, "ivf_two", buckets = 4)
+      assert(spark.table("ivf_two_postings").inputFiles.length <= 4)
+      assert(postings("ivf_two") == one, "compaction must not change rows")
+      assert(rows(SimilarityOps.probeIvfIndex(
+        qs, "vec_id", "embedding", K, "ivf_two")) == probeOne)
+      val planAfter = spark.table("ivf_two_postings")
+        .join(qAssigned, Seq("cluster_id"))
+        .queryExecution.executedPlan.toString
+      assert(planAfter.contains("Bucketed: true"), planAfter)
     } finally {
       Seq("ivf_one", "ivf_two").foreach { t =>
         spark.sql(s"DROP TABLE IF EXISTS ${t}_centroids")
@@ -273,6 +287,13 @@ class DedupSimSpec extends SparkSpec {
         tset("lsh_one_postings", ("id", "bkey")))
       assert(tset("lsh_two_shingles", ("id", "h")) ==
         tset("lsh_one_shingles", ("id", "h")))
+      // compaction: row sets unchanged, file count back to ≤ buckets(32)
+      DedupOps.compactLshIndex(spark, "lsh_two")
+      assert(tset("lsh_two_postings", ("id", "bkey")) ==
+        tset("lsh_one_postings", ("id", "bkey")))
+      assert(tset("lsh_two_shingles", ("id", "h")) ==
+        tset("lsh_one_shingles", ("id", "h")))
+      assert(spark.table("lsh_two_postings").inputFiles.length <= 32)
       // Part 2 — the append-time cap is KEEP-FIRST across generations
       // (the streaming cap's semantics — an append cannot retract stored
       // postings the way the build-time batch cap anti-joins a whole
