@@ -396,6 +396,35 @@ object QueriesSim {
     }
   }
 
+  /** [[qIvfIndexAppend]] with the appends delivered through the REAL
+    * streaming engine: the odd half replays one staged file per
+    * micro-batch and each batch appends to the persisted index inside
+    * `foreachBatch` ([[graft.streaming.StreamOps.ivfAppendViaStream]]) —
+    * the daily-crawl maintenance loop under the oracle gate. Output is
+    * again bit-identical to the one-shot q_embed_ivf_index (fixed
+    * codebook; appends accrete the same posting row set regardless of
+    * batching), so this third member also reuses [[qEmbedIvfOracle]]
+    * verbatim. */
+  def qStreamIvfAppend(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val table = s"ivf_sapx_${java.util.UUID.randomUUID().toString.take(8)}"
+    try {
+      SimilarityOps.writeIvfIndex(emb, "vec_id", "embedding",
+        IvfMod, IvfRem, KmIters, table,
+        initialPostings = Some(emb.where(col("vec_id") % 2 === 0)))
+      graft.streaming.StreamOps.ivfAppendViaStream(spark,
+        emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding", table)
+      SimilarityOps.probeIvfIndex(
+          emb.where(col("vec_id") % QueryMod === 0), "vec_id", "embedding",
+          K, table, nprobe = 1)
+        .orderBy("query_id", "rk")
+        .phaseCut // materialize before the index tables are dropped
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_centroids")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_postings")
+    }
+  }
+
   val NdBands         = 8
   val NdPlanesPerBand = 8
   val NdThreshold     = 0.4
@@ -728,6 +757,7 @@ object QueriesSim {
     QueryDef("q_embed_ivf", qEmbedIvf, Some(qEmbedIvfOracle)),
     QueryDef("q_embed_ivf_index", qEmbedIvfIndex, Some(qEmbedIvfOracle)),
     QueryDef("q_ivf_index_append", qIvfIndexAppend, Some(qEmbedIvfOracle)),
+    QueryDef("q_stream_ivf_append", qStreamIvfAppend, Some(qEmbedIvfOracle)),
     QueryDef("q_embed_ivf_probe", qEmbedIvfProbe, Some(qEmbedIvfProbeOracle)),
     QueryDef("q_embed_neardup", qEmbedNearDup, Some(qEmbedNearDupOracle)),
     QueryDef("q_kmeans_iter", qKmeansIter, Some(qKmeansIterOracle)),

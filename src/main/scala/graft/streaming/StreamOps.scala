@@ -793,6 +793,47 @@ object StreamOps {
     } finally cleanupDirs(Seq(stage, ckpt, snap))
   }
 
+  /** Streaming crawl → persisted IVF index (the index-maintenance sink a
+    * production embedding ingest runs): the source replays one staged
+    * file per micro-batch and EVERY batch is assigned against the frozen
+    * stored codebook and appended to the bucketed postings inside
+    * `foreachBatch` ([[graft.ops.SimilarityOps.appendIvfIndex]]) — so
+    * cross-batch the index accretes exactly like daily crawl deliveries,
+    * and the probe afterwards sees the union. Gate contract (same
+    * stage-then-clean shape as [[upsertViaStream]]): batches here are
+    * delivered exactly once (AvailableNow over a fresh checkpoint).
+    * PRODUCTION NOTE: a bucketed append is NOT replay-idempotent — a
+    * failure-recovery redelivery would double-append its batch; a real
+    * deployment fences batches the way [[upsertSnapshot]] does (manifest
+    * committed-id + writer epoch) or dedups by vector id at probe time.
+    * That fencing is deliberately not layered here so the gate measures
+    * the append path itself. */
+  def ivfAppendViaStream(spark: SparkSession, batches: DataFrame,
+                         idCol: String, vecCol: String,
+                         table: String): Unit = {
+    val stage = java.nio.file.Files.createTempDirectory("graft-stream-ivf")
+      .toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ivfck")
+      .toString
+    try {
+      val staged = if (batches.rdd.getNumPartitions < 8)
+        batches.repartition(8) else batches
+      staged.write.mode("overwrite").parquet(stage)
+      val stream = spark.readStream.schema(batches.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      ensureProgressListener(spark)
+      val q = stream.writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          graft.ops.SimilarityOps.appendIvfIndex(df, idCol, vecCol, table)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      logGateProgress(q)
+    } finally cleanupDirs(Seq(stage, ckpt))
+  }
+
   /** Tumbling event-time windows: one row per (window, extra keys). */
   def tumblingAgg(df: DataFrame, tsCol: String, duration: String,
                   keys: Seq[Column], aggs: Seq[Column]): DataFrame =

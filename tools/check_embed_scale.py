@@ -548,6 +548,9 @@ def main():
         # the appended index probes identically to the one-shot index
         # (frozen codebook; build+append == build-all as a posting set)
         mode_ivf(con, out_dir, cent_dir, nb, 1, "q_ivf_index_append")
+    elif mode == "ivf_stream_append":
+        # same invariant with the appends delivered per micro-batch
+        mode_ivf(con, out_dir, cent_dir, nb, 1, "q_stream_ivf_append")
     elif mode == "ivf_probe":
         mode_ivf(con, out_dir, cent_dir, nb, NPROBE, "q_embed_ivf_probe")
     elif mode == "ivf_recall":

@@ -48,6 +48,7 @@ EMBED_MODES = {
     "q_embed_ivf": ("ivf", True),
     "q_embed_ivf_index": ("ivf_index", True),
     "q_ivf_index_append": ("ivf_append", True),
+    "q_stream_ivf_append": ("ivf_stream_append", True),
     "q_embed_ivf_probe": ("ivf_probe", True),
     "q_ivf_recall": ("ivf_recall", True),
 }
