@@ -893,6 +893,19 @@ class StreamingSpec extends SparkSpec {
     // of its committed batch 1 with different rows is a no-op
     w2(Seq((9L, "SPURIOUS", 9L)).toDF("k", "state", "ver"), 1L)
     assert(snap() == Set((1L, "a2"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // GC ordering across the takeover: generations are ordered by
+    // manifest CONTENTS (epoch, committed), not filename number — the
+    // retained pair must be epoch 2's batches {0, 1}, with epoch 1's
+    // HIGHER-numbered manifests pruned, and the current generation's
+    // referenced dirs must all exist (filename-order GC would have
+    // retained manifest-1-1 over manifest-2-0 and deleted live data).
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifests = fs.listStatus(rootPath).map(_.getPath.getName)
+      .filter(_.startsWith("manifest-")).toSet
+    assert(manifests == Set("manifest-2-0", "manifest-2-1"), manifests)
+    assert(snap() == Set((1L, "a2"), (2L, "b"), (3L, "c"), (4L, "d")),
+      "current generation must stay fully readable after takeover GC")
   }
 
   test("legacy _CURRENT pointer fails with an explicit re-seed message") {
