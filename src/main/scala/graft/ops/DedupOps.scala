@@ -548,9 +548,20 @@ object DedupOps {
     // shape: probes then need no runtime guard and the stored index
     // carries no degenerate posting lists); lshBucketStats on the same
     // signatures reports what a given cap drops before committing to it
-    capBuckets(bandedKeys(minhashSignatures(sh), bands, rows), maxBucket)
+    val keyed = bandedKeys(minhashSignatures(sh), bands, rows).phaseCut
+    capBuckets(keyed, maxBucket)
       .write.mode("overwrite").bucketBy(buckets, "band", "bkey")
       .sortBy("band", "bkey").saveAsTable(s"${table}_postings")
+    // TOMBSTONE the dropped buckets: a capped bucket stores ZERO postings,
+    // so without a record of the drop a later appendLshIndex would see an
+    // "empty" bucket and re-admit up to maxBucket postings into a bucket
+    // the build declared degenerate. The tombstone table is tiny (heavy
+    // buckets only) and appends anti-join it.
+    keyed.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("__bn"))
+      .where(col("__bn") > maxBucket)
+      .select("band", "bkey")
+      .write.mode("overwrite").saveAsTable(s"${table}_capped")
     sh.write.mode("overwrite").bucketBy(buckets, "id")
       .saveAsTable(s"${table}_shingles")
   }
@@ -571,7 +582,10 @@ object DedupOps {
     * ([[graft.streaming.StreamOps.NearDupTtlProcessor]]), necessarily
     * different from the build-time batch cap (which sees the whole
     * bucket and drops it entirely): an append cannot retract stored
-    * postings. On any bucket below the cap — every measured corpus —
+    * postings. Buckets the BUILD dropped stay dropped — the build
+    * tombstones them in `<table>_capped` and appends anti-join it, so a
+    * degenerate bucket is never re-seeded to cap by each day's crawl. On
+    * any bucket below the cap — every measured corpus —
     * `build(A); append(B)` ≡ `build(A ∪ B)` as a posting row set, the
     * invariant q_lsh_index_append oracle-gates. Shingle sets append for
     * ALL new docs (rerank needs them even for cap-dropped postings); ids
@@ -584,7 +598,14 @@ object DedupOps {
     import org.apache.spark.sql.expressions.Window
     val spark = newDf.sparkSession
     val sh = wordShingleHashes(newDf, idCol, textCol).phaseCut
-    val keyed = bandedKeys(minhashSignatures(sh), bands, rows)
+    val keyed0 = bandedKeys(minhashSignatures(sh), bands, rows)
+    // indexes written before the tombstone table existed have no _capped
+    // relation; treat that as "no build-time drops" rather than failing
+    val keyed =
+      if (spark.catalog.tableExists(s"${table}_capped"))
+        keyed0.join(spark.table(s"${table}_capped"),
+          Seq("band", "bkey"), "left_anti")
+      else keyed0
     val existing = spark.table(s"${table}_postings")
       .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("__have"))
     val w = Window.partitionBy(col("band"), col("bkey")).orderBy(col("id"))
@@ -604,11 +625,11 @@ object DedupOps {
     * bucket (see [[graft.ops.SimilarityOps.compactBucketedTable]] for
     * the mechanics and the single-maintainer swap contract). */
   def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
-                      table: String, buckets: Int = 32): Unit = {
+                      table: String): Unit = {
     graft.ops.SimilarityOps.compactBucketedTable(spark,
-      s"${table}_postings", buckets, Seq("band", "bkey"), Seq("band", "bkey"))
+      s"${table}_postings", Seq("band", "bkey"), Seq("band", "bkey"))
     graft.ops.SimilarityOps.compactBucketedTable(spark,
-      s"${table}_shingles", buckets, Seq("id"), Nil)
+      s"${table}_shingles", Seq("id"), Nil)
   }
 
   /** Probe a persisted LSH index with new documents: cross-side band join

@@ -439,9 +439,20 @@ object SimilarityOps {
     * (the saveAsTable + RENAME pair is not atomic for readers — run it
     * in the same offline window as a codebook retrain). */
   private[ops] def compactBucketedTable(spark: org.apache.spark.sql.SparkSession,
-                                        tableName: String, buckets: Int,
+                                        tableName: String,
                                         bucketCols: Seq[String],
                                         sortCols: Seq[String]): Unit = {
+    // the bucket count comes from the TABLE'S OWN catalog spec — a
+    // caller-passed count that disagreed with the build would silently
+    // rewrite the index to a different layout and break the next append
+    val buckets = spark.sessionState.catalog
+      .getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(tableName))
+      .bucketSpec
+      .map(_.numBuckets)
+      .getOrElse(throw new IllegalArgumentException(
+        s"compactBucketedTable: $tableName has no bucket spec — only " +
+          "bucketed index tables can be compacted"))
     val tmp = s"${tableName}_compacting"
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
     // Keep the BUCKETED scan pinned on: the repartition below is elided
@@ -474,10 +485,11 @@ object SimilarityOps {
   }
 
   /** Compact an appended IVF index's postings (see
-    * [[compactBucketedTable]] for the contract). */
-  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, table: String,
-                      buckets: Int = 32): Unit =
-    compactBucketedTable(spark, s"${table}_postings", buckets,
+    * [[compactBucketedTable]] for the contract; the bucket count is read
+    * from the table's own catalog spec). */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      table: String): Unit =
+    compactBucketedTable(spark, s"${table}_postings",
       Seq("cluster_id"), Seq("cluster_id"))
 
   private def writeIvfPostings(batch: DataFrame, idCol: String,

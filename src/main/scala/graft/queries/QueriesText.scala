@@ -311,6 +311,7 @@ object QueriesText {
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS ${table}_postings")
       spark.sql(s"DROP TABLE IF EXISTS ${table}_shingles")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_capped")
     }
   }
 
@@ -349,6 +350,7 @@ object QueriesText {
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS ${table}_postings")
       spark.sql(s"DROP TABLE IF EXISTS ${table}_shingles")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_capped")
     }
   }
 

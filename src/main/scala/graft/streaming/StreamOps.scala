@@ -552,20 +552,45 @@ object StreamOps {
     java.util.UUID,
     scala.collection.mutable.ArrayBuffer[
       org.apache.spark.sql.streaming.StreamingQueryProgress]]()
-  private val progressListenerSessions =
-    java.util.concurrent.ConcurrentHashMap
-      .newKeySet[org.apache.spark.sql.SparkSession]()
+  // FIFO of live runIds: at the 64-entry bound the OLDEST run is evicted
+  // (a gate that threw before logging and leaked its buffer) instead of
+  // refusing new runIds — refusal would starve every later gate back to
+  // the recentProgress cap, the exact under-reporting this exists to fix
+  private val progressOrder =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.util.UUID]()
+  // runIds already logged: the listener bus is async, so the final
+  // progress event can arrive AFTER logGateProgress removed the entry —
+  // without this guard it would re-insert a one-event buffer that leaks
+  // forever. Bounded LRU (eldest evicted past 256).
+  private val closedRuns = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[java.util.UUID, java.lang.Boolean]() {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[java.util.UUID, java.lang.Boolean]): Boolean =
+        size > 256
+    })
+  // weakly keyed (the bucketStatsSessions rationale): a JVM that churns
+  // sessions must not accrete strong refs to dropped ones
+  private val progressListenerSessions = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.lang.Boolean]())
   private def ensureProgressListener(spark: SparkSession): Unit =
-    if (progressListenerSessions.add(spark)) {
+    if (progressListenerSessions.put(spark, java.lang.Boolean.TRUE) == null) {
       import org.apache.spark.sql.streaming.StreamingQueryListener
       spark.streams.addListener(new StreamingQueryListener {
         override def onQueryStarted(
             e: StreamingQueryListener.QueryStartedEvent): Unit = ()
         override def onQueryProgress(
             e: StreamingQueryListener.QueryProgressEvent): Unit = {
-          if (progressAcc.size < 64 || progressAcc.containsKey(e.progress.runId)) {
-            val buf = progressAcc.computeIfAbsent(e.progress.runId,
-              _ => scala.collection.mutable.ArrayBuffer())
+          val rid = e.progress.runId
+          if (!closedRuns.containsKey(rid)) {
+            if (!progressAcc.containsKey(rid) && progressAcc.size >= 64) {
+              val evict = progressOrder.poll()
+              if (evict != null) progressAcc.remove(evict)
+            }
+            val buf = progressAcc.computeIfAbsent(rid, r => {
+              progressOrder.add(r)
+              scala.collection.mutable.ArrayBuffer()
+            })
             buf.synchronized { buf += e.progress }
           }
         }
@@ -584,8 +609,11 @@ object StreamOps {
     * the measurement that separates state-I/O growth from box weather. */
   private def logGateProgress(
       q: org.apache.spark.sql.streaming.StreamingQuery): Unit = try {
+    closedRuns.put(q.runId, java.lang.Boolean.TRUE) // before the remove:
+    // a trailing async event must not re-insert a buffer we just logged
     val accumulated = Option(progressAcc.remove(q.runId))
       .map(buf => buf.synchronized { buf.toList }).getOrElse(Nil)
+    progressOrder.remove(q.runId)
     // merge (listener may trail the last batch; recentProgress may have
     // evicted early batches) and dedup by batchId, batch order restored
     val progs = (accumulated ++ q.recentProgress)
@@ -829,8 +857,17 @@ object StreamOps {
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
-      logGateProgress(q)
+      // a foreachBatch throw must not leave the query running while the
+      // finally deletes its source dirs (the viaStream failure contract)
+      try {
+        q.awaitTermination()
+        logGateProgress(q)
+      } finally if (q.isActive) {
+        try q.stop() catch { case e: Throwable =>
+          graftLog.warn(s"ivfAppendViaStream: could not stop failed " +
+            s"query: ${e.getMessage}")
+        }
+      }
     } finally cleanupDirs(Seq(stage, ckpt))
   }
 
@@ -1665,7 +1702,13 @@ object StreamOps {
         fs.create(new org.apache.hadoop.fs.Path(root, s"epoch-$n"), false)
           .close()
         return n
-      } catch { case _: java.io.IOException => () /* taken — next id */ }
+      } catch {
+        // ONLY contention is retried; any other I/O failure (permissions,
+        // connectivity) must surface with its real cause, not spin 1000
+        // times into a misleading "could not claim" error
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+        case _: java.nio.file.FileAlreadyExistsException        => ()
+      }
     }
     throw new IllegalStateException(
       s"claimEpoch: could not claim a writer epoch under $root " +
@@ -1709,8 +1752,12 @@ object StreamOps {
     * WRITER EPOCH FENCE (r13 verdict item 2 — replaces the pinned
     * last-committer-wins-by-batchId contract): each call to this method
     * builds one WRITER, which claims a monotonically-increasing epoch
-    * (atomic `epoch-<n>` create) at its first commit and stamps it into
-    * every manifest. A writer that finds a HIGHER epoch in `_CURRENT`
+    * (atomic `epoch-<n>` create) AT CONSTRUCTION — epochs must follow
+    * writer START order: claiming lazily at first commit would let an
+    * abandoned writer that never committed wake up, claim a HIGHER epoch
+    * than the live writer's, and fence the live writer out (the inverted
+    * failure) — and stamps it into every manifest. A writer that finds a
+    * HIGHER epoch in `_CURRENT`
     * is a zombie — an abandoned predecessor that woke up after failover
     * — and FAILS LOUDLY (`IllegalStateException`) instead of clobbering
     * the live writer's snapshot; its stream dies, which is the correct
@@ -1731,24 +1778,25 @@ object StreamOps {
                      retainSnapshots: Int = 2,
                      numBuckets: Int = DefaultSnapshotBuckets)
       : (DataFrame, Long) => Unit = {
-    // per-writer fencing epoch, claimed once at the first commit (lazily:
-    // construction may happen on a driver that never runs a batch)
-    var myEpoch = -1L
+    // per-writer fencing epoch, claimed EAGERLY so epochs follow writer
+    // start order (see the scaladoc's inverted-failure note); the one
+    // filesystem touch here is the same mkdirs+create the first commit
+    // would pay anyway
+    val root = new org.apache.hadoop.fs.Path(snapshotRoot)
+    val fs = root.getFileSystem(
+      org.apache.spark.sql.SparkSession.active.sparkContext
+        .hadoopConfiguration)
+    fs.mkdirs(root)
+    val myEpoch = claimEpoch(fs, root)
     (updates: DataFrame, batchId: Long) =>
       upsertBatch(snapshotRoot, keys, verCol, retainSnapshots, numBuckets,
-        updates, batchId,
-        claim = { (fs, root) =>
-          if (myEpoch < 0) myEpoch = claimEpoch(fs, root)
-          myEpoch
-        })
+        updates, batchId, myEpoch)
   }
 
   private def upsertBatch(snapshotRoot: String, keys: Seq[String],
                           verCol: String, retainSnapshots: Int,
                           numBuckets: Int, updates: DataFrame, batchId: Long,
-                          claim: (org.apache.hadoop.fs.FileSystem,
-                                  org.apache.hadoop.fs.Path) => Long)
-      : Unit = {
+                          myEpoch: Long): Unit = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.hadoop.fs.{Options, Path}
     val spark   = updates.sparkSession
@@ -1756,7 +1804,6 @@ object StreamOps {
     val root    = new Path(snapshotRoot)
     val fs      = root.getFileSystem(conf)
     fs.mkdirs(root)
-    val myEpoch = claim(fs, root)
     val pointer = new Path(root, "_CURRENT")
     // The POINTER is the commit record, not the target directory: a crash
     // after a partial target write leaves the pointer untouched, and the
@@ -1863,10 +1910,25 @@ object StreamOps {
     // filename number: after an epoch takeover the new writer's batchIds
     // can restart below the old writer's, and filename-order GC would
     // prune the CURRENT generation while retaining the dead epoch's.
+    // A generation manifest that fails to PARSE (a crash mid-write left a
+    // truncated file under an epoch-namespaced name no replay will ever
+    // overwrite) is deleted with a WARN instead of throwing: its commit
+    // never happened (the pointer is the commit record) so its refs guard
+    // nothing, and letting it throw would crash-loop every future commit's
+    // GC against a file only an operator could remove.
     val keepGens = fs.listStatus(root)
       .filter(st => st.getPath.getName.startsWith("manifest-"))
       .toSeq
-      .map(st => st -> readManifest(fs, st.getPath))
+      .flatMap { st =>
+        try Seq(st -> readManifest(fs, st.getPath))
+        catch { case e: Exception =>
+          graftLog.warn(
+            s"upsertSnapshot: deleting unparseable generation manifest " +
+              s"${st.getPath} (crashed partial write?): ${e.getMessage}")
+          fs.delete(st.getPath, false)
+          Nil
+        }
+      }
       .sortBy { case (_, m) => m.map(x => (x.epoch, x.committed))
         .getOrElse((-1L, -1L)) }
     val (old, kept) = keepGens.splitAt(

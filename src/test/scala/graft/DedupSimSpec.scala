@@ -150,6 +150,7 @@ class DedupSimSpec extends SparkSpec {
     } finally {
       spark.sql("DROP TABLE IF EXISTS lsh_idx_postings")
       spark.sql("DROP TABLE IF EXISTS lsh_idx_shingles")
+      spark.sql("DROP TABLE IF EXISTS lsh_idx_capped")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
@@ -250,7 +251,7 @@ class DedupSimSpec extends SparkSpec {
       // probe output, and the bucketed layout all unchanged
       val filesBefore = spark.table("ivf_two_postings").inputFiles.length
       assert(filesBefore > 4, s"append should add files, saw $filesBefore")
-      SimilarityOps.compactIvfIndex(spark, "ivf_two", buckets = 4)
+      SimilarityOps.compactIvfIndex(spark, "ivf_two")
       assert(spark.table("ivf_two_postings").inputFiles.length <= 4)
       assert(postings("ivf_two") == one, "compaction must not change rows")
       assert(rows(SimilarityOps.probeIvfIndex(
@@ -315,10 +316,26 @@ class DedupSimSpec extends SparkSpec {
       val shIds = spark.table("lsh_cap_shingles")
         .select("id").distinct().collect().map(_.getLong(0)).toSet
       assert(shIds == Set(1L, 2L, 3L, 4L, 5L))
+      // Part 3 — a bucket the BUILD dropped stays dropped: 4 identical
+      // docs at build vs cap 3 → capBuckets anti-joins the whole bucket
+      // (0 stored postings) and TOMBSTONES it; an append of 2 more docs
+      // into that bucket must admit NOTHING (without the tombstone the
+      // "empty" bucket would re-admit up to cap — the review finding).
+      DedupOps.writeLshIndex(
+        Seq((1L, t), (2L, t), (3L, t), (4L, t)).toDF("doc_id", "text"),
+        "doc_id", "text", 4, 4, "lsh_tomb", maxBucket = 3)
+      assert(spark.table("lsh_tomb_postings").count() == 0L)
+      assert(spark.table("lsh_tomb_capped").count() == 4L) // 1 per band
+      DedupOps.appendLshIndex(
+        Seq((5L, t), (6L, t)).toDF("doc_id", "text"),
+        "doc_id", "text", 4, 4, "lsh_tomb", maxBucket = 3)
+      assert(spark.table("lsh_tomb_postings").count() == 0L,
+        "append re-populated a build-dropped bucket")
     } finally {
-      Seq("lsh_one", "lsh_two", "lsh_cap").foreach { t =>
+      Seq("lsh_one", "lsh_two", "lsh_cap", "lsh_tomb").foreach { t =>
         spark.sql(s"DROP TABLE IF EXISTS ${t}_postings")
         spark.sql(s"DROP TABLE IF EXISTS ${t}_shingles")
+        spark.sql(s"DROP TABLE IF EXISTS ${t}_capped")
       }
     }
   }

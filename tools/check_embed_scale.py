@@ -26,6 +26,8 @@ not approximately equal.
 Usage: check_embed_scale.py MODE SF_DIR OUT_DIR [CENT_DIR] [NB]
   MODE in: lsh | lsh_probe | ann_recall | kmeans | neardup
            | stream_embed_neardup | ivf | ivf_probe | ivf_index
+           | ivf_append | ivf_stream_append | topk | diversity
+           | ivf_recall
   (ivf modes require CENT_DIR; NB = batch count, default 40)
 Run each mode in a FRESH process — concurrent/back-to-back modes in one
 process compound DuckDB temp-storage pressure (the sweep_oracle lesson).
@@ -125,6 +127,16 @@ def have_cache(name):
 def save_cache(con, table, name):
     if CACHE["dir"]:
         os.makedirs(CACHE["dir"], exist_ok=True)
+        # prune superseded generations of THIS intermediate (old input
+        # fingerprints are unreachable by construction and would accrete
+        # multi-hundred-MB orphans per fixture regeneration)
+        import glob as _glob
+        for stale in _glob.glob(os.path.join(CACHE["dir"], f"{name}.*.parquet")):
+            if os.path.abspath(stale) != os.path.abspath(cache_path(name)):
+                try:
+                    os.remove(stale)
+                except OSError:
+                    pass
         # write-then-rename: concurrent checker processes share this cache
         # (atomic publish; a reader never sees a half-written file)
         tmp = cache_path(name) + f".{os.getpid()}.tmp"
