@@ -549,7 +549,26 @@ object DedupOps {
     // carries no degenerate posting lists); lshBucketStats on the same
     // signatures reports what a given cap drops before committing to it
     val keyed = bandedKeys(minhashSignatures(sh), bands, rows).phaseCut
-    capBuckets(keyed, maxBucket)
+    // The bucket-count aggregate is computed ONCE (observe metrics fire at
+    // the phaseCut materialization — the drop-visibility stats line) and
+    // its materialized heavy set feeds BOTH the cap anti-join and the
+    // tombstone table; routing through capBuckets here would pay the full
+    // bands×corpus aggregate a second time just to re-derive `heavy`.
+    // heavy being a LEAF also makes capBuckets' AQE sentinel unnecessary.
+    registerBucketStatsListener(keyed.sparkSession)
+    require(maxBucket >= 2, s"maxBucket must allow pairs, got $maxBucket")
+    val heavy = keyed.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("__bn"))
+      .observe(s"lsh_bucket_stats_${bucketStatsSeq.incrementAndGet()}",
+        sum(col("__bn")).as("n_postings"),
+        max(col("__bn")).as("max_bucket"),
+        max(lit(maxBucket.toLong)).as("cap"),
+        sum(when(col("__bn") > maxBucket, col("__bn")).otherwise(0L))
+          .as("dropped_postings"))
+      .where(col("__bn") > maxBucket)
+      .select("band", "bkey")
+      .phaseCut
+    keyed.join(heavy, Seq("band", "bkey"), "left_anti")
       .write.mode("overwrite").bucketBy(buckets, "band", "bkey")
       .sortBy("band", "bkey").saveAsTable(s"${table}_postings")
     // TOMBSTONE the dropped buckets: a capped bucket stores ZERO postings,
@@ -557,11 +576,7 @@ object DedupOps {
     // "empty" bucket and re-admit up to maxBucket postings into a bucket
     // the build declared degenerate. The tombstone table is tiny (heavy
     // buckets only) and appends anti-join it.
-    keyed.groupBy(col("band"), col("bkey"))
-      .agg(count(lit(1)).as("__bn"))
-      .where(col("__bn") > maxBucket)
-      .select("band", "bkey")
-      .write.mode("overwrite").saveAsTable(s"${table}_capped")
+    heavy.write.mode("overwrite").saveAsTable(s"${table}_capped")
     sh.write.mode("overwrite").bucketBy(buckets, "id")
       .saveAsTable(s"${table}_shingles")
   }

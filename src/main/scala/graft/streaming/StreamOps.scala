@@ -591,7 +591,16 @@ object StreamOps {
               progressOrder.add(r)
               scala.collection.mutable.ArrayBuffer()
             })
-            buf.synchronized { buf += e.progress }
+            // per-RUN bound (the 64-entry FIFO bounds run COUNT only): a
+            // continuous query that never reaches logGateProgress would
+            // otherwise grow its buffer one progress object per trigger
+            // forever. Drop-oldest keeps the tail, which the recentProgress
+            // merge overlaps — far beyond any gate's batch count (gates
+            // drain ≤ a few hundred).
+            buf.synchronized {
+              if (buf.size >= 8192) buf.remove(0)
+              buf += e.progress
+            }
           }
         }
         override def onQueryTerminated(
@@ -1891,7 +1900,12 @@ object StreamOps {
     val genOut = fs.create(gen, true)
     try genOut.write(manifest.serialize.getBytes("UTF-8"))
     finally genOut.close()
-    val tmp = new Path(root, s"_CURRENT.$batchId.tmp")
+    // tmp is epoch-namespaced like the batch dirs: during a failover both
+    // the zombie and the live writer can replay the SAME batchId inside
+    // the documented fence window, and a shared tmp name would let one
+    // writer's rename consume the other's file (killing the LIVE stream
+    // with a FileNotFoundException on its rename)
+    val tmp = new Path(root, s"_CURRENT.$myEpoch.$batchId.tmp")
     val out = fs.create(tmp, true)
     try out.write(manifest.serialize.getBytes("UTF-8")) finally out.close()
     maybeFail("before_commit")
@@ -1915,32 +1929,44 @@ object StreamOps {
     // overwrite) is deleted with a WARN instead of throwing: its commit
     // never happened (the pointer is the commit record) so its refs guard
     // nothing, and letting it throw would crash-loop every future commit's
-    // GC against a file only an operator could remove.
-    val keepGens = fs.listStatus(root)
-      .filter(st => st.getPath.getName.startsWith("manifest-"))
-      .toSeq
-      .flatMap { st =>
-        try Seq(st -> readManifest(fs, st.getPath))
-        catch { case e: Exception =>
-          graftLog.warn(
-            s"upsertSnapshot: deleting unparseable generation manifest " +
-              s"${st.getPath} (crashed partial write?): ${e.getMessage}")
-          fs.delete(st.getPath, false)
-          Nil
+    // GC against a file only an operator could remove. ONLY parse
+    // failures get that treatment — a transient I/O error while reading a
+    // manifest aborts THIS GC pass instead (deleting on I/O error could
+    // drop the just-committed generation's refs and then sweep batch dirs
+    // `_CURRENT` still references); the commit above already stands, and
+    // the next commit retries the pruning.
+    try {
+      val keepGens = fs.listStatus(root)
+        .filter(st => st.getPath.getName.startsWith("manifest-"))
+        .toSeq
+        .flatMap { st =>
+          try Seq(st -> readManifest(fs, st.getPath))
+          catch {
+            case e @ (_: IllegalArgumentException | _: NumberFormatException) =>
+              graftLog.warn(
+                s"upsertSnapshot: deleting unparseable generation manifest " +
+                  s"${st.getPath} (crashed partial write?): ${e.getMessage}")
+              fs.delete(st.getPath, false)
+              Nil
+          }
         }
-      }
-      .sortBy { case (_, m) => m.map(x => (x.epoch, x.committed))
-        .getOrElse((-1L, -1L)) }
-    val (old, kept) = keepGens.splitAt(
-      math.max(keepGens.size - math.max(retainSnapshots, 1), 0))
-    val live: Set[String] = kept
-      .flatMap(_._2)
-      .flatMap(m => m.refs.values).toSet
-    fs.listStatus(root)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch-"))
-      .filterNot(st => live(st.getPath.getName))
-      .foreach(st => fs.delete(st.getPath, true))
-    old.foreach { case (st, _) => fs.delete(st.getPath, false) }
+        .sortBy { case (_, m) => m.map(x => (x.epoch, x.committed))
+          .getOrElse((-1L, -1L)) }
+      val (old, kept) = keepGens.splitAt(
+        math.max(keepGens.size - math.max(retainSnapshots, 1), 0))
+      val live: Set[String] = kept
+        .flatMap(_._2)
+        .flatMap(m => m.refs.values).toSet
+      fs.listStatus(root)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch-"))
+        .filterNot(st => live(st.getPath.getName))
+        .foreach(st => fs.delete(st.getPath, true))
+      old.foreach { case (st, _) => fs.delete(st.getPath, false) }
+    } catch { case e: java.io.IOException =>
+      graftLog.warn(
+        s"upsertSnapshot: batch $batchId committed but GC deferred to the " +
+          s"next commit ($snapshotRoot): ${e.getMessage}")
+    }
   }
 
   /** Read the current snapshot written by [[upsertSnapshot]]: resolve the

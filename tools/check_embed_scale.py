@@ -131,7 +131,12 @@ def save_cache(con, table, name):
         # fingerprints are unreachable by construction and would accrete
         # multi-hundred-MB orphans per fixture regeneration)
         import glob as _glob
-        for stale in _glob.glob(os.path.join(CACHE["dir"], f"{name}.*.parquet")):
+        # the bare '{name}.parquet' covers LEGACY un-fingerprinted entries
+        # (pre-fingerprint cache dirs), which the dotted glob misses
+        stale_candidates = (
+            _glob.glob(os.path.join(CACHE["dir"], f"{name}.*.parquet")) +
+            _glob.glob(os.path.join(CACHE["dir"], f"{name}.parquet")))
+        for stale in stale_candidates:
             if os.path.abspath(stale) != os.path.abspath(cache_path(name)):
                 try:
                     os.remove(stale)
