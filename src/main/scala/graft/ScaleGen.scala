@@ -32,6 +32,12 @@ object ScaleGen {
   def main(args: Array[String]): Unit = {
     val Array(src, dst, factorS) = args.take(3)
     val factor = factorS.toInt
+    // optional 4th arg: comma-separated table subset (e.g. a lineitem-only
+    // sf100 probe when disk can't hold the full fixture). Key-family
+    // offsets are still computed over ALL tables present in src, so the
+    // subset's keys line up with a hypothetical full generation.
+    val only: Option[Set[String]] =
+      args.lift(3).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = GraftSession.builder("local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // events.ts must stay a raw ns-long through the round-trip
@@ -52,7 +58,8 @@ object ScaleGen {
       fam -> math.pow(10, math.ceil(math.log10(m + 2.0))).toLong
     }
 
-    keyFamilies.foreach { case (t, fams) =>
+    keyFamilies.filter { case (t, _) => only.forall(_.contains(t)) }
+      .foreach { case (t, fams) =>
       val base = spark.read.parquet(s"$src/$t.parquet")
       val out: DataFrame =
         if (fams.isEmpty || factor == 1) base

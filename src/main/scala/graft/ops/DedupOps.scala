@@ -579,6 +579,12 @@ object DedupOps {
     heavy.write.mode("overwrite").saveAsTable(s"${table}_capped")
     sh.write.mode("overwrite").bucketBy(buckets, "id")
       .saveAsTable(s"${table}_shingles")
+    // record the build parameters the index is only consistent under —
+    // appends/probes with different (bands, rows, maxBucket) would write
+    // or read inconsistent postings silently (ADVICE r14)
+    graft.ops.IndexMeta.set(corpus.sparkSession, s"${table}_postings",
+      Map("bands" -> bands.toString, "rows" -> rows.toString,
+        "maxBucket" -> maxBucket.toString))
   }
 
   /** APPEND a new crawl batch to a persisted LSH index (r13 verdict item
@@ -612,6 +618,9 @@ object DedupOps {
     require(bands * rows <= MinhashAB.size, "not enough hash functions")
     import org.apache.spark.sql.expressions.Window
     val spark = newDf.sparkSession
+    graft.ops.IndexMeta.check(spark, s"${table}_postings", "appendLshIndex",
+      Map("bands" -> bands.toString, "rows" -> rows.toString,
+        "maxBucket" -> maxBucket.toString))
     val sh = wordShingleHashes(newDf, idCol, textCol).phaseCut
     val keyed0 = bandedKeys(minhashSignatures(sh), bands, rows)
     // indexes written before the tombstone table existed have no _capped
@@ -655,6 +664,10 @@ object DedupOps {
                     bands: Int, rows: Int, threshold: Double,
                     table: String): DataFrame = {
     val spark = newDf.sparkSession
+    // (bands, rows) must match the build's — a mismatched probe computes
+    // signatures in a different family and loses recall silently
+    graft.ops.IndexMeta.check(spark, s"${table}_postings", "probeLshIndex",
+      Map("bands" -> bands.toString, "rows" -> rows.toString))
     val shN   = wordShingleHashes(newDf, idCol, textCol).phaseCut
     val cand = bandedKeys(minhashSignatures(shN), bands, rows).as("x")
       .join(spark.table(s"${table}_postings").as("y"), Seq("band", "bkey"))

@@ -216,25 +216,87 @@ object SimilarityOps {
     * must NEVER be sorted or shuffled with vector payloads attached: a
     * default sort-merge plan here spilled ~340 GB and died at sf10. The
     * quantized table is ~520 B/vector (105 MB for 200k vectors) —
-    * broadcastable far beyond this corpus; for corpora past broadcast
-    * range, pre-bucket candidates and vectors by id range and rerank
-    * bucket-locally instead (the q_embed_ivf_index pattern). */
+    * broadcastable far beyond this corpus. Past broadcast range the
+    * dispatch below falls back AUTOMATICALLY to the TILED bucket-local
+    * rerank ([[rerankPairsTiled]]): the broadcast hint is gated on the
+    * quantized table's estimated size (rows × row width, measured off the
+    * phase-cut leaf), never forced blind (ADVICE r14). */
   def rerankPairs(cand: DataFrame, emb: DataFrame, idCol: String,
                   vecCol: String, threshold: Double): DataFrame = {
-    val v = emb.select(col(idCol).as("id"), quantize(col(vecCol)).as("v"))
+    val v = quantizedById(emb, idCol, vecCol)
+    val rows = v.count() // v is a localCheckpoint leaf — a cheap cached scan
+    val dim = v.select(size(col("v"))).take(1).headOption
+      .map(_.getInt(0)).getOrElse(0)
+    val bytes = rows * (dim * 8L + 24L)
+    if (bytes <= RerankBroadcastBytes) rerankOnQuantized(cand, v, threshold, 1)
+    else {
+      val tiles = math.ceil(bytes.toDouble / RerankBroadcastBytes).toInt
+      graftSimLog.info(s"rerankPairs: quantized table ~${bytes >> 20} MB " +
+        s"exceeds the ${RerankBroadcastBytes >> 20} MB broadcast budget — " +
+        s"switching to the tiled bucket-local rerank ($tiles×$tiles cells)")
+      rerankOnQuantized(cand, v, threshold, tiles)
+    }
+  }
+
+  private lazy val graftSimLog =
+    org.slf4j.LoggerFactory.getLogger(SimilarityOps.getClass)
+
+  /** Broadcast budget for [[rerankPairs]]' quantized-vector table: one
+    * tile must fit comfortably next to the driver/executor heap (default
+    * 512 MB ≈ 1M 64-dim quantized vectors per tile). */
+  val RerankBroadcastBytes: Long = 512L << 20
+
+  private def quantizedById(emb: DataFrame, idCol: String,
+                            vecCol: String): DataFrame =
+    emb.select(col(idCol).as("id"), quantize(col(vecCol)).as("v"))
       .withColumn("n2", norm2Q(col("v")))
       .phaseCut
-    cand
-      .join(broadcast(v.select(col("id").as("id_a"), col("v").as("va"),
-        col("n2").as("na"))), Seq("id_a"))
-      .join(broadcast(v.select(col("id").as("id_b"), col("v").as("vb"),
-        col("n2").as("nb"))), Seq("id_b"))
-      .withColumn("cos_sim",
-        when(col("na") === 0 || col("nb") === 0, lit(null))
-          .otherwise(dotQ(col("va"), col("vb")).cast("double") /
-            sqrt(col("na").cast("double") * col("nb").cast("double"))))
-      .where(col("cos_sim") >= threshold)
-      .select("id_a", "id_b", "cos_sim")
+
+  /** TILED bucket-local exact rerank — the past-broadcast-range path
+    * (r14 verdict item 5, the formerly documented-only fallback): ids are
+    * hashed into `tiles` deterministic chunks; a pair (a, b) belongs to
+    * grid cell (chunk(a), chunk(b)), and each of the tiles² cells joins
+    * its pair slice against ONLY the two vector chunks it needs — each a
+    * broadcast-size relation by construction. This is block-matrix
+    * tiling applied to the rerank: every pair is evaluated exactly once,
+    * pair rows still stream through codegen'd broadcast joins (never
+    * sorted or hash-exchanged with vector payloads — the 340 GB sf10
+    * death shape), and each vector chunk is broadcast `tiles` times,
+    * which is the whole extra cost (tiles × corpus bytes of broadcast
+    * traffic buys pair-payload shuffles that never happen). Output is
+    * row-identical to the broadcast path (same quantize, same integer
+    * dot — RerankTiledSpec pins byte-equality and the no-SMJ plan
+    * invariant). */
+  def rerankPairsTiled(cand: DataFrame, emb: DataFrame, idCol: String,
+                       vecCol: String, threshold: Double,
+                       tiles: Int): DataFrame = {
+    require(tiles >= 1, s"rerankPairsTiled: tiles must be >= 1, got $tiles")
+    rerankOnQuantized(cand, quantizedById(emb, idCol, vecCol), threshold,
+      tiles)
+  }
+
+  private def rerankOnQuantized(cand: DataFrame, v: DataFrame,
+                                threshold: Double, tiles: Int): DataFrame = {
+    def tileOf(c: Column): Column = pmod(hash(c), lit(tiles))
+    val cells = for { i <- 0 until tiles; j <- 0 until tiles } yield {
+      val va = (if (tiles == 1) v else v.where(tileOf(col("id")) === i))
+        .select(col("id").as("id_a"), col("v").as("va"), col("n2").as("na"))
+      val vb = (if (tiles == 1) v else v.where(tileOf(col("id")) === j))
+        .select(col("id").as("id_b"), col("v").as("vb"), col("n2").as("nb"))
+      val slice = if (tiles == 1) cand
+        else cand.where(tileOf(col("id_a")) === i &&
+          tileOf(col("id_b")) === j)
+      slice
+        .join(broadcast(va), Seq("id_a"))
+        .join(broadcast(vb), Seq("id_b"))
+        .withColumn("cos_sim",
+          when(col("na") === 0 || col("nb") === 0, lit(null))
+            .otherwise(dotQ(col("va"), col("vb")).cast("double") /
+              sqrt(col("na").cast("double") * col("nb").cast("double"))))
+        .where(col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    }
+    cells.reduce(_ unionByName _)
   }
 
   /** Exact integer mean rounded half away from zero: sign(s)·⌊(2|s|+n)/(2n)⌋
@@ -437,23 +499,46 @@ object SimilarityOps {
     * unchanged (`Bucketed: true` survives the swap). Maintenance
     * contract: single maintainer, no concurrent probes during the swap
     * (the saveAsTable + RENAME pair is not atomic for readers — run it
-    * in the same offline window as a codebook retrain). */
+    * in the same offline window as a codebook retrain). The swap window
+    * is exactly the DROP→RENAME pair: a probe planned inside it fails
+    * with TABLE_OR_VIEW_NOT_FOUND, and one planned just before it can
+    * hit deleted files (IndexMaintenanceSpec pins the window's failure
+    * mode; the reader-atomic alternative is a snapshot-pointer table
+    * format — out of scope for a metastore-named table). CRASH
+    * RECOVERY: a compaction that dies inside the window leaves only the
+    * fully-written `_compacting` table; the next call detects
+    * `tableName` missing + tmp present and completes the rename instead
+    * of failing. */
   private[ops] def compactBucketedTable(spark: org.apache.spark.sql.SparkSession,
                                         tableName: String,
                                         bucketCols: Seq[String],
                                         sortCols: Seq[String]): Unit = {
+    val tmp = s"${tableName}_compacting"
+    // CRASH RECOVERY: a previous compaction that died between its DROP
+    // and RENAME left the fully-written tmp as the ONLY copy of the
+    // index — complete its swap instead of failing on the missing table
+    // (and instead of the DROP-IF-EXISTS below destroying that copy)
+    if (!spark.catalog.tableExists(tableName) &&
+        spark.catalog.tableExists(tmp)) {
+      graftSimLog.warn(s"compactBucketedTable: completing a crashed " +
+        s"compaction swap of $tableName from $tmp")
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $tableName")
+      return
+    }
     // the bucket count comes from the TABLE'S OWN catalog spec — a
     // caller-passed count that disagreed with the build would silently
     // rewrite the index to a different layout and break the next append
-    val buckets = spark.sessionState.catalog
+    val meta = spark.sessionState.catalog
       .getTableMetadata(
         spark.sessionState.sqlParser.parseTableIdentifier(tableName))
-      .bucketSpec
+    val buckets = meta.bucketSpec
       .map(_.numBuckets)
       .getOrElse(throw new IllegalArgumentException(
         s"compactBucketedTable: $tableName has no bucket spec — only " +
           "bucketed index tables can be compacted"))
-    val tmp = s"${tableName}_compacting"
+    // the build-parameter properties (graft.*) must survive the swap —
+    // losing them would let a later append adopt mismatched parameters
+    val graftProps = meta.properties.filter(_._1.startsWith("graft."))
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
     // Keep the BUCKETED scan pinned on: the repartition below is elided
     // (the bucketed scan already provides HashPartitioning on the bucket
@@ -480,9 +565,19 @@ object SimilarityOps {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)
     }
+    if (graftProps.nonEmpty)
+      graft.ops.IndexMeta.set(spark, tmp,
+        graftProps.map { case (k, v) => k.stripPrefix("graft.") -> v })
     spark.sql(s"DROP TABLE $tableName")
+    if (compactFailpoint) throw new RuntimeException(
+      "graft test failpoint: compaction crash between DROP and RENAME")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $tableName")
   }
+
+  /** Test failpoint: when set, [[compactBucketedTable]] dies inside the
+    * DROP→RENAME swap window (the crash the recovery path above repairs
+    * and the window IndexMaintenanceSpec pins the probe behavior of). */
+  @volatile private[graft] var compactFailpoint: Boolean = false
 
   /** Compact an appended IVF index's postings (see
     * [[compactBucketedTable]] for the contract; the bucket count is read
@@ -496,6 +591,16 @@ object SimilarityOps {
                                vecCol: String, table: String, buckets: Int,
                                appendMode: Boolean): Unit = {
     val spark = batch.sparkSession
+    // vector dimensionality is an index invariant Spark can't see (the
+    // schema is array<float> regardless of length): an append with a
+    // different dim writes postings whose dots never match — recorded at
+    // build, required on append (ADVICE r14). One limit-1 job per call.
+    val dim = batch.select(size(col(vecCol)))
+      .take(1).headOption.map(_.getInt(0))
+    if (appendMode) dim.foreach { d =>
+      graft.ops.IndexMeta.check(spark, s"${table}_postings",
+        "appendIvfIndex", Map("dim" -> d.toString))
+    }
     val cent = broadcast(spark.table(s"${table}_centroids")
       .withColumn("centn", norm2Q(col("centv"))))
     assignProbe(Phase.fanout(batch), idCol, vecCol, "neighbor_id", 1, cent)
@@ -503,6 +608,10 @@ object SimilarityOps {
       .write.mode(if (appendMode) "append" else "overwrite")
       .bucketBy(buckets, "cluster_id")
       .sortBy("cluster_id").saveAsTable(s"${table}_postings")
+    if (!appendMode) dim.foreach { d =>
+      graft.ops.IndexMeta.set(spark, s"${table}_postings",
+        Map("dim" -> d.toString))
+    }
   }
 
   /** Probe a persisted IVF index: queries assign against the STORED

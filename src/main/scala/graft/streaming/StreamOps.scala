@@ -837,14 +837,13 @@ object StreamOps {
     * `foreachBatch` ([[graft.ops.SimilarityOps.appendIvfIndex]]) — so
     * cross-batch the index accretes exactly like daily crawl deliveries,
     * and the probe afterwards sees the union. Gate contract (same
-    * stage-then-clean shape as [[upsertViaStream]]): batches here are
-    * delivered exactly once (AvailableNow over a fresh checkpoint).
-    * PRODUCTION NOTE: a bucketed append is NOT replay-idempotent — a
-    * failure-recovery redelivery would double-append its batch; a real
-    * deployment fences batches the way [[upsertSnapshot]] does (manifest
-    * committed-id + writer epoch) or dedups by vector id at probe time.
-    * That fencing is deliberately not layered here so the gate measures
-    * the append path itself. */
+    * stage-then-clean shape as [[upsertViaStream]]): every batch append is
+    * FENCED through [[IndexFence.fencedAppend]] (r14 verdict item 2) — a
+    * writer epoch claimed before the stream starts plus a committed-batch
+    * manifest next to the postings table, so a failure-recovery
+    * redelivery of a micro-batch is an exactly-once no-op (and a crash
+    * mid-append is repaired by the pending-listing orphan purge) instead
+    * of a silent double-append; a zombie writer fails loudly. */
   def ivfAppendViaStream(spark: SparkSession, batches: DataFrame,
                          idCol: String, vecCol: String,
                          table: String): Unit = {
@@ -859,9 +858,16 @@ object StreamOps {
       val stream = spark.readStream.schema(batches.schema)
         .option("maxFilesPerTrigger", 1).parquet(stage)
       ensureProgressListener(spark)
+      // epoch claimed at CONSTRUCTION (before the stream starts), same
+      // contract as upsertSnapshot: epochs follow writer start order
+      val myEpoch = IndexFence.claimWriterEpoch(spark, s"${table}_postings")
       val q = stream.writeStream
-        .foreachBatch { (df: DataFrame, _: Long) =>
-          graft.ops.SimilarityOps.appendIvfIndex(df, idCol, vecCol, table)
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          IndexFence.fencedAppend(spark, Seq(s"${table}_postings"),
+            myEpoch, batchId) {
+            graft.ops.SimilarityOps.appendIvfIndex(df, idCol, vecCol, table)
+          }
+          () // foreachBatch wants Unit; fencedAppend returns ran/skipped
         }
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1280,8 +1286,40 @@ object StreamOps {
   }
 
   /** One (digest, signature, event-time) posting-list member held in
-    * band-bucket state by the PRODUCTION near-dup pipeline. */
-  case class TtlMember(dig: String, sig: Seq[Long], tsUs: Long)
+    * band-bucket state by the PRODUCTION near-dup pipeline. The signature
+    * is stored PACKED — 4 bytes per minhash component (values live in
+    * [0, P32), P32 < 2³²) — instead of the r14 `Seq[Long]` encoding
+    * (~144 B of UnsafeArrayData for 64 B of information): the posting
+    * list is re-read once per (key, micro-batch), so member width
+    * multiplies directly into the gate's dominant cost term,
+    * rocksdb_read_bytes (346 MB/run at sf1 — r14 verdict item 3). The
+    * estimator only ever tests component EQUALITY, so any bijective
+    * packing is exact. */
+  case class TtlMember(dig: String, sig: Array[Byte], tsUs: Long)
+
+  /** Pack minhash components (each < 2³²) into 4 bytes big-endian each. */
+  private[graft] def packSig(sig: Seq[Long]): Array[Byte] = {
+    val out = new Array[Byte](sig.length * 4)
+    var i = 0
+    sig.foreach { v =>
+      out(i) = (v >>> 24).toByte; out(i + 1) = (v >>> 16).toByte
+      out(i + 2) = (v >>> 8).toByte; out(i + 3) = v.toByte
+      i += 4
+    }
+    out
+  }
+
+  /** Matching 4-byte components between two packed signatures. */
+  private def packedMatches(a: Array[Byte], b: Array[Byte]): Int = {
+    var m = 0
+    var o = 0
+    while (o < a.length) {
+      if (a(o) == b(o) && a(o + 1) == b(o + 1) &&
+          a(o + 2) == b(o + 2) && a(o + 3) == b(o + 3)) m += 1
+      o += 4
+    }
+    m
+  }
 
   /** The production online near-dup processor: posting lists keyed by
     * (band, bucket) exactly like the batch LSH, with two changes
@@ -1366,18 +1404,18 @@ object StreamOps {
           // bucket's live members — the suppressed-pair upper bound
           suppressedUb += live.size
         } else {
+          val packed = packSig(sig)
+          val k = sig.size.toDouble
           live.foreach { m =>
             if (m.dig != dig) {
-              val matches = m.sig.iterator.zip(sig.iterator)
-                .count { case (a, b) => a == b }
-              val est = matches.toDouble / sig.size.toDouble
+              val est = packedMatches(m.sig, packed).toDouble / k
               if (est >= simThreshold) {
                 val (lo, hi) = if (m.dig < dig) (m.dig, dig) else (dig, m.dig)
                 out += ((lo, hi, est))
               }
             }
           }
-          live += TtlMember(dig, sig, ts)
+          live += TtlMember(dig, packed, ts)
           minTs = math.min(minTs, ts)
         }
       }
@@ -1696,8 +1734,8 @@ object StreamOps {
     * only grow, so a claimed epoch strictly exceeds every earlier
     * writer's; the marker files are empty and one is made per writer
     * START, so they never accumulate faster than operator actions. */
-  private def claimEpoch(fs: org.apache.hadoop.fs.FileSystem,
-                         root: org.apache.hadoop.fs.Path): Long = {
+  private[graft] def claimEpoch(fs: org.apache.hadoop.fs.FileSystem,
+                                root: org.apache.hadoop.fs.Path): Long = {
     val base = fs.listStatus(root)
       .map(_.getPath.getName)
       .filter(_.startsWith("epoch-"))
@@ -1782,7 +1820,21 @@ object StreamOps {
     * last-write-wins); the epoch stamp converts even that into a
     * self-healing state: the live writer's next commit sees the lower
     * epoch and re-commits (no silent skip), and the zombie's next commit
-    * throws. */
+    * throws. GC is safe inside that window too (ADVICE r14): the pruning
+    * pass never classifies the committing writer's own generation as old
+    * and re-reads `_CURRENT` after the rename, unioning its refs into the
+    * live set — so the pointer can never reference a deleted directory
+    * regardless of epoch ordering.
+    *
+    * FILESYSTEM CONTRACT: the fence's lease primitive is
+    * `FileSystem.create(path, overwrite = false)` being an atomic
+    * create-if-absent, and the commit is an atomic `rename` — both hold
+    * on HDFS and local POSIX filesystems. Object stores without atomic
+    * create-if-absent (e.g. S3A's HEAD-then-PUT) can let two writers
+    * claim the SAME epoch, silently defeating the zombie fence; run this
+    * sink against such stores only through a layer that restores those
+    * semantics (S3A with a metadata/lock layer, or a table format's
+    * commit service). */
   def upsertSnapshot(snapshotRoot: String, keys: Seq[String], verCol: String,
                      retainSnapshots: Int = 2,
                      numBuckets: Int = DefaultSnapshotBuckets)
@@ -1952,11 +2004,33 @@ object StreamOps {
         }
         .sortBy { case (_, m) => m.map(x => (x.epoch, x.committed))
           .getOrElse((-1L, -1L)) }
-      val (old, kept) = keepGens.splitAt(
+      val (old0, kept0) = keepGens.splitAt(
         math.max(keepGens.size - math.max(retainSnapshots, 1), 0))
+      // Two hard floors under the retention sort (ADVICE r14): in the
+      // unfenced zombie window, a lower-epoch writer that just renamed
+      // _CURRENT sorts its OWN generation below the live writer's and
+      // would GC the dirs the pointer it just swung still references —
+      // persistent unavailability, not self-healing. So (a) the
+      // committing writer's own just-written manifest is never `old`,
+      // and (b) _CURRENT is re-read AFTER the rename and its refs are
+      // unioned into `live`, so whatever the pointer references at GC
+      // time can never be swept regardless of epoch ordering.
+      val ownGen = gen.getName
+      val old  = old0.filterNot(_._1.getPath.getName == ownGen)
+      val kept = kept0 ++ old0.filter(_._1.getPath.getName == ownGen)
+      val pointerRefs: Set[String] =
+        try readManifest(fs, pointer).map(_.refs.values.toSet)
+          .getOrElse(Set.empty)
+        catch { case scala.util.control.NonFatal(e) =>
+          // can't establish what the pointer references → defer ALL
+          // pruning to the next commit (the commit above already stands)
+          graftLog.warn(s"upsertSnapshot: GC deferred — could not re-read " +
+            s"_CURRENT at $snapshotRoot: ${e.getMessage}")
+          return
+        }
       val live: Set[String] = kept
         .flatMap(_._2)
-        .flatMap(m => m.refs.values).toSet
+        .flatMap(m => m.refs.values).toSet ++ pointerRefs
       fs.listStatus(root)
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch-"))
         .filterNot(st => live(st.getPath.getName))

@@ -1,0 +1,252 @@
+package graft
+
+import graft.ops.{DedupOps, SimilarityOps}
+import graft.streaming.IndexFence
+import org.apache.spark.sql.functions._
+
+/** Round-15 index-maintenance hardening: replay/zombie fencing of
+  * streaming appends (r14 verdict item 2), build-parameter validation on
+  * append/probe (ADVICE r14), and the tiled bucket-local rerank
+  * (r14 verdict item 5). */
+class IndexMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+  private def postingSet(t: String): Seq[(Long, Long)] =
+    spark.table(s"${t}_postings").select("neighbor_id", "cluster_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+
+  private def dropIvf(t: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${t}_centroids")
+    spark.sql(s"DROP TABLE IF EXISTS ${t}_postings")
+  }
+
+  test("fencedAppend: in-epoch replay of a committed batch appends NOTHING (exactly-once)") {
+    import graft.queries.QueriesSim.{IvfMod, IvfRem, KmIters}
+    try {
+      SimilarityOps.writeIvfIndex(emb.where(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", IvfMod, IvfRem, KmIters, "fence_ivf",
+        buckets = 4)
+      val epoch = IndexFence.claimWriterEpoch(spark, "fence_ivf_postings")
+      val batch = emb.where(col("vec_id") % 3 === 1)
+      val ran1 = IndexFence.fencedAppend(spark, Seq("fence_ivf_postings"),
+        epoch, 0L) {
+        SimilarityOps.appendIvfIndex(batch, "vec_id", "embedding",
+          "fence_ivf", buckets = 4)
+      }
+      val afterFirst = postingSet("fence_ivf")
+      // REDELIVERY of the committed batch (driver restart between sink
+      // write and checkpoint commit): must be a no-op, zero duplicates
+      val ran2 = IndexFence.fencedAppend(spark, Seq("fence_ivf_postings"),
+        epoch, 0L) {
+        SimilarityOps.appendIvfIndex(batch, "vec_id", "embedding",
+          "fence_ivf", buckets = 4)
+      }
+      assert(ran1 && !ran2)
+      spark.catalog.refreshTable("fence_ivf_postings")
+      assert(postingSet("fence_ivf") == afterFirst,
+        "a replayed committed batch must not duplicate postings")
+      // distinctness double-check: no (id, cluster) appears twice
+      assert(afterFirst.distinct.size == afterFirst.size)
+    } finally dropIvf("fence_ivf")
+  }
+
+  test("fencedAppend: crash mid-append is repaired — orphan files purged, re-append lands exactly once") {
+    import graft.queries.QueriesSim.{IvfMod, IvfRem, KmIters}
+    try {
+      SimilarityOps.writeIvfIndex(emb.where(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", IvfMod, IvfRem, KmIters, "fence_crash",
+        buckets = 4)
+      val epoch = IndexFence.claimWriterEpoch(spark, "fence_crash_postings")
+      val batch = emb.where(col("vec_id") % 3 === 1)
+      // expected end state: one clean fenced append of the batch
+      val want = {
+        IndexFence.fencedAppend(spark, Seq("fence_crash_postings"),
+          epoch, 0L) {
+          SimilarityOps.appendIvfIndex(batch, "vec_id", "embedding",
+            "fence_crash", buckets = 4)
+        }
+        postingSet("fence_crash")
+      }
+      // rebuild to the pre-append state and simulate the crash: the
+      // append RUNS (files land) but the commit marker never writes —
+      // i.e. a pending manifest exists and orphan files sit in the table
+      dropIvf("fence_crash")
+      SimilarityOps.writeIvfIndex(emb.where(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", IvfMod, IvfRem, KmIters, "fence_crash",
+        buckets = 4)
+      val e2 = IndexFence.claimWriterEpoch(spark, "fence_crash_postings")
+      val boom = intercept[RuntimeException] {
+        IndexFence.fencedAppend(spark, Seq("fence_crash_postings"),
+          e2, 0L) {
+          SimilarityOps.appendIvfIndex(batch, "vec_id", "embedding",
+            "fence_crash", buckets = 4)
+          throw new RuntimeException("simulated crash after append, before commit")
+        }
+      }
+      assert(boom.getMessage.contains("simulated crash"))
+      // REDELIVERY of the crashed batch: purge orphans, re-append —
+      // the committed row set equals the one-clean-append state
+      IndexFence.fencedAppend(spark, Seq("fence_crash_postings"), e2, 0L) {
+        SimilarityOps.appendIvfIndex(batch, "vec_id", "embedding",
+          "fence_crash", buckets = 4)
+      }
+      spark.catalog.refreshTable("fence_crash_postings")
+      assert(postingSet("fence_crash") == want,
+        "crash repair must converge to the one-clean-append row set")
+    } finally dropIvf("fence_crash")
+  }
+
+  test("fencedAppend: a zombie writer (lower epoch than committed) fails loudly") {
+    import graft.queries.QueriesSim.{IvfMod, IvfRem, KmIters}
+    try {
+      SimilarityOps.writeIvfIndex(emb.where(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", IvfMod, IvfRem, KmIters, "fence_z",
+        buckets = 4)
+      val zombie = IndexFence.claimWriterEpoch(spark, "fence_z_postings")
+      val live   = IndexFence.claimWriterEpoch(spark, "fence_z_postings")
+      assert(live > zombie)
+      IndexFence.fencedAppend(spark, Seq("fence_z_postings"), live, 0L) {
+        SimilarityOps.appendIvfIndex(emb.where(col("vec_id") % 3 === 1),
+          "vec_id", "embedding", "fence_z", buckets = 4)
+      }
+      val before = postingSet("fence_z")
+      val ex = intercept[IllegalStateException] {
+        IndexFence.fencedAppend(spark, Seq("fence_z_postings"), zombie, 5L) {
+          SimilarityOps.appendIvfIndex(emb.where(col("vec_id") % 3 === 2),
+            "vec_id", "embedding", "fence_z", buckets = 4)
+        }
+      }
+      assert(ex.getMessage.contains("zombie"))
+      spark.catalog.refreshTable("fence_z_postings")
+      assert(postingSet("fence_z") == before,
+        "a fenced zombie must not have appended anything")
+    } finally dropIvf("fence_z")
+  }
+
+  test("IndexMeta: LSH append/probe with mismatched build parameters throws; matching passes") {
+    val docs = (0L until 40L).map(i =>
+      (i, s"shared prefix tokens for bucket ${i % 4} tail $i tail2 ${i * 7}"))
+      .toDF("id", "text")
+    try {
+      DedupOps.writeLshIndex(docs, "id", "text", bands = 4, rows = 4,
+        table = "meta_lsh", buckets = 4)
+      val more = (100L until 110L).map(i =>
+        (i, s"novel incoming document number $i with enough distinct " +
+          s"word tokens ${i * 3} to shingle properly ${i * 11}"))
+        .toDF("id", "text")
+      // mismatched bands → loud failure, nothing written
+      val ex = intercept[IllegalArgumentException] {
+        DedupOps.appendLshIndex(more, "id", "text", bands = 8, rows = 2,
+          table = "meta_lsh", buckets = 4)
+      }
+      assert(ex.getMessage.contains("bands"))
+      val ex2 = intercept[IllegalArgumentException] {
+        DedupOps.probeLshIndex(more, "id", "text", bands = 8, rows = 2,
+          threshold = 0.5, table = "meta_lsh").collect()
+      }
+      assert(ex2.getMessage.contains("bands"))
+      // the recorded parameters pass (probe ids stay disjoint from the
+      // appended ids — the documented probe contract)
+      DedupOps.appendLshIndex(more, "id", "text", bands = 4, rows = 4,
+        table = "meta_lsh", buckets = 4)
+      val probeDocs = (200L until 205L).map(i =>
+        (i, s"probe only document number $i with enough distinct word " +
+          s"tokens ${i * 3} to shingle properly ${i * 11}"))
+        .toDF("id", "text")
+      DedupOps.probeLshIndex(probeDocs, "id", "text", bands = 4, rows = 4,
+        threshold = 0.5, table = "meta_lsh").collect()
+      // ... and survive compaction (the swap must carry graft.* props)
+      DedupOps.compactLshIndex(spark, "meta_lsh")
+      intercept[IllegalArgumentException] {
+        DedupOps.appendLshIndex(more.withColumn("id", col("id") + 1000),
+          "id", "text", bands = 2, rows = 8, table = "meta_lsh", buckets = 4)
+      }
+    } finally {
+      Seq("postings", "shingles", "capped").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS meta_lsh_$s"))
+    }
+  }
+
+  test("IndexMeta: IVF append with mismatched vector dim throws") {
+    import graft.queries.QueriesSim.{IvfMod, IvfRem, KmIters}
+    try {
+      SimilarityOps.writeIvfIndex(emb, "vec_id", "embedding",
+        IvfMod, IvfRem, KmIters, "meta_ivf", buckets = 4)
+      val shortVecs = emb.select(col("vec_id") + 100000,
+          slice(col("embedding"), 1, 8).as("embedding"))
+        .toDF("vec_id", "embedding")
+      val ex = intercept[IllegalArgumentException] {
+        SimilarityOps.appendIvfIndex(shortVecs, "vec_id", "embedding",
+          "meta_ivf", buckets = 4)
+      }
+      assert(ex.getMessage.contains("dim"))
+    } finally dropIvf("meta_ivf")
+  }
+
+  test("compaction swap window: crash between DROP and RENAME is recovered; a probe inside the window fails with table-not-found (the documented contract)") {
+    import graft.queries.QueriesSim.{IvfMod, IvfRem, K, KmIters, QueryMod}
+    try {
+      SimilarityOps.writeIvfIndex(emb, "vec_id", "embedding",
+        IvfMod, IvfRem, KmIters, "swap_ivf", buckets = 4)
+      SimilarityOps.appendIvfIndex(emb.select(col("vec_id") + 100000,
+          col("embedding")).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", "swap_ivf", buckets = 4)
+      val qs = emb.where(col("vec_id") % QueryMod === 0)
+      def probe() = SimilarityOps.probeIvfIndex(
+        qs, "vec_id", "embedding", K, "swap_ivf").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val want = postingSet("swap_ivf")
+      val wantProbe = probe()
+      // crash INSIDE the swap window (after DROP, before RENAME)
+      SimilarityOps.compactFailpoint = true
+      val boom = intercept[RuntimeException] {
+        SimilarityOps.compactIvfIndex(spark, "swap_ivf")
+      }
+      assert(boom.getMessage.contains("failpoint"))
+      SimilarityOps.compactFailpoint = false
+      // this IS the window a concurrent probe can land in — pin what it
+      // sees: planning fails on the missing table name (loud, not wrong)
+      val seen = intercept[org.apache.spark.sql.AnalysisException] {
+        probe()
+      }
+      assert(seen.getMessage.contains("swap_ivf_postings"))
+      // the fully-written tmp is the only copy; the next compaction call
+      // completes the swap — rows, probe output, and layout all intact
+      SimilarityOps.compactIvfIndex(spark, "swap_ivf")
+      assert(postingSet("swap_ivf") == want)
+      assert(probe() == wantProbe && wantProbe.nonEmpty)
+      val spec = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser
+          .parseTableIdentifier("swap_ivf_postings")).bucketSpec
+      assert(spec.map(_.numBuckets).contains(4),
+        s"bucket spec must survive the recovered swap, got $spec")
+    } finally {
+      SimilarityOps.compactFailpoint = false
+      dropIvf("swap_ivf")
+      spark.sql("DROP TABLE IF EXISTS swap_ivf_postings_compacting")
+    }
+  }
+
+  test("tiled bucket-local rerank == broadcast rerank, with NO sort-merge join of pair rows") {
+    val e = emb.localCheckpoint(true)
+    val ids = e.select(col("vec_id")).as[Long].collect().sorted.take(60)
+    val cand = ids.combinations(2).map { case Array(a, b) => (a, b) }
+      .toSeq.toDF("id_a", "id_b")
+    val want = SimilarityOps
+      .rerankPairs(cand, e, "vec_id", "embedding", 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val tiled = SimilarityOps
+      .rerankPairsTiled(cand, e, "vec_id", "embedding", 0.0, tiles = 3)
+    val gotPlan = tiled.queryExecution.executedPlan.toString
+    assert(!gotPlan.contains("SortMergeJoin"),
+      s"tiled rerank must never sort pair rows with payloads:\n$gotPlan")
+    val got = tiled.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want && want.nonEmpty,
+      s"tiled (${got.size}) must equal broadcast (${want.size})")
+  }
+}
