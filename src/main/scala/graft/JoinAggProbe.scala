@@ -1,4 +1,5 @@
 package graft
+import graft.ops.Money
 
 import org.apache.spark.sql.functions._
 
@@ -22,8 +23,8 @@ object JoinAggProbe {
 
     def li = Tables.lineitem(spark, sfDir)
     def rev = li.select(col("l_orderkey"),
-      (round(col("l_extendedprice") * 100).cast("long")
-        * (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_c"))
+      (Money.cents(col("l_extendedprice"))
+        * (lit(100L) - Money.cents(col("l_discount")))).as("rev_c"))
     def perOrder = rev.groupBy("l_orderkey")
       .agg(sum(col("rev_c")).as("rev_c"), count(lit(1)).as("nl"))
     def o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")

@@ -65,14 +65,19 @@ object ScaleGen {
         if (fams.isEmpty || factor == 1) base
         else {
           val reps = spark.range(factor).select(col("id").as("_rep"))
-          fams.foldLeft(base.crossJoin(reps)) { case (df, (fam, c)) =>
-            df.withColumn(c, col(c) + col("_rep") * familyMax(fam))
+          // Repartition the SMALL base BEFORE the replicating crossJoin,
+          // not the replicated output after it: the pre-shuffle moves
+          // `rows` rows, the old post-shuffle moved `rows × factor` (at
+          // ×1000 that was a 600M-row shuffle feeding from ONE generator
+          // task, since the 11 MB source parquet is a single split).
+          // Output file count is the same either way — many moderate
+          // files, not one giant one: a single-file table caps scan
+          // parallelism at size/maxPartitionBytes; real lake layouts are
+          // many files.
+          fams.foldLeft(base.repartition(32).crossJoin(reps)) {
+            case (df, (fam, c)) =>
+              df.withColumn(c, col(c) + col("_rep") * familyMax(fam))
           }.drop("_rep")
-            // many moderate files, not one giant one: a single-file table
-            // caps scan parallelism at size/maxPartitionBytes (the sf0.1
-            // fixture's 1-file lineitem became one 80 MB file = 5 scan
-            // tasks on 32 cores); real lake layouts are many files
-            .repartition(32)
         }
       out.write.mode("overwrite").parquet(s"$dst/$t.parquet")
       println(s"[scalegen] $t x$factor -> $dst/$t.parquet")

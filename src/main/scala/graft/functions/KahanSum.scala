@@ -76,5 +76,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "topk_agg", exprs => TopKByValue(exprs(0), exprs(1), exprs(2))
         .toAggregateExpression(), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sum_i128", exprs => SumI128(exprs.head).toAggregateExpression(),
+      "scala_udf")
   }
 }

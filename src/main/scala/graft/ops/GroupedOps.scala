@@ -13,17 +13,20 @@ import org.apache.spark.sql.functions._
   *
   * Determinism note: several helpers compute variance/skewness from *raw
   * power sums* rather than Spark's streaming central-moment aggregates.
-  * With integer-valued inputs the power sums are exact in double, so the
-  * final float formula is bitwise-reproducible across engines and partition
+  * With integer-valued inputs the power sums are exact, so the final
+  * float formula is bitwise-reproducible across engines and partition
   * orders — that is what lets the DuckDB differential oracle hash-match.
-  * Validity bound: double addition of integer-valued terms stays exact
-  * while the running sum is < 2⁵³, i.e. up to ~2⁵³/max|x|ᵏ rows per group
-  * for the k-th power sum (l_quantity ≤ 50 → s3 exact to ~7e10 rows per
-  * group); past that the result degrades by IEEE rounding on BOTH engines
-  * symmetrically — there is no silent integer wrap anywhere in this family
-  * (the cents-scaled product sums in the query pack, which could wrap a
-  * long, accumulate in Decimal(38,0) instead). For general (non-integer)
-  * data at scale, Spark's built-in `var_samp` / `skewness` remain
+  *
+  * Validity bound (r15 overflow sweep, PLANS.md): the per-row k-th power
+  * is formed in double (exact while |x|ᵏ < 2⁵³ — l_quantity ≤ 50 → x³
+  * ≤ 1.25e5, cents ≤ 5.6e4 → x·y ≤ 3.2e9, both exact), cast to long, and
+  * ACCUMULATED in [[graft.functions.SumI128]] — the two-long exact
+  * 128-bit sum, good to ~1.7e38 ≈ 10²³ rows per group at these summand
+  * widths. The pre-r15 double accumulators lost integer exactness past
+  * 2⁵³/max|x|ᵏ ≈ 7e10 rows per group for s3 — INSIDE the 100 TB design
+  * point (8e11 rows/group on the 6-group flagship shape); sum_i128 has no
+  * such cliff and costs two long adds + a carry per row. For general
+  * (non-integer) data, Spark's built-in `var_samp` / `skewness` remain
   * available; both forms are exposed.
   */
 object GroupedOps {
@@ -68,12 +71,17 @@ object GroupedOps {
   def sem(value: Column, ddof: Int): Column =
     stdDdof(value, ddof) / sqrt(count(value).cast("double"))
 
+  /** Exact 128-bit sum of an integer-valued column (the power-sum
+    * accumulator — see the object scaladoc's validity bound). */
+  private def sx(value: Column): Column =
+    graft.functions.ExactAgg.sumI128(value.cast("long")).cast("double")
+
   /** Exact-power-sum variance: deterministic for integer-valued inputs.
     * m2 = (Σx² − (Σx)²/n) / (n − ddof), guarded for n ≤ ddof. */
   def varExact(value: Column, ddof: Int): Column = {
     val n  = count(value).cast("double")
-    val s1 = sum(value).cast("double")
-    val s2 = sum(value * value).cast("double")
+    val s1 = sx(value)
+    val s2 = sx(value * value)
     when(n - lit(ddof) <= 0, lit(null))
       .otherwise((s2 - s1 * s1 / n) / (n - lit(ddof)))
   }
@@ -89,11 +97,11 @@ object GroupedOps {
     val xa   = when(both, x)
     val ya   = when(both, y)
     val n    = count(xa).cast("double")
-    val sx   = sum(xa).cast("double")
-    val sy   = sum(ya).cast("double")
-    val sxy  = sum(xa * ya).cast("double")
+    val s1x  = sx(xa)
+    val s1y  = sx(ya)
+    val sxy  = sx(xa * ya)
     when(n - lit(ddof) <= 0, lit(null))
-      .otherwise((sxy - sx * sy / n) / (n - lit(ddof)))
+      .otherwise((sxy - s1x * s1y / n) / (n - lit(ddof)))
   }
 
   /** Pearson correlation from exact power sums (pandas `groupby.corr`):
@@ -106,15 +114,15 @@ object GroupedOps {
     val xa   = when(both, x)
     val ya   = when(both, y)
     val n    = count(xa).cast("double")
-    val sx   = sum(xa).cast("double")
-    val sy   = sum(ya).cast("double")
-    val sxx  = sum(xa * xa).cast("double")
-    val syy  = sum(ya * ya).cast("double")
-    val sxy  = sum(xa * ya).cast("double")
-    val vx   = n * sxx - sx * sx
-    val vy   = n * syy - sy * sy
+    val s1x  = sx(xa)
+    val s1y  = sx(ya)
+    val sxx  = sx(xa * xa)
+    val syy  = sx(ya * ya)
+    val sxy  = sx(xa * ya)
+    val vx   = n * sxx - s1x * s1x
+    val vy   = n * syy - s1y * s1y
     when(n < 2 || vx <= 0 || vy <= 0, lit(null))
-      .otherwise((n * sxy - sx * sy) / sqrt(vx * vy))
+      .otherwise((n * sxy - s1x * s1y) / sqrt(vx * vy))
   }
 
   def semExact(value: Column, ddof: Int): Column =
@@ -131,9 +139,9 @@ object GroupedOps {
     */
   def skewAdjusted(value: Column): Column = {
     val n  = count(value).cast("double")
-    val s1 = sum(value).cast("double")
-    val s2 = sum(value * value).cast("double")
-    val s3 = sum(value * value * value).cast("double")
+    val s1 = sx(value)
+    val s2 = sx(value * value)
+    val s3 = sx(value * value * value)
     val m  = s1 / n
     val m2 = s2 / n - m * m
     val m3 = s3 / n - lit(3.0) * m * (s2 / n) + lit(2.0) * m * m * m

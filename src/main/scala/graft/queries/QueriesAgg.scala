@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{GroupedOps, QuantileOps}
+import graft.functions.ExactAgg
+import graft.ops.{GroupedOps, Money, QuantileOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -20,7 +21,8 @@ import org.apache.spark.sql.functions._
   */
 object QueriesAgg {
 
-  private def cents(c: String) = round(col(c) * 100).cast("long")
+  // exact fast cents — see graft.ops.Money for the equivalence argument
+  private def cents(c: String) = graft.ops.Money.cents(col(c))
 
   /** TPC-H Q1-shaped flagship: scan → filter (parquet pushdown) → hash agg.
     * Exercises group_sum / group_mean / count (`src/groupby.rs:846,1271`). */
@@ -33,17 +35,24 @@ object QueriesAgg {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum("l_quantity").as("sum_qty"),
-        (sum(col("pc")).cast("double") / 100.0).as("sum_base_price"),
-        // per-row products reach ~1e9 (disc) / ~2e11 (charge) cents-units:
-        // the LONG accumulator would wrap silently (non-ANSI) past ~1e9 /
-        // ~5e7 rows per group, so the products accumulate in Decimal(38,0)
-        // — exact like the oracle's HUGEINT — and convert to double once
-        (sum((col("pc") * (lit(100L) - col("dc"))).cast("decimal(38,0)"))
+        // Σpc and the per-row products (≤ ~1e9 disc / ~2e11 charge
+        // cents-units) all outgrow a long accumulator inside the 100 TB
+        // design point (the r15 overflow sweep in PLANS.md has the
+        // per-accumulator bounds: Σpc wraps at ~8.8e11 rows/group, the
+        // products at ~9e9 / ~5e8) — they accumulate in sum_i128, the
+        // two-long exact 128-bit sum (graft.functions.SumI128): exact
+        // like the oracle's HUGEINT at ~long-sum speed, vs the measured
+        // ~5.7 s/600M rows the former decimal(38,0) buffers cost at sf100
+        (ExactAgg.sumI128(col("pc")).cast("double") / 100.0)
+          .as("sum_base_price"),
+        (ExactAgg.sumI128(col("pc") * (lit(100L) - col("dc")))
           .cast("double") / 10000.0).as("sum_disc_price"),
-        (sum((col("pc") * (lit(100L) - col("dc")) * (lit(100L) + col("tc")))
-          .cast("decimal(38,0)")).cast("double") / 1000000.0).as("sum_charge"),
+        (ExactAgg.sumI128(col("pc") * (lit(100L) - col("dc"))
+            * (lit(100L) + col("tc")))
+          .cast("double") / 1000000.0).as("sum_charge"),
         avg("l_quantity").as("avg_qty"),
-        (sum(col("pc")).cast("double") / 100.0 / count(lit(1)).cast("double")).as("avg_price"),
+        (ExactAgg.sumI128(col("pc")).cast("double") / 100.0 /
+          count(lit(1)).cast("double")).as("avg_price"),
         (sum(col("dc")).cast("double") / 100.0 / count(lit(1)).cast("double")).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
@@ -359,14 +368,15 @@ object QueriesAgg {
     * in both engines. Degenerate groups (zero variance / constant) yield
     * null scales rather than ±inf. */
   def qScale(spark: SparkSession, dir: String): DataFrame = {
-    val xc = round(col("value") * 100).cast("long")
+    val xc = Money.cents(col("value"))
     val e  = Tables.events(spark, dir).withColumn("xc", xc)
     val stats = e.groupBy("event_type").agg(
       count(col("xc")).as("n"),
       sum(col("xc")).as("s1"),
-      // xc² ≈ 1e10/row: Decimal(38,0) accumulator so the power sum cannot
-      // wrap past ~1e9 rows per group (same device as q_corr_matrix)
-      sum((col("xc") * col("xc")).cast("decimal(38,0)")).as("s2"),
+      // xc² ≈ 1e10/row wraps a long past ~1e9 rows per group: exact
+      // 128-bit sum (r15, replacing the Decimal(38,0) cast); Σxc itself
+      // keeps ~1600× long headroom at design scale and stays long
+      ExactAgg.sumI128(col("xc") * col("xc")).as("s2"),
       min(col("xc")).as("mn"), max(col("xc")).as("mx"))
     val n  = col("n").cast("double")
     val s1 = col("s1").cast("double"); val s2 = col("s2").cast("double")
@@ -412,7 +422,7 @@ object QueriesAgg {
     val o = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(round(col("o_totalprice") * 100).cast("long")).as("tc"))
+        sum(Money.cents(col("o_totalprice"))).as("tc"))
     c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
       .select(
         coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
@@ -444,14 +454,15 @@ object QueriesAgg {
     * single final division is the only float op (same determinism recipe
     * as the plain cents sums). */
   def qWeightedMean(spark: SparkSession, dir: String): DataFrame = {
-    val pc = round(col("l_extendedprice") * 100).cast("long")
+    val pc = Money.cents(col("l_extendedprice"))
     Tables.lineitem(spark, dir)
       .withColumn("pc", pc)
       .groupBy("l_returnflag", "l_linestatus")
-      // pc·qty ≈ 5e8/row: decimal accumulator so the weighted sum cannot
-      // wrap silently past ~1.8e10 rows per group
-      .agg(sum((col("pc") * col("l_quantity").cast("long"))
-          .cast("decimal(38,0)")).as("wsum"),
+      // pc·qty ≈ 5e8/row: a long weighted sum wraps silently past ~1.8e10
+      // rows per group — exact 128-bit accumulator instead (sum_i128,
+      // r15 — replacing the r8 Decimal(38,0) cast at ~long-sum speed)
+      .agg(ExactAgg.sumI128(col("pc") * col("l_quantity").cast("long"))
+          .as("wsum"),
         sum(col("l_quantity").cast("long")).as("w"))
       .select(col("l_returnflag"), col("l_linestatus"),
         (col("wsum").cast("double") / col("w").cast("double") / 100.0)
@@ -744,7 +755,7 @@ object QueriesAgg {
     * md5 digest of the joined values) so the differential compare sees
     * engine-neutral scalars instead of engine-formatted arrays. */
   def qCollect(spark: SparkSession, dir: String): DataFrame = {
-    val c      = round(col("value") * 100).cast("long")
+    val c      = Money.cents(col("value"))
     val sorted = sort_array(collect_list(c))
     Tables.events(spark, dir)
       .groupBy("user_id")
@@ -933,13 +944,13 @@ object QueriesAgg {
         cents("l_extendedprice").as("yc"))
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
-        sum("xc").cast("double").as("sx"), sum("yc").cast("double").as("sy"),
-        // cents products ≈ 1e7–1e10/row: decimal accumulators, not long
-        // (silent wrap past ~1e9 rows/group otherwise)
-        sum((col("xc") * col("xc")).cast("decimal(38,0)"))
-          .cast("double").as("sxx"),
-        sum((col("xc") * col("yc")).cast("decimal(38,0)"))
-          .cast("double").as("sxy"))
+        sum("xc").cast("double").as("sx"),
+        // Σyc (price cents ≤ 1.05e7/row over 3 groups) and the cents
+        // products (≈1e7–1e10/row) all outgrow a long inside the 100 TB
+        // design point — exact 128-bit sums (r15 sweep, PLANS.md)
+        ExactAgg.sumI128(col("yc")).cast("double").as("sy"),
+        ExactAgg.sumI128(col("xc") * col("xc")).cast("double").as("sxx"),
+        ExactAgg.sumI128(col("xc") * col("yc")).cast("double").as("sxy"))
       .select(col("l_returnflag"), col("n"),
         ((col("n") * col("sxy") - col("sx") * col("sy")) /
           (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
@@ -1010,7 +1021,7 @@ object QueriesAgg {
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("c"), col("event_id"))
     Tables.events(spark, dir)
-      .withColumn("c", round(col("value") * 100).cast("long"))
+      .withColumn("c", Money.cents(col("value")))
       .withColumn("rn", row_number().over(w))
       .withColumn("nn", count(lit(1)).over(Window.partitionBy(col("event_type"))))
       .groupBy("event_type")
@@ -1100,7 +1111,7 @@ object QueriesAgg {
       .rowsBetween(Window.unboundedPreceding, 0)
     val wAll = Window.partitionBy(col("event_type"))
     Tables.events(spark, dir)
-      .withColumn("c", round(col("value") * 100).cast("long"))
+      .withColumn("c", Money.cents(col("value")))
       .withColumn("wt", (col("event_id") % 7 + 1).cast("long"))
       .withColumn("cumw", sum(col("wt")).over(w))
       .withColumn("totw", sum(col("wt")).over(wAll))
@@ -1137,23 +1148,22 @@ object QueriesAgg {
     val measures = Seq(
       "qty"   -> round(col("l_quantity")).cast("long"),
       "price" -> round(col("l_extendedprice")).cast("long"),
-      "disc"  -> round(col("l_discount") * 100).cast("long"),
-      "tax"   -> round(col("l_tax") * 100).cast("long"))
+      "disc"  -> Money.cents(col("l_discount")),
+      "tax"   -> Money.cents(col("l_tax")))
     val base = Tables.lineitem(spark, dir)
       .select(measures.map { case (n, c) => c.as(n) }: _*)
     val names = measures.map(_._1)
-    // The per-row squared/cross products (Σprice² ≈ 1e10 per row) are cast
-    // to Decimal(38,0) BEFORE summing so the accumulators themselves are
-    // overflow-safe past ~1e9 rows — a decimal guard only on the final
-    // closed-form products would let the long partial sums wrap silently
-    // at 100 TB row counts.
-    val dec0 = "decimal(38,0)"
+    // The squared/cross products (price² ≈ 1e10 per row) wrap a long
+    // accumulator past ~1e9 rows, and even the plain Σprice has only ~17×
+    // headroom at the 100 TB design point — every accumulator of this
+    // one-pass agg therefore runs in the exact 128-bit sum (sum_i128;
+    // r15 — replacing the r13 Decimal(38,0) casts at ~long-sum speed).
     val sums =
       count(lit(1)).as("n") +:
-        (names.map(a => sum(col(a)).as(s"s_$a")) ++
-          names.map(a => sum((col(a) * col(a)).cast(dec0)).as(s"ss_$a")) ++
+        (names.map(a => ExactAgg.sumI128(col(a)).as(s"s_$a")) ++
+          names.map(a => ExactAgg.sumI128(col(a) * col(a)).as(s"ss_$a")) ++
           names.combinations(2).map { case Seq(a, b) =>
-            sum((col(a) * col(b)).cast(dec0)).as(s"sp_${a}_$b")
+            ExactAgg.sumI128(col(a) * col(b)).as(s"sp_${a}_$b")
           }.toSeq)
     val one = base.agg(sums.head, sums.tail: _*)
     val pairRows = names.combinations(2).map { case Seq(a, b) =>
@@ -1224,7 +1234,7 @@ object QueriesAgg {
     val B = 16
     val ts = Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L,
       4279248373L)
-    val cents = round(col("l_extendedprice") * 100).cast("long")
+    val cents = Money.cents(col("l_extendedprice"))
     def w(b: Int): Column = {
       val h = conv(substring(md5(concat_ws("_",
         col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
@@ -1302,9 +1312,13 @@ object QueriesAgg {
   def qAbTest(spark: SparkSession, dir: String): DataFrame = {
     def arm(t: String, suf: String): Seq[Column] = {
       val c = when(col("event_type") === t,
-        round(col("value") * 100).cast("long"))
+        Money.cents(col("value")))
+      // Σc² (c² ≤ ~3.1e9/row) would wrap a long at ~2.9e9 rows per arm —
+      // far inside the 100 TB design point — so it runs in the exact
+      // 128-bit sum (r15 overflow sweep, PLANS.md); Σc (≤5.6e4/row) keeps
+      // ~650× long headroom at design scale and stays long
       Seq(count(c).as(s"n$suf"), sum(c).as(s"s$suf"),
-        sum(c * c).as(s"ss$suf"))
+        ExactAgg.sumI128(c * c).as(s"ss$suf"))
     }
     val one = Tables.events(spark, dir)
       .agg((arm("purchase", "a") ++ arm("click", "b")).head,
@@ -1375,7 +1389,7 @@ object QueriesAgg {
   def qTopkAgg(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     Tables.events(spark, dir)
-      .withColumn("c", round(col("value") * 100).cast("long"))
+      .withColumn("c", Money.cents(col("value")))
       .groupBy("event_type")
       .agg(expr("topk_agg(c, event_id, 3)").as("top"))
       .select(col("event_type"), posexplode(col("top")))
@@ -1408,7 +1422,7 @@ object QueriesAgg {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(spark, dir)
       .where(col("event_type").isin("purchase", "click"))
-      .select(round(col("value") * 100).cast("long").as("c"),
+      .select(Money.cents(col("value")).as("c"),
         (col("event_type") === "purchase").cast("long").as("isA"))
     val perV = ev.groupBy("c")
       .agg(sum("isA").as("ca"), sum(lit(1L) - col("isA")).as("cb"))

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.ops.Money
 import graft.ops.Phase._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -92,7 +93,7 @@ object QueriesBehav {
       .groupBy("o_custkey")
       .agg(datediff(anchor, max(to_date(col("o_orderdate")))).as("rec_days"),
         count(lit(1)).as("freq"),
-        sum(round(col("o_totalprice") * 100).cast("long")).as("mon_c"))
+        sum(Money.cents(col("o_totalprice"))).as("mon_c"))
       .withColumn("mon_d", expr("mon_c div 100"))
       // four consumers (three edge computations + binning) → phase-cut:
       // one orders scan + agg, not four
@@ -223,7 +224,7 @@ object QueriesBehav {
     val e = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"),
         when(col("event_id") % 7 =!= 0,
-          round(col("value") * 100).cast("long")).as("c"))
+          Money.cents(col("value"))).as("c"))
     e.withColumn("grp_mean",
         sum("c").over(w).cast("double") / count(col("c")).over(w).cast("double") / 100.0)
       .select(col("event_id"), col("user_id"),

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.ops.Money
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -92,7 +93,7 @@ object QueriesCdc {
   def qTwa(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"),
-        round(col("value") * 100).cast("long").as("c"),
+        Money.cents(col("value")).as("c"),
         unix_micros(col("ts")).as("us"))
       .withColumn("dt_us", lead("us", 1).over(byUser) - col("us"))
       // gaps are non-negative, so truncating `div` == floor == DuckDB `//`

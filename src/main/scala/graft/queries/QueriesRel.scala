@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.ops.Money
 import graft.ops.{Phase, RelOps, TakeOps}
 import graft.ops.Phase._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -110,16 +111,21 @@ object QueriesRel {
     * the fact at 100 TB, so a static broadcast hint would be wrong there;
     * nation/region are constant-size and hinted.
     *
-    * Exactness: rev_c is cents·10⁻² integer units, ≤ ~1e9 per line; long
-    * accumulation overflows only past ~9e9 lines per output group —
-    * Decimal never enters the hot path (the sf1 gap attribution in
-    * SCALE.md showed the cost is scan+hash-agg constant factors, not
-    * arithmetic width). */
+    * Exactness: rev_c is cents·10⁻² integer units, ≤ ~1e9 per line. The
+    * per-order and per-customer long sums are safe BY CONSTRUCTION
+    * (≤7 lines/order, orders-per-customer fixed by the schema), but the
+    * FINAL nation-grain sum crosses group sizes that scale with the
+    * corpus: at ~9e9 lines per nation (≈2e11 total rows, well under the
+    * 100 TB design point) a long accumulator wraps — so that one
+    * accumulator, whose input is already customer-grain (|customers|/25
+    * rows, off the hot path), sums in Decimal (r15 overflow sweep,
+    * PLANS.md). The two fact-scale aggregations stay long: their group
+    * sizes are schema-bounded, which the sweep table records. */
   def qJoinAgg(spark: SparkSession, dir: String): DataFrame = {
     val perOrder = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"),
-        (round(col("l_extendedprice") * 100).cast("long")
-          * (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_c"))
+        (Money.cents(col("l_extendedprice"))
+          * (lit(100L) - Money.cents(col("l_discount")))).as("rev_c"))
       .groupBy("l_orderkey")
       .agg(sum(col("rev_c")).as("rev_c"), count(lit(1)).as("nl"))
     val o   = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
@@ -136,7 +142,12 @@ object QueriesRel {
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
       .agg(
-        (sum(col("rev_c")).cast("double") / 10000.0).as("revenue"),
+        // decimal(20,0) summand (per-cust rev_c ≤ ~1.1e12) → decimal(30,0)
+        // accumulator: exact to 1e30, vs the long's wrap at ~9e9
+        // lines/nation; input here is customer-grain so the cast is off
+        // the fact-scan hot path
+        (sum(col("rev_c").cast("decimal(20,0)")).cast("double") / 10000.0)
+          .as("revenue"),
         sum(col("n_orders")).as("n_orders"),
         sum(col("nl")).as("n_lines"))
       .orderBy("r_name", "n_name")
@@ -556,8 +567,8 @@ object QueriesRel {
     val perOrder = Tables.lineitem(spark, dir)
       .where(to_date(col("l_shipdate")) > cutoff)
       .select(col("l_orderkey"),
-        (round(col("l_extendedprice") * 100).cast("long") *
-          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_c"))
+        (Money.cents(col("l_extendedprice")) *
+          (lit(100L) - Money.cents(col("l_discount")))).as("rev_c"))
       .groupBy("l_orderkey").agg(sum("rev_c").as("rev_c"))
     perOrder
       .join(o, col("l_orderkey") === col("o_orderkey"))
@@ -596,7 +607,7 @@ object QueriesRel {
         .groupBy(when(col("user_id") % 10 =!= 0, col("user_id") % 10)
           .as("bucket"))
         .agg(count(lit(1)).as(cntName),
-          sum(round(col("value") * 100).cast("long")).as(sumName))
+          sum(Money.cents(col("value"))).as(sumName))
     val p = side("purchase", "n_purch", "c_purch")
     val c = side("click", "n_click", "c_click")
     p.join(c, p("bucket") <=> c("bucket"), "full_outer")

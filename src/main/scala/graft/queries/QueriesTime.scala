@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.ops.Money
 import graft.streaming.StreamOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -17,7 +18,7 @@ object QueriesTime {
   def qTumbling(spark: SparkSession, dir: String): DataFrame =
     StreamOps.tumblingAgg(
         Tables.events(spark, dir)
-          .withColumn("c", round(col("value") * 100).cast("long")),
+          .withColumn("c", Money.cents(col("value"))),
         "ts", "1 hour", Seq(col("event_type")),
         Seq(count(lit(1)).as("n"),
           (sum(col("c")).cast("double") / 100.0).as("sum_value")))
@@ -38,7 +39,7 @@ object QueriesTime {
   def qStreamTumbling(spark: SparkSession, dir: String): DataFrame =
     StreamOps.tumblingViaStream(spark,
         Tables.events(spark, dir)
-          .withColumn("c", round(col("value") * 100).cast("long")),
+          .withColumn("c", Money.cents(col("value"))),
         "ts", "1 hour", Seq(col("event_type")),
         Seq(count(lit(1)).as("n"),
           (sum(col("c")).cast("double") / 100.0).as("sum_value")))
@@ -51,7 +52,7 @@ object QueriesTime {
   def qStreamSliding(spark: SparkSession, dir: String): DataFrame =
     StreamOps.tumblingViaStream(spark,
         Tables.events(spark, dir)
-          .withColumn("c", round(col("value") * 100).cast("long")),
+          .withColumn("c", Money.cents(col("value"))),
         "ts", "1 hour", Seq(col("event_type")),
         Seq(count(lit(1)).as("n"),
           (sum(col("c")).cast("double") / 100.0).as("sum_value")),
@@ -67,7 +68,7 @@ object QueriesTime {
   def qStreamSession(spark: SparkSession, dir: String): DataFrame =
     StreamOps.sessionViaStream(spark,
         Tables.events(spark, dir)
-          .withColumn("c", round(col("value") * 100).cast("long")),
+          .withColumn("c", Money.cents(col("value"))),
         "ts", "30 minutes", Seq(col("user_id")),
         Seq(count(lit(1)).as("n"),
           (sum(col("c")).cast("double") / 100.0).as("sum_value")))
@@ -90,7 +91,7 @@ object QueriesTime {
   def qStreamSessionAppend(spark: SparkSession, dir: String): DataFrame =
     StreamOps.sessionViaStreamAppend(spark,
         Tables.events(spark, dir)
-          .withColumn("c", round(col("value") * 100).cast("long")),
+          .withColumn("c", Money.cents(col("value"))),
         "ts", "30 minutes", StreamWatermark, Seq(col("user_id")),
         Seq(count(lit(1)).as("n"),
           (sum(col("c")).cast("double") / 100.0).as("sum_value")))
@@ -183,7 +184,7 @@ object QueriesTime {
   def qSliding(spark: SparkSession, dir: String): DataFrame =
     StreamOps.slidingAgg(
         Tables.events(spark, dir)
-          .withColumn("c", round(col("value") * 100).cast("long")),
+          .withColumn("c", Money.cents(col("value"))),
         "ts", "1 hour", "30 minutes", Seq(col("event_type")),
         Seq(count(lit(1)).as("n"),
           (sum(col("c")).cast("double") / 100.0).as("sum_value")))
@@ -206,7 +207,7 @@ object QueriesTime {
   def qSession(spark: SparkSession, dir: String): DataFrame =
     StreamOps.sessionAgg(
         Tables.events(spark, dir)
-          .withColumn("c", round(col("value") * 100).cast("long")),
+          .withColumn("c", Money.cents(col("value"))),
         "ts", "30 minutes", Seq(col("user_id")),
         Seq(count(lit(1)).as("n"),
           (sum(col("c")).cast("double") / 100.0).as("sum_value")))
@@ -362,7 +363,7 @@ object QueriesTime {
     StreamOps.enrichViaStream(spark,
         Tables.events(spark, dir)
           .select(col("ts"), (col("user_id") % 25 + 1).as("c_custkey"),
-            round(col("value") * 100).cast("long").as("c")),
+            Money.cents(col("value")).as("c")),
         Tables.customer(spark, dir).select("c_custkey", "c_mktsegment"),
         Seq("c_custkey"), "ts", "1 hour", Seq(col("c_mktsegment")),
         Seq(count(lit(1)).as("n"),
@@ -395,7 +396,7 @@ object QueriesTime {
     StreamOps.enrichViaStreamAppend(spark,
         Tables.events(spark, dir)
           .select(col("ts"), (col("user_id") % 25 + 1).as("c_custkey"),
-            round(col("value") * 100).cast("long").as("c")),
+            Money.cents(col("value")).as("c")),
         Tables.customer(spark, dir).select("c_custkey", "c_mktsegment"),
         Seq("c_custkey"), "ts", "1 hour", StreamWatermark,
         Seq(col("c_mktsegment")),
@@ -430,7 +431,7 @@ object QueriesTime {
     StreamOps.upsertViaStream(spark,
         Tables.events(spark, dir)
           .select(col("user_id"), col("event_id"), col("event_type"),
-            round(col("value") * 100).cast("long").as("last_c")),
+            Money.cents(col("value")).as("last_c")),
         Seq("user_id"), "event_id")
       .select(col("user_id"), col("event_id").as("last_event_id"),
         col("event_type").as("last_type"), col("last_c"))
@@ -450,7 +451,7 @@ object QueriesTime {
     * float-boundary ambiguity between engines; one hash-agg. */
   def qHist(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .withColumn("c", round(col("value") * 100).cast("long"))
+      .withColumn("c", Money.cents(col("value")))
       .withColumn("bucket", graft.ops.RelOps.fdiv(col("c"), 2500L))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
@@ -485,7 +486,7 @@ object QueriesTime {
       .withColumn("hi_us", col("purchase_us"))
     val views = e.where(col("event_type") === "view")
       .select(col("user_id"), unix_micros(col("ts")).as("v_us"),
-        round(col("value") * 100).cast("long").as("c"))
+        Money.cents(col("value")).as("c"))
     val per = graft.ops.RelOps
       .rangeJoin(views, "v_us", purchases, "lo_us", "hi_us", Seq("user_id"), winUs)
       .groupBy("purchase_id")
@@ -522,7 +523,7 @@ object QueriesTime {
     * back to the hourly agg is an equi-join AQE handles. */
   def qResample(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
-      .withColumn("c", round(col("value") * 100).cast("long"))
+      .withColumn("c", Money.cents(col("value")))
       .withColumn("h",
         graft.ops.RelOps.fdiv(unix_timestamp(col("ts")), 3600L) * 3600)
     val agg = e.groupBy("event_type", "h")
@@ -646,7 +647,7 @@ object QueriesTime {
     * phases and one hash-agg, no group buffering. */
   def qMadOutlier(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
-      .withColumn("c", round(col("value") * 100).cast("long"))
+      .withColumn("c", Money.cents(col("value")))
     val med = graft.ops.QuantileOps.groupedMedian(e, Seq("event_type"), "c", "med_c")
     val dev = e.join(broadcast(med), "event_type")
       .withColumn("d2", abs(lit(2L) * col("c") - (col("med_c") * 2).cast("long")))
@@ -825,7 +826,7 @@ object QueriesTime {
     val e = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("us"),
-        round(col("value") * 100).cast("long").as("c"))
+        Money.cents(col("value")).as("c"))
       // µs→s floor keeps the frame boundary identical in both engines
       .withColumn("s", expr("us div 1000000L"))
     e.select(col("event_id"), col("user_id"),
@@ -858,7 +859,12 @@ object QueriesTime {
     import org.apache.spark.sql.expressions.Window
     val monthly = Tables.orders(spark, dir)
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
-      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"),
+      // month count is FIXED (~tens) while orders scale with the corpus:
+      // Σ(o_totalprice cents ≤ 5e7) per month has only ~3.5× long
+      // headroom at the 100 TB design point → exact 128-bit sum
+      // (r15 overflow sweep, PLANS.md)
+      .agg(graft.functions.ExactAgg.sumI128(Money.cents(col("o_totalprice")))
+          .as("rev_c"),
         count(lit(1)).as("n_orders"))
     val w = Window.partitionBy().orderBy("month")
     monthly

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.ops.Money
 import graft.ops.WindowOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -20,8 +21,8 @@ object QueriesWindow {
   /** group_cumsum, skipna true/false (`src/groupby.rs:424-536`). */
   def qCumsum(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-      .withColumn("c", round(col("value") * 100).cast("long"))
-      .withColumn("c2", when(col("event_id") % 7 =!= 0, round(col("value") * 100).cast("long")))
+      .withColumn("c", Money.cents(col("value")))
+      .withColumn("c2", when(col("event_id") % 7 =!= 0, Money.cents(col("value"))))
     ev.select(col("event_id"), col("user_id"),
         (WindowOps.cumsum(col("c"), userKey, byEvent).cast("double") / 100.0).as("cs_all"),
         (WindowOps.cumsum(col("c2"), userKey, byEvent, skipna = true).cast("double") / 100.0).as("cs_skipna"),
@@ -284,7 +285,7 @@ object QueriesWindow {
     * (composition of `group_shift_indexer` + arithmetic). pct_change is a
     * ratio of integer-cents values → deterministic double. */
   def qDiffPct(spark: SparkSession, dir: String): DataFrame = {
-    val c   = round(col("value") * 100).cast("long")
+    val c   = Money.cents(col("value"))
     val ev  = Tables.events(spark, dir).withColumn("c", c)
     val lag1 = WindowOps.shift(col("c"), 1, userKey, byEvent)
     ev.select(col("event_id"), col("user_id"),
@@ -313,7 +314,7 @@ object QueriesWindow {
       .agg(count(lit(1)).as("n"),
         min(col("l_quantity")).as("min_qty"),
         max(col("l_quantity")).as("max_qty"),
-        (sum(round(col("l_extendedprice") * 100).cast("long")).cast("double") / 100.0)
+        (sum(Money.cents(col("l_extendedprice"))).cast("double") / 100.0)
           .as("sum_price"))
       .orderBy("bin")
 
@@ -344,7 +345,7 @@ object QueriesWindow {
     * one row per group; AQE picks the join strategy. */
   def qQcut(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-      .withColumn("c", round(col("value") * 100).cast("long"))
+      .withColumn("c", Money.cents(col("value")))
     val edges = graft.ops.QuantileOps
       .groupedQuantiles(ev, Seq("event_type"), "c", Seq(0.25, 0.5, 0.75))
       .groupBy("event_type")
@@ -386,7 +387,7 @@ object QueriesWindow {
     val w5 = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("event_id"))
       .rowsBetween(-4, org.apache.spark.sql.expressions.Window.currentRow)
-    val c    = round(col("value") * 100).cast("long")
+    val c    = Money.cents(col("value"))
     val cnt  = count(lit(1)).over(w5)
     val full = cnt === 5
     Tables.events(spark, dir)
@@ -429,7 +430,7 @@ object QueriesWindow {
   def qInterp(spark: SparkSession, dir: String): DataFrame = {
     val masked = Tables.events(spark, dir)
       .withColumn("c", when(col("event_id") % 7 =!= 0,
-        round(col("value") * 100).cast("long")))
+        Money.cents(col("value"))))
     graft.ops.WindowOps
       .interpolateLinear(masked, "ci", col("c"), Seq(col("user_id")), Seq(col("event_id")))
       .select(col("event_id"), col("user_id"),
@@ -487,7 +488,7 @@ object QueriesWindow {
     val s5 = array_sort(collect_list(col("c")).over(w5))
     val s4 = array_sort(collect_list(col("c")).over(w4))
     Tables.events(spark, dir)
-      .withColumn("c", round(col("value") * 100).cast("long"))
+      .withColumn("c", Money.cents(col("value")))
       .select(col("event_id"), col("user_id"),
         when(count(lit(1)).over(w5) === 5,
           element_at(s5, 3).cast("double") / 100.0).as("med5"),
@@ -527,7 +528,7 @@ object QueriesWindow {
     import org.apache.spark.sql.expressions.Window
     val wu = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
     val w5 = wu.rowsBetween(-4, Window.currentRow)
-    val x = round(col("value") * 100).cast("long")
+    val x = Money.cents(col("value"))
     val e = Tables.events(spark, dir)
       .withColumn("x", x).withColumn("y", lag(col("x"), 1).over(wu))
     val cy  = count(col("y")).over(w5)
@@ -575,7 +576,7 @@ object QueriesWindow {
     * running sums, extended to fractional weights. */
   def qEwma(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-      .withColumn("c", round(col("value") * 100).cast("long"))
+      .withColumn("c", Money.cents(col("value")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("event_id"))
     def weight(k: Int): Double = math.pow(0.5, k) // exact 2^-k
@@ -622,7 +623,7 @@ object QueriesWindow {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type")).orderBy(col("c"))
     Tables.events(spark, dir)
-      .withColumn("c", round(col("value") * 100).cast("long"))
+      .withColumn("c", Money.cents(col("value")))
       .select(col("event_id"), col("event_type"), col("c"),
         percent_rank().over(w).as("pr"),
         cume_dist().over(w).as("cd"))
@@ -649,7 +650,7 @@ object QueriesWindow {
       .partitionBy(col("user_id")).orderBy(col("event_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     Tables.events(spark, dir)
-      .withColumn("c", round(col("value") * 100).cast("long"))
+      .withColumn("c", Money.cents(col("value")))
       .withColumn("n", count(lit(1)).over(w))
       .withColumn("s1", sum(col("c")).over(w))
       .withColumn("s2", sum(col("c") * col("c")).over(w))
@@ -700,7 +701,7 @@ object QueriesWindow {
       .partitionBy(col("p_brand")).orderBy(col("price_c"))
       .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     Tables.part(spark, dir)
-      .withColumn("price_c", round(col("p_retailprice") * 100).cast("long"))
+      .withColumn("price_c", Money.cents(col("p_retailprice")))
       .withColumn("m1", max(col("p_size")).over(wPrev))
       .withColumn("m2", max(col("p_size")).over(wPeer))
       .where(!(coalesce(col("m1") >= col("p_size"), lit(false)) ||
@@ -740,7 +741,7 @@ object QueriesWindow {
     val s5 = array_sort(collect_list(col("c")).over(w5))
     val full = count(lit(1)).over(w5) === 5
     Tables.events(spark, dir)
-      .withColumn("c", round(col("value") * 100).cast("long"))
+      .withColumn("c", Money.cents(col("value")))
       .select(col("event_id"), col("user_id"),
         when(full, element_at(s5, 2).cast("double") / 100.0).as("p25"),
         when(full, element_at(s5, 4).cast("double") / 100.0).as("p75"),
@@ -838,7 +839,7 @@ object QueriesWindow {
     import org.apache.spark.sql.expressions.Window
     val wu = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
     val e = Tables.events(spark, dir)
-      .withColumn("x", round(col("value") * 100).cast("long"))
+      .withColumn("x", Money.cents(col("value")))
     val withLags = e.select(Seq(col("user_id"), col("x")) ++
       (1 to 3).map(k => lag(col("x"), k).over(wu).as(s"y$k")): _*)
     def corrAgg(k: Int): Seq[Column] = {

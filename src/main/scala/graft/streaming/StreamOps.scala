@@ -1,4 +1,5 @@
 package graft.streaming
+import graft.ops.Money
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -266,7 +267,7 @@ object StreamOps {
     import spark.implicits._
     val src0 = events.select(col("event_id").cast("long").as("event_id"),
       col("user_id").cast("long").as("user_id"),
-      round(col("value") * 100).cast("long").cast("double").as("c"),
+      Money.cents(col("value")).cast("double").as("c"),
       col("ts").cast("timestamp").as("ts"))
     val (delayUs, sentinelUs, loUs, hiUs) = watermarkPlan(src0, "ts")
     val src = src0.unionByName(spark.range(1).select(

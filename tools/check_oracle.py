@@ -68,6 +68,12 @@ def main():
     import os
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
+        # Table-subset fixtures (ScaleGen's 4th arg, e.g. the lineitem-only
+        # sf100 probe) ship only the tables their queries read — skip the
+        # rest so their views simply don't exist (queries touching them
+        # would fail loudly at SQL time).
+        if not os.path.exists(path):
+            continue
         # ScaleGen-produced SFs are directories of part files; the
         # driver-generated fixtures are single files. events written by
         src = f"read_parquet('{path}/*.parquet')" if os.path.isdir(path) \
