@@ -88,6 +88,14 @@ object GraftSession {
       // On a real cluster at 100 TB the partitions are already ≥64 MB and
       // these values are equivalent to the defaults in effect.
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+      // Tested and REJECTED (r15): coalescePartitions.initialPartitionNum
+      // = 256 ("start wide, let AQE coalesce") read q_join_agg at sf100
+      // 47 → 111 s and the sf0.1 bench batch +0.5 s — on local[32] the
+      // 32-bucket shuffle with ~100 MB partitions beats 8× more tasks
+      // (per-task hash-build and shuffle-file overhead dominate; nothing
+      // was spilling at 32). On a real cluster shuffle.partitions is a
+      // deployment-level setting; the plans themselves are
+      // partition-count-agnostic.
       .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       // keep managed-table data (bucketed-join tests) out of the repo cwd,
