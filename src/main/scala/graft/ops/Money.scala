@@ -26,5 +26,15 @@ import org.apache.spark.sql.functions._
   * 189-query differential sweep at every verified SF.
   */
 object Money {
-  def cents(c: Column): Column = floor(c * lit(100) + lit(0.5))
+  def cents(c: Column): Column = scaled(c, 100)
+
+  /** `round(c·factor)` for NON-NEGATIVE inputs, without the per-value
+    * BigDecimal: for x ≥ 0, `floor(x + 0.5)` IS round-half-up, which
+    * equals both Spark round's HALF_UP and DuckDB round's half-away on
+    * non-negatives — including binary-exact .5 ties, where all three
+    * round up. (For negative inputs half-up and half-away diverge on
+    * ties; the engine's scaled columns — money, event values, scores —
+    * are all non-negative.) */
+  def scaled(c: Column, factor: Long): Column =
+    floor(c * lit(factor) + lit(0.5))
 }

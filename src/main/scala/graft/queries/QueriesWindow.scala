@@ -780,7 +780,7 @@ object QueriesWindow {
     val wu = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
     val w5 = wu.rowsBetween(-4, Window.currentRow)
     val e = Tables.events(spark, dir)
-      .withColumn("x", round(col("value") * 10).cast("long"))
+      .withColumn("x", Money.scaled(col("value"), 10))
     val cnt = count(col("x")).over(w5)
     val s1 = sum(col("x")).over(w5)
     val s2 = sum(col("x") * col("x")).over(w5)
