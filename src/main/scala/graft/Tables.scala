@@ -115,5 +115,17 @@ object GraftSession {
       // raise the fallback far above any realistic per-task group count.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "1048576")
+      // The tiled rerank (SimilarityOps.rerankOnQuantized, tiles > 1)
+      // co-partitions pair rows by their grid CELL — a strict subset of
+      // the (cell, id) join keys — so the wide post-join rows are never
+      // re-exchanged. Spark 3.3+ rejects subset co-partitioning by
+      // default (a skew heuristic: fewer distinct partition keys can
+      // under-parallelize); here the cell key is engineered to have
+      // ≥ 2·tiles² values against as many partitions, and accepting the
+      // subset is the difference between shuffling 16-byte pair rows
+      // once and shuffling every pair with a 512-byte vector attached
+      // (the measured-fatal sf10 shape). Correctness-neutral: equal full
+      // keys always imply equal subset keys.
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")
 }

@@ -25,8 +25,16 @@ import org.apache.spark.sql.types._
   * whole-stage codegen, map-side partial aggregation. Adds are built with
   * `EvalMode.LEGACY` explicitly — two's-complement wraparound IS the
   * 128-bit carry arithmetic, so ANSI overflow checks must not intervene
-  * regardless of session mode. Exact for any input multiset whose true
-  * sum fits in i128 (headroom: 2¹²⁷ ≈ 1.7e38 ≈ 10¹⁹ × i64's range).
+  * regardless of session mode.
+  *
+  * Exact range: the BUFFER is a full i128, but the result materializes
+  * as Decimal(38,0), whose window is ±(10³⁸−1) ≈ 0.59·2¹²⁷ — still
+  * ~10¹⁹ × i64's range, and every PLANS.md 100 TB bound is orders of
+  * magnitude inside it. A group total outside that window FAILS LOUDLY
+  * at evaluate (a per-group long-arithmetic range check raises; without
+  * it the LEGACY decimal assembly would return a silent NULL —
+  * ADVICE r15). Totals between consecutive evaluates may wrap through
+  * i128 freely; only the final per-group value must fit.
   * Null inputs are skipped; an empty/all-null group returns NULL
   * (built-in `sum` contract). Evaluates to Decimal(38,0) =
   * hi·2⁶⁴ + (lo as unsigned), converted once per GROUP, not per row.
@@ -83,19 +91,62 @@ case class SumI128(child: Expression)
     Seq(h, t, And(isEmpty.left, isEmpty.right))
   }
 
-  // hi·2⁶⁴ + unsigned(lo), assembled in Decimal once per group
+  // Assembled in Decimal once per group, on the ABSOLUTE value: the
+  // straight hi·2⁶⁴ + unsigned(lo) spelling overflows Decimal(38,0) on an
+  // intermediate for in-window NEGATIVE totals within 2⁶⁴ of −10³⁸
+  // (hi·2⁶⁴ = total − unsigned(lo) is more negative than the total);
+  // over |total| every partial sum is ≤ |total| < 10³⁸, so nothing can.
   override lazy val evaluateExpression: Expression = {
     val dec   = DecimalType(38, 0)
     val two64 = Literal(Decimal(BigDecimal(2).pow(64), 38, 0), dec)
-    val loDec = If(GreaterThanOrEqual(lo, Literal(0L)),
-      Cast(lo, dec), Add(Cast(lo, dec), two64, EvalMode.LEGACY))
-    val total = Add(Multiply(Cast(hi, dec), two64, EvalMode.LEGACY), loDec,
-      EvalMode.LEGACY)
-    If(isEmpty, Literal(null, dec), total)
+    // Decimal(38,0)'s window is ±(10³⁸−1), ~0.59 of the i128 buffer's: a
+    // total outside it must FAIL, not silently NULL through a LEGACY
+    // decimal op. Checked in plain long arithmetic once per group:
+    // |sum| ≥ 10³⁸ ⟺ (hi, lo-as-unsigned) is past (HiTen38, LoTen38) on
+    // either side (unsigned compares spelled as signed compares of
+    // sign-bit-flipped values).
+    import SumI128.{HiTen38, LoTen38}
+    def flip(e: Expression) = BitwiseXor(e, Literal(Long.MinValue))
+    val posOver = Or(GreaterThan(hi, Literal(HiTen38)),
+      And(EqualTo(hi, Literal(HiTen38)),
+        GreaterThanOrEqual(flip(lo), Literal(LoTen38 ^ Long.MinValue))))
+    val negOver = Or(LessThan(hi, Literal(-HiTen38 - 1L)),
+      And(EqualTo(hi, Literal(-HiTen38 - 1L)),
+        LessThanOrEqual(flip(lo), Literal(-LoTen38 ^ Long.MinValue))))
+    // two's-complement |buffer|: (~hi + (lo==0), −lo) — hi > −10³⁸/2⁶⁴
+    // here (range check passed), so no negate can itself wrap
+    val neg = LessThan(hi, Literal(0L))
+    val absHi = If(neg,
+      wadd(BitwiseNot(hi), If(EqualTo(lo, Literal(0L)), Literal(1L), Literal(0L))),
+      hi)
+    val absLo = If(neg, Subtract(Literal(0L), lo, EvalMode.LEGACY), lo)
+    val absLoDec = If(GreaterThanOrEqual(absLo, Literal(0L)),
+      Cast(absLo, dec), Add(Cast(absLo, dec), two64, EvalMode.LEGACY))
+    val absTotal = Add(Multiply(Cast(absHi, dec), two64, EvalMode.LEGACY),
+      absLoDec, EvalMode.LEGACY)
+    // negate via decimal 0 − x: UnaryMinus on Decimal rounds through
+    // scala BigDecimal's 34-digit DECIMAL128 MathContext and mangles
+    // 35+-digit totals; Subtract uses Spark's 39-digit context (exact)
+    val total = If(neg,
+      Subtract(Literal(Decimal(0L, 38, 0), dec), absTotal, EvalMode.LEGACY),
+      absTotal)
+    val boom = Cast(new RaiseError(Literal(
+      "sum_i128 overflow: |group total| >= 10^38 exceeds the " +
+        "Decimal(38,0) result range")), dec)
+    If(isEmpty, Literal(null, dec),
+      If(Or(posOver, negOver), boom, total))
   }
 
   override protected def withNewChildInternal(newChild: Expression): SumI128 =
     copy(child = newChild)
+}
+
+object SumI128 {
+  /** 10³⁸ = HiTen38·2⁶⁴ + LoTen38 (LoTen38 < 2⁶³, so its signed and
+    * unsigned readings agree) — the first total past Decimal(38,0)'s
+    * representable window. */
+  val HiTen38: Long = 5421010862427522170L
+  val LoTen38: Long = 687399551400673280L
 }
 
 /** Column-DSL entry point for the exact aggregates. */

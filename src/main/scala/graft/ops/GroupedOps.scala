@@ -72,7 +72,14 @@ object GroupedOps {
     stdDdof(value, ddof) / sqrt(count(value).cast("double"))
 
   /** Exact 128-bit sum of an integer-valued column (the power-sum
-    * accumulator — see the object scaladoc's validity bound). */
+    * accumulator — see the object scaladoc's validity bound).
+    *
+    * CONTRACT (applies to every *Exact/skewAdjusted helper below): the
+    * summand must be INTEGER-VALUED. The `cast("long")` TRUNCATES toward
+    * zero, so a fractional input does not "degrade to float rounding" —
+    * it produces substantially wrong moments (ADVICE r15). Callers with
+    * general doubles scale to an integer grid first ([[Money.scaled]])
+    * or use Spark's built-in `var_samp`/`covar_samp`/`skewness`. */
   private def sx(value: Column): Column =
     graft.functions.ExactAgg.sumI128(value.cast("long")).cast("double")
 

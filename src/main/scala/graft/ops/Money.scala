@@ -28,13 +28,29 @@ import org.apache.spark.sql.functions._
 object Money {
   def cents(c: Column): Column = scaled(c, 100)
 
-  /** `round(c·factor)` for NON-NEGATIVE inputs, without the per-value
-    * BigDecimal: for x ≥ 0, `floor(x + 0.5)` IS round-half-up, which
-    * equals both Spark round's HALF_UP and DuckDB round's half-away on
-    * non-negatives — including binary-exact .5 ties, where all three
-    * round up. (For negative inputs half-up and half-away diverge on
-    * ties; the engine's scaled columns — money, event values, scores —
-    * are all non-negative.) */
+  /** `round(c·factor)` without the per-value BigDecimal, PRECONDITION:
+    * the input is non-negative OR tie-free (no value whose scaled image
+    * is a binary-exact .5). For x ≥ 0, `floor(x + 0.5)` IS
+    * round-half-up, which equals both Spark round's HALF_UP and DuckDB
+    * round's half-away — including exact .5 ties, where all three round
+    * up. For x < 0 the three agree EXCEPT on exact .5 ties (floor(+0.5)
+    * rounds toward +∞, round rounds away from zero) — which a k-decimal
+    * value scaled by 10ᵏ cannot produce (a tie needs a true digit past
+    * the scale). The engine's one signed adopter, `c_acctbal`, is
+    * 2-decimal and therefore tie-free; every other scaled column is
+    * non-negative. MoneySpec pins both facts and the divergence itself.
+    * A caller that cannot rule ties out uses [[scaledSigned]]. */
   def scaled(c: Column, factor: Long): Column =
     floor(c * lit(factor) + lit(0.5))
+
+  /** Sign-split `round(c·factor)` — exact round-half-away-from-zero on
+    * ANY input, ties included (matches Spark round / DuckDB round on all
+    * signs): the negative branch mirrors [[scaled]] through `-floor(-x·f
+    * + 0.5)`. Two branches of the same three codegen'd primitives — use
+    * it when the non-negative-or-tie-free precondition of [[scaled]]
+    * can't be established (ADVICE r15: the precondition used to live
+    * only in prose). */
+  def scaledSigned(c: Column, factor: Long): Column =
+    when(c >= 0, floor(c * lit(factor) + lit(0.5)))
+      .otherwise(-floor(-c * lit(factor) + lit(0.5)))
 }

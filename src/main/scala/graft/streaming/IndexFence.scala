@@ -20,10 +20,15 @@ import org.apache.spark.sql.SparkSession
   * underscore-prefixed, so every table scan ignores it (Spark's hidden
   * path filter). Layout:
   *   - `epoch-<n>`            writer-epoch claim markers (create-if-absent
-  *                            is the lease primitive; see the filesystem
-  *                            contract on [[StreamOps.upsertSnapshot]])
-  *   - `_COMMITTED`           `committed=<batchId>` + `epoch=<n>` of the
-  *                            last committed append (atomic rename swap)
+  *                            is the lease primitive; content = claimant's
+  *                            nonce, read-back-verified — see the
+  *                            filesystem contract on
+  *                            [[StreamOps.upsertSnapshot]])
+  *   - `_COMMITTED`           `committed=<batchId>` + `epoch=<n>` +
+  *                            `writer=<nonce>` of the last committed
+  *                            append (atomic rename swap; a same-epoch
+  *                            FOREIGN nonce here fences a double-claimed
+  *                            writer loudly)
   *   - `pending-<e>-<id>`     data-file listing of every covered table
   *                            taken BEFORE batch id's first append attempt
   *
@@ -58,15 +63,17 @@ object IndexFence {
 
   /** Claim this writer's fencing epoch for appends to `table` — call ONCE
     * per writer, at construction (epochs must follow writer start order;
-    * see [[StreamOps.upsertSnapshot]]'s inverted-failure note). */
-  def claimWriterEpoch(spark: SparkSession, table: String): Long = {
+    * see [[StreamOps.upsertSnapshot]]'s inverted-failure note). The
+    * returned claim carries the writer's nonce — the double-claim
+    * detector for non-atomic stores (see [[StreamOps.claimEpoch]]). */
+  def claimWriterEpoch(spark: SparkSession, table: String): StreamOps.EpochClaim = {
     val root = fenceRoot(spark, table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(root)
     StreamOps.claimEpoch(fs, root)
   }
 
-  private case class Committed(batchId: Long, epoch: Long)
+  private case class Committed(batchId: Long, epoch: Long, writer: String)
 
   private def readCommitted(fs: FileSystem, root: Path): Option[Committed] = {
     val p = new Path(root, "_COMMITTED")
@@ -77,7 +84,8 @@ object IndexFence {
       finally in.close()
       val kv = s.split("\n").map(_.trim).filter(_.contains("="))
         .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap
-      Some(Committed(kv("committed").toLong, kv("epoch").toLong))
+      Some(Committed(kv("committed").toLong, kv("epoch").toLong,
+        kv.getOrElse("writer", "")))
     }
   }
 
@@ -108,8 +116,10 @@ object IndexFence {
     * Throws `IllegalStateException` if a newer writer epoch has committed
     * (this writer is a zombie). */
   def fencedAppend(spark: SparkSession, tables: Seq[String],
-                   myEpoch: Long, batchId: Long)(append: => Unit): Boolean = {
+                   myClaim: StreamOps.EpochClaim, batchId: Long)
+                  (append: => Unit): Boolean = {
     require(tables.nonEmpty, "fencedAppend: no tables to fence")
+    val myEpoch = myClaim.epoch
     val root = fenceRoot(spark, tables.head)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(root)
@@ -120,6 +130,17 @@ object IndexFence {
           s"(epoch ${c.epoch}, committed through batch ${c.batchId}) owns " +
           s"this index; this writer (epoch $myEpoch) is a zombie from an " +
           "abandoned run and must shut down")
+    }
+    // equal epoch, foreign nonce ⇒ a non-atomic store double-claimed the
+    // epoch past claimEpoch's read-back window — fail loudly (see the
+    // FILESYSTEM CONTRACT on StreamOps.upsertSnapshot)
+    committed.filter(c => c.epoch == myEpoch && c.writer.nonEmpty &&
+        c.writer != myClaim.nonce).foreach { c =>
+      throw new IllegalStateException(
+        s"fencedAppend: DOUBLE-CLAIMED epoch $myEpoch at ${tables.head} — " +
+          s"committed manifest carries writer ${c.writer}, this writer is " +
+          s"${myClaim.nonce}; the store's create-if-absent is not atomic. " +
+          "Shut down and restart to claim a fresh epoch")
     }
     if (committed.exists(c => c.epoch == myEpoch && c.batchId >= batchId)) {
       graftLog.info(s"fencedAppend: skipping batch $batchId at " +
@@ -156,7 +177,7 @@ object IndexFence {
     append
     writeAtomic(fs, new Path(root, "_COMMITTED"),
       new Path(root, s"_COMMITTED.$myEpoch.$batchId.tmp"),
-      s"committed=$batchId\nepoch=$myEpoch")
+      s"committed=$batchId\nepoch=$myEpoch\nwriter=${myClaim.nonce}")
     fs.delete(pending, false)
     true
   }

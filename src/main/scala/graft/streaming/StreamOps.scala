@@ -861,11 +861,11 @@ object StreamOps {
       ensureProgressListener(spark)
       // epoch claimed at CONSTRUCTION (before the stream starts), same
       // contract as upsertSnapshot: epochs follow writer start order
-      val myEpoch = IndexFence.claimWriterEpoch(spark, s"${table}_postings")
+      val myClaim = IndexFence.claimWriterEpoch(spark, s"${table}_postings")
       val q = stream.writeStream
         .foreachBatch { (df: DataFrame, batchId: Long) =>
           IndexFence.fencedAppend(spark, Seq(s"${table}_postings"),
-            myEpoch, batchId) {
+            myClaim, batchId) {
             graft.ops.SimilarityOps.appendIvfIndex(df, idCol, vecCol, table)
           }
           () // foreachBatch wants Unit; fencedAppend returns ran/skipped
@@ -1699,9 +1699,11 @@ object StreamOps {
     * pre-epoch manifest (no `epoch=` line) parses as epoch 0, so any
     * newly-started writer (epoch ≥ 1) takes over an old root. */
   private case class SnapshotManifest(committed: Long, epoch: Long,
-                                      refs: Map[Int, String]) {
+                                      refs: Map[Int, String],
+                                      writer: String = "") {
     def serialize: String =
       (Seq(s"committed=$committed", s"epoch=$epoch") ++
+        (if (writer.nonEmpty) Seq(s"writer=$writer") else Nil) ++
         refs.toSeq.sortBy(_._1).map { case (b, dir) => s"$b=$dir" })
         .mkString("\n")
   }
@@ -1719,24 +1721,50 @@ object StreamOps {
     val committed = lines.head.stripPrefix("committed=").toLong
     val epoch = lines.tail.find(_.startsWith("epoch="))
       .map(_.stripPrefix("epoch=").toLong).getOrElse(0L)
-    val refs = lines.tail.filterNot(_.startsWith("epoch=")).map { l =>
-      val Array(b, ref) = l.split("=", 2)
-      // a pre-epoch manifest stored the bare batchId; those roots named
-      // their dirs `batch-<id>` — normalize to the directory NAME, which
-      // is what refs mean now (epoch-namespaced dirs: `batch-<e>-<id>`)
-      b.toInt -> (if (ref.forall(_.isDigit)) s"batch-$ref" else ref)
-    }.toMap
-    SnapshotManifest(committed, epoch, refs)
+    val writer = lines.tail.find(_.startsWith("writer="))
+      .map(_.stripPrefix("writer=")).getOrElse("")
+    val refs = lines.tail
+      .filterNot(l => l.startsWith("epoch=") || l.startsWith("writer="))
+      .map { l =>
+        val Array(b, ref) = l.split("=", 2)
+        // a pre-epoch manifest stored the bare batchId; those roots named
+        // their dirs `batch-<id>` — normalize to the directory NAME, which
+        // is what refs mean now (epoch-namespaced dirs: `batch-<e>-<id>`)
+        b.toInt -> (if (ref.forall(_.isDigit)) s"batch-$ref" else ref)
+      }.toMap
+    SnapshotManifest(committed, epoch, refs, writer)
   }
+
+  /** A claimed writer epoch plus the claimant's unique nonce — the nonce
+    * is what makes a double-claim on a non-atomic store DETECTABLE (see
+    * [[claimEpoch]]): it rides in every manifest this writer commits, so
+    * two writers that somehow share an epoch fence each other at the
+    * next commit instead of silently interleaving. */
+  private[graft] case class EpochClaim(epoch: Long, nonce: String)
 
   /** Claim the next writer epoch for a snapshot root: atomic
     * create-if-absent of `epoch-<n>` (HDFS `create(overwrite=false)` is
     * the lease primitive — two claimants can never both own n). Epochs
     * only grow, so a claimed epoch strictly exceeds every earlier
-    * writer's; the marker files are empty and one is made per writer
-    * START, so they never accumulate faster than operator actions. */
+    * writer's; one marker file is made per writer START, so they never
+    * accumulate faster than operator actions.
+    *
+    * OBJECT-STORE HARDENING (r15 verdict item 7): stores without atomic
+    * create-if-absent (S3A-style HEAD-then-PUT) can let two claimants
+    * "create" the same marker. The marker therefore carries the
+    * claimant's NONCE as content, and the claim is verified by READING
+    * IT BACK: a claimant whose read-back shows a foreign nonce lost a
+    * PUT race it could not see at create time and moves on to the next
+    * epoch. On strongly-consistent stores (HDFS, POSIX, today's S3)
+    * this detects every race except a foreign PUT landing AFTER the
+    * read-back — one round-trip wide, vs. unbounded silent dual
+    * ownership before — and THAT residue is caught at commit time by
+    * the manifest nonce check ([[EpochClaim]]): the fence is
+    * detect-eventually on non-atomic stores, atomic-by-construction on
+    * HDFS/POSIX. */
   private[graft] def claimEpoch(fs: org.apache.hadoop.fs.FileSystem,
-                                root: org.apache.hadoop.fs.Path): Long = {
+                                root: org.apache.hadoop.fs.Path): EpochClaim = {
+    val nonce = java.util.UUID.randomUUID().toString
     val base = fs.listStatus(root)
       .map(_.getPath.getName)
       .filter(_.startsWith("epoch-"))
@@ -1746,22 +1774,42 @@ object StreamOps {
     var attempts = 0
     while (attempts < 1000) {
       n += 1; attempts += 1
-      try {
-        fs.create(new org.apache.hadoop.fs.Path(root, s"epoch-$n"), false)
-          .close()
-        return n
-      } catch {
-        // ONLY contention is retried; any other I/O failure (permissions,
-        // connectivity) must surface with its real cause, not spin 1000
-        // times into a misleading "could not claim" error
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
-        case _: java.nio.file.FileAlreadyExistsException        => ()
+      val marker = new org.apache.hadoop.fs.Path(root, s"epoch-$n")
+      val created =
+        try {
+          val out = fs.create(marker, false)
+          try out.write(nonce.getBytes("UTF-8")) finally out.close()
+          true
+        } catch {
+          // ONLY contention is retried; any other I/O failure
+          // (permissions, connectivity) must surface with its real cause,
+          // not spin 1000 times into a misleading "could not claim" error
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.nio.file.FileAlreadyExistsException        => false
+        }
+      if (created) {
+        claimEpochRaceFailpoint.foreach(_.apply(marker))
+        // ownership verify: on a non-atomic store a concurrent PUT may
+        // have overwritten the marker between our write and now
+        val in = fs.open(marker)
+        val seen = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        if (seen == nonce) return EpochClaim(n, nonce)
+        graftLog.warn(s"claimEpoch: lost a non-atomic create race for " +
+          s"epoch-$n under $root (marker now owned by another writer) — " +
+          "trying the next epoch")
       }
     }
     throw new IllegalStateException(
       s"claimEpoch: could not claim a writer epoch under $root " +
         "after 1000 attempts")
   }
+
+  /** Test failpoint: runs between the epoch marker create and its
+    * read-back verify — a spec injects the "concurrent PUT overwrote the
+    * marker" interleaving a non-atomic store can produce. */
+  @volatile private[graft] var claimEpochRaceFailpoint
+      : Option[org.apache.hadoop.fs.Path => Unit] = None
   private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
                            p: org.apache.hadoop.fs.Path)
       : Option[SnapshotManifest] =
@@ -1832,10 +1880,17 @@ object StreamOps {
     * create-if-absent, and the commit is an atomic `rename` — both hold
     * on HDFS and local POSIX filesystems. Object stores without atomic
     * create-if-absent (e.g. S3A's HEAD-then-PUT) can let two writers
-    * claim the SAME epoch, silently defeating the zombie fence; run this
-    * sink against such stores only through a layer that restores those
-    * semantics (S3A with a metadata/lock layer, or a table format's
-    * commit service). */
+    * claim the SAME epoch. Since r16 that double-claim is DETECTED, not
+    * silent: [[claimEpoch]] writes the claimant's nonce into the marker
+    * and verifies it by read-back (the loser of a PUT race moves to the
+    * next epoch), and the nonce rides in every committed manifest, so a
+    * double-claim that slips through the one-round-trip verify window
+    * fails loudly at the offending writer's NEXT commit (equal epoch,
+    * foreign nonce ⇒ IllegalStateException). The fence is thus
+    * atomic-by-construction on HDFS/POSIX and detect-eventually on
+    * eventually-created stores; for hard exclusion on such stores run
+    * this sink through a layer that restores atomic create (a
+    * metadata/lock layer, or a table format's commit service). */
   def upsertSnapshot(snapshotRoot: String, keys: Seq[String], verCol: String,
                      retainSnapshots: Int = 2,
                      numBuckets: Int = DefaultSnapshotBuckets)
@@ -1849,16 +1904,17 @@ object StreamOps {
       org.apache.spark.sql.SparkSession.active.sparkContext
         .hadoopConfiguration)
     fs.mkdirs(root)
-    val myEpoch = claimEpoch(fs, root)
+    val myClaim = claimEpoch(fs, root)
     (updates: DataFrame, batchId: Long) =>
       upsertBatch(snapshotRoot, keys, verCol, retainSnapshots, numBuckets,
-        updates, batchId, myEpoch)
+        updates, batchId, myClaim)
   }
 
   private def upsertBatch(snapshotRoot: String, keys: Seq[String],
                           verCol: String, retainSnapshots: Int,
                           numBuckets: Int, updates: DataFrame, batchId: Long,
-                          myEpoch: Long): Unit = {
+                          myClaim: EpochClaim): Unit = {
+    val myEpoch = myClaim.epoch
     import org.apache.spark.sql.expressions.Window
     import org.apache.hadoop.fs.{Options, Path}
     val spark   = updates.sparkSession
@@ -1878,6 +1934,21 @@ object StreamOps {
           s"(epoch ${m.epoch}, committed through batch ${m.committed}) owns " +
           s"this root; this writer (epoch $myEpoch) is a zombie from an " +
           "abandoned run and must shut down")
+    }
+    // Same epoch but a FOREIGN writer nonce: two writers claimed one
+    // epoch — only possible on a store whose create-if-absent is not
+    // atomic, in the one-round-trip window claimEpoch's read-back verify
+    // cannot see. The epoch comparisons above are blind to it (equal
+    // epochs pass); the nonce makes it loud at the next commit instead
+    // of letting the two writers interleave commits forever.
+    committed.filter(m => m.epoch == myEpoch && m.writer.nonEmpty &&
+        m.writer != myClaim.nonce).foreach { m =>
+      throw new IllegalStateException(
+        s"upsertSnapshot: DOUBLE-CLAIMED epoch $myEpoch at $snapshotRoot — " +
+          s"manifest carries writer ${m.writer}, this writer is " +
+          s"${myClaim.nonce}. The store's create-if-absent is not atomic " +
+          "(see the FILESYSTEM CONTRACT scaladoc); this writer must shut " +
+          "down and restart to claim a fresh epoch")
     }
     // In-epoch replay of the committed batch (same id after failure
     // recovery) is the expected exactly-once no-op; an id strictly below
@@ -1944,7 +2015,8 @@ object StreamOps {
           .parquet(target.toString)
         refs ++ touched.map(_ -> dirName)
       }
-    val manifest = SnapshotManifest(batchId, myEpoch, newRefs)
+    val manifest = SnapshotManifest(batchId, myEpoch, newRefs,
+      myClaim.nonce)
     // persist this generation's manifest (retention works by reference:
     // a batch dir lives while any of the newest `retainSnapshots`
     // manifests still points at it), then atomically swap the pointer —

@@ -106,7 +106,7 @@ class IndexMaintenanceSpec extends SparkSpec {
         buckets = 4)
       val zombie = IndexFence.claimWriterEpoch(spark, "fence_z_postings")
       val live   = IndexFence.claimWriterEpoch(spark, "fence_z_postings")
-      assert(live > zombie)
+      assert(live.epoch > zombie.epoch)
       IndexFence.fencedAppend(spark, Seq("fence_z_postings"), live, 0L) {
         SimilarityOps.appendIvfIndex(emb.where(col("vec_id") % 3 === 1),
           "vec_id", "embedding", "fence_z", buckets = 4)
@@ -123,6 +123,43 @@ class IndexMaintenanceSpec extends SparkSpec {
       assert(postingSet("fence_z") == before,
         "a fenced zombie must not have appended anything")
     } finally dropIvf("fence_z")
+  }
+
+  test("fencedAppend: a DOUBLE-CLAIMED epoch (non-atomic store residue) fails loudly at the colliding writer's commit") {
+    import graft.queries.QueriesSim.{IvfMod, IvfRem, KmIters}
+    try {
+      SimilarityOps.writeIvfIndex(emb.where(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", IvfMod, IvfRem, KmIters, "fence_dc",
+        buckets = 4)
+      val a = IndexFence.claimWriterEpoch(spark, "fence_dc_postings")
+      // emulate the claim race the read-back verify cannot see: delete
+      // the marker so the second writer claims the SAME epoch
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser
+            .parseTableIdentifier("fence_dc_postings")).location)
+      val fence = new org.apache.hadoop.fs.Path(loc, "_graft_fence")
+      val fs = fence.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(fence, s"epoch-${a.epoch}"),
+        false)
+      val b = IndexFence.claimWriterEpoch(spark, "fence_dc_postings")
+      assert(b.epoch == a.epoch && b.nonce != a.nonce)
+      IndexFence.fencedAppend(spark, Seq("fence_dc_postings"), a, 0L) {
+        SimilarityOps.appendIvfIndex(emb.where(col("vec_id") % 3 === 1),
+          "vec_id", "embedding", "fence_dc", buckets = 4)
+      }
+      val before = postingSet("fence_dc")
+      val ex = intercept[IllegalStateException] {
+        IndexFence.fencedAppend(spark, Seq("fence_dc_postings"), b, 1L) {
+          SimilarityOps.appendIvfIndex(emb.where(col("vec_id") % 3 === 2),
+            "vec_id", "embedding", "fence_dc", buckets = 4)
+        }
+      }
+      assert(ex.getMessage.contains("DOUBLE-CLAIMED"), ex.getMessage)
+      spark.catalog.refreshTable("fence_dc_postings")
+      assert(postingSet("fence_dc") == before,
+        "the double-claimed writer must not have appended anything")
+    } finally dropIvf("fence_dc")
   }
 
   test("IndexMeta: LSH append/probe with mismatched build parameters throws; matching passes") {
@@ -230,7 +267,7 @@ class IndexMaintenanceSpec extends SparkSpec {
     }
   }
 
-  test("tiled bucket-local rerank == broadcast rerank, with NO sort-merge join of pair rows") {
+  test("tiled rerank: cell grid is data, not plan — byte-equal to broadcast at tiles=16, no sort of pair rows, plan size independent of tile count") {
     val e = emb.localCheckpoint(true)
     val ids = e.select(col("vec_id")).as[Long].collect().sorted.take(60)
     val cand = ids.combinations(2).map { case Array(a, b) => (a, b) }
@@ -239,14 +276,38 @@ class IndexMaintenanceSpec extends SparkSpec {
       .rerankPairs(cand, e, "vec_id", "embedding", 0.0)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .toSet
-    val tiled = SimilarityOps
-      .rerankPairsTiled(cand, e, "vec_id", "embedding", 0.0, tiles = 3)
-    val gotPlan = tiled.queryExecution.executedPlan.toString
-    assert(!gotPlan.contains("SortMergeJoin"),
-      s"tiled rerank must never sort pair rows with payloads:\n$gotPlan")
-    val got = tiled.collect()
+    def node(hay: String, n: String): Int =
+      s"[+:]- $n[ \\[]".r.findAllIn(hay).size
+    def tiled(t: Int) = SimilarityOps
+      .rerankPairsTiled(cand, e, "vec_id", "embedding", 0.0, tiles = t)
+    val t16  = tiled(16)
+    val p16  = t16.queryExecution.executedPlan.toString
+    // the 340 GB sf10 death shape: pair rows sorted/exchanged with vector
+    // payloads. Pin its absence structurally: no sort-merge join, ZERO
+    // Sort nodes anywhere, and exactly 3 exchanges — the narrow pair-cell
+    // shuffle plus one replicated vector shuffle per side (nothing wide
+    // ever moves).
+    assert(!p16.contains("SortMergeJoin"),
+      s"tiled rerank must never sort-merge pair rows:\n$p16")
+    assert(node(p16, "Sort") == 0, s"tiled rerank must never sort:\n$p16")
+    assert(node(p16, "Exchange") == 3,
+      s"expected 3 narrow exchanges (pairs, va, vb):\n$p16")
+    assert(p16.contains("ShuffledHashJoin"), p16)
+    // the r15 flaw: tiles² unionByName branches (11k at tiles=105 —
+    // Catalyst died at analysis). The grid is data now: the PLAN must be
+    // the same size at any tile count.
+    val lines4  = tiled(4).queryExecution.executedPlan.toString.linesIterator.size
+    val lines16 = p16.linesIterator.size
+    assert(lines4 == lines16,
+      s"plan size must not grow with tiles: tiles=4 → $lines4 lines, " +
+        s"tiles=16 → $lines16 lines")
+    val got = t16.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == want && want.nonEmpty,
       s"tiled (${got.size}) must equal broadcast (${want.size})")
+    // a second tile count re-slices every cell — same bytes either way
+    val got4 = tiled(4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got4 == want)
   }
 }

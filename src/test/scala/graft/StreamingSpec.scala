@@ -681,7 +681,7 @@ class StreamingSpec extends SparkSpec {
       val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
       s.split("\n").drop(1).filter(_.nonEmpty)
-        .filterNot(_.startsWith("epoch="))
+        .filterNot(l => l.startsWith("epoch=") || l.startsWith("writer="))
         .map(l => l.split("=")(1)).toSet
     }
     val live = manifests.flatMap(refsOf)
@@ -760,7 +760,7 @@ class StreamingSpec extends SparkSpec {
     val cur = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
     val refs = cur.split("\n").drop(1).filter(_.nonEmpty)
-      .filterNot(_.startsWith("epoch="))
+      .filterNot(l => l.startsWith("epoch=") || l.startsWith("writer="))
       .map { l => val a = l.split("="); a(0).toInt -> a(1) }.toMap
     assert(refs(soloBkt) == "batch-1-1", refs)
     others.foreach { k =>
@@ -864,6 +864,61 @@ class StreamingSpec extends SparkSpec {
       zombie(Seq((3L, "never", 99L)).toDF("k", "state", "ver"), 8L)
     }
     assert(snap() == Set((1L, "live"), (2L, "more")))
+  }
+
+  test("claimEpoch on a non-atomic store: a lost PUT race is detected by read-back; the claimant moves to the next epoch") {
+    // r15 verdict item 7: S3A-style HEAD-then-PUT lets a concurrent
+    // writer's PUT land between this claimant's create and its read-back
+    // verify — injected via the failpoint; the claimant must NOT believe
+    // it owns the stolen epoch.
+    val root = new org.apache.hadoop.fs.Path(tmpPath("graft_claim_race"))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    StreamOps.claimEpochRaceFailpoint = Some { marker =>
+      StreamOps.claimEpochRaceFailpoint = None // one-shot
+      val out = fs.create(marker, true)
+      try out.write("intruder-nonce".getBytes("UTF-8")) finally out.close()
+    }
+    try {
+      val claim = StreamOps.claimEpoch(fs, root)
+      assert(claim.epoch == 2L,
+        s"lost epoch-1 to the intruder — must claim epoch-2, got $claim")
+      val in = fs.open(new org.apache.hadoop.fs.Path(root, "epoch-2"))
+      val seen = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      assert(seen == claim.nonce, "the claimed marker must carry OUR nonce")
+    } finally StreamOps.claimEpochRaceFailpoint = None
+  }
+
+  test("upsert DOUBLE-CLAIMED epoch (non-atomic store residue): the colliding writer fails at its next commit, not silently") {
+    // the one window claimEpoch's read-back cannot see: both writers hold
+    // epoch 1 (emulated by deleting the marker between the two claims).
+    // Epoch comparisons alone are blind to this — equal epochs pass both
+    // the zombie check AND the replay-skip (batch 0 would silently
+    // no-op); the manifest nonce makes it loud.
+    import spark.implicits._
+    val root = tmpPath("graft_upsert_dclaim")
+    def snap() = StreamOps.readSnapshot(spark, root).select("k", "state")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val a = StreamOps.upsertSnapshot(root, Seq("k"), "ver") // epoch 1, nonce A
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(rootPath, "epoch-1"), false)
+    val b = StreamOps.upsertSnapshot(root, Seq("k"), "ver") // ALSO epoch 1
+    a(Seq((1L, "a", 1L)).toDF("k", "state", "ver"), 0L)
+    val e = intercept[IllegalStateException] {
+      b(Seq((1L, "b", 2L)).toDF("k", "state", "ver"), 0L)
+    }
+    assert(e.getMessage.contains("DOUBLE-CLAIMED"), e.getMessage)
+    assert(snap() == Set((1L, "a")), "the colliding writer must not commit")
+    // the writer whose commit landed first keeps going
+    a(Seq((2L, "c", 1L)).toDF("k", "state", "ver"), 1L)
+    assert(snap() == Set((1L, "a"), (2L, "c")))
+    // and the loser keeps failing rather than interleaving
+    intercept[IllegalStateException] {
+      b(Seq((3L, "never", 9L)).toDF("k", "state", "ver"), 1L)
+    }
+    assert(snap() == Set((1L, "a"), (2L, "c")))
   }
 
   test("upsert fresh-checkpoint restart: a new writer's low batchIds are APPLIED (epoch takeover), not dropped") {

@@ -51,6 +51,35 @@ class SumI128Spec extends SparkSpec {
     assert(rows(1).isNullAt(1) && rows(1).isNullAt(2))
   }
 
+  test("sum_i128 evaluate: exact through ±(10³⁸−1), loud failure past it — no silent NULL") {
+    // The Decimal(38,0) window edge is unreachable through real data (a
+    // 10³⁸ total needs ~10¹⁹ i64 addends), so the boundary is pinned at
+    // the expression level: bind evaluateExpression to hand-built
+    // (hi, lo, isEmpty) buffers for totals just inside and just past the
+    // window (ADVICE r15 — the LEGACY assembly alone returned NULL there).
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BindReferences, Literal}
+    val agg = graft.functions.SumI128(Literal(0L))
+    val bound = BindReferences.bindReference(
+      agg.evaluateExpression, agg.aggBufferAttributes)
+    def evalTotal(t: BigInt): Any = {
+      val hi = (t >> 64).toLong
+      val lo = (t & ((BigInt(1) << 64) - 1)).toLong // low 64 bits, two's complement
+      bound.eval(InternalRow(hi, lo, false))
+    }
+    val edge = BigInt(10).pow(38)
+    for (t <- Seq(edge - 1, 1 - edge, edge - 12345, BigInt(0),
+        BigInt(Long.MinValue), BigInt(Long.MaxValue) * 3))
+      assert(evalTotal(t).asInstanceOf[org.apache.spark.sql.types.Decimal]
+        .toBigDecimal == BigDecimal(t), s"t=$t")
+    for (t <- Seq(edge, -edge, edge + 1, (BigInt(1) << 127) - 1,
+        -(BigInt(1) << 127))) {
+      val e = intercept[Exception] { evalTotal(t) }
+      assert(e.getMessage.contains("sum_i128 overflow"),
+        s"t=$t → ${e.getMessage}")
+    }
+  }
+
   test("sum_i128 grouped by key matches per-group BigInt reference") {
     val rnd = new scala.util.Random(7)
     val data = Seq.fill(5000)((rnd.nextInt(6), rnd.nextLong() / 3))

@@ -73,6 +73,9 @@ def main():
         # rest so their views simply don't exist (queries touching them
         # would fail loudly at SQL time).
         if not os.path.exists(path):
+            # leave a trace so sweep logs distinguish an intentional
+            # table-subset fixture from a broken one (ADVICE r15)
+            print(f"[skip] table {t} missing in {sf_dir}", file=sys.stderr)
             continue
         # ScaleGen-produced SFs are directories of part files; the
         # driver-generated fixtures are single files. events written by
