@@ -671,6 +671,25 @@ object StreamOps {
         s"commit_ms=${a.commitMs} rocksdb_read_bytes=${a.rdbRead} " +
         s"rocksdb_write_bytes=${a.rdbWrite}")
     }
+    // Micro-batch DURATION attribution (r15 verdict item 4): the state
+    // lines above cover only state-store work; the rest of a gate's wall
+    // time hides in the trigger pipeline. Sum Spark's per-batch
+    // durationMs phases across the run — triggerExecution is the total,
+    // addBatch the plan's execute (query compute + state ops),
+    // queryPlanning the per-batch re-plan, walCommit/commitOffsets the
+    // checkpoint log I/O, latestOffset/getBatch the source admin — so a
+    // slow gate shows WHICH phase grew without a profiler attach.
+    val dur = scala.collection.mutable.LinkedHashMap[String, Long]()
+    progs.foreach { p =>
+      val dm = p.durationMs
+      if (dm != null) dm.forEach { (k, v) =>
+        dur.update(k, dur.getOrElse(k, 0L) + v.longValue)
+      }
+    }
+    if (dur.nonEmpty)
+      println(s"[graft] stream-gate-durations batches=$batches " +
+        dur.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${k}_ms=$v" }.mkString(" "))
   } catch { case e: Throwable =>
     graftLog.warn(s"stream-gate-state logging failed: ${e.getMessage}")
   }
@@ -1271,7 +1290,17 @@ object StreamOps {
          NearDupLossAcc) = {
     import ds.sparkSession.implicits._
     import graft.functions.TextFunctions
+    // Fan out BEFORE the signature projection: a one-file micro-batch is
+    // a single input split, so the md5-heavy minhash of the whole batch
+    // ran in ONE task — measured at sf1 (r15 verdict item 4) as the
+    // gate's largest non-state term (addBatch − state ops ≈ 24 s of the
+    // 50 s wall, ~0.75 s/batch single-threaded). The exchange moves only
+    // the raw (id, text) rows of one batch (~1 MB) and is stateless, so
+    // outputs and replay semantics are unchanged; the sig still
+    // evaluates once per document (pinned in PlanAuditSpec).
+    val fan = math.max(2, ds.sparkSession.sparkContext.defaultParallelism)
     val banded = bandBuckets(ds.toDF("id", "text")
+        .repartition(fan)
         .withColumn("sig", TextFunctions.rowMinhashSig(col("text"))),
         bands, rows)
       .select(col("bucket"), format_string("%019d", col("id")).as("dig"),
@@ -1486,7 +1515,11 @@ object StreamOps {
          NearDupLossAcc) = {
     import df.sparkSession.implicits._
     import graft.functions.TextFunctions
+    // fan out before the signature minhash — same single-split
+    // micro-batch serialization as streamingNearDupWithLoss (r16)
+    val fan = math.max(2, df.sparkSession.sparkContext.defaultParallelism)
     val banded = bandBuckets(df
+        .repartition(fan)
         .withColumn("sig", TextFunctions.rowMinhashSig(col("text")))
         .withColumn("ts_us", unix_micros(col("ts"))),
         bands, rows)
@@ -1592,6 +1625,11 @@ object StreamOps {
       var loss: Option[NearDupLossAcc] = None
       val out = viaStream(spark, Seq(src), dfs => {
         import spark.implicits._
+        // NO pre-signature fanout here, unlike streamingNearDupWithLoss:
+        // tested r16 and REJECTED — the embed signature is bands×planes
+        // integer dots (cheap) where the text path is md5 over every
+        // shingle (heavy), and the extra per-batch exchange cost more
+        // than the parallelism bought (17.2 s → 19.3 s at sf1)
         val banded = embedBandBuckets(dfs.head, bands, planesPerBand, dim)
           .select(col("bucket"), format_string("%019d", col("id")).as("dig"),
             typedLit(Seq(1L)).as("csig"), lit(0L).as("ts_us"))

@@ -34,10 +34,11 @@ def main():
                         f"(make_timestamp(ts // 1000) AS ts) FROM {src}")
         else:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+    reps = int(os.environ.get("DUCK_BENCH_REPS", "3"))
     for name in names:
         sql = oracles[name]
         best = None
-        for _ in range(3):
+        for _ in range(reps):
             t0 = time.time()
             con.execute(sql).fetchall()
             dt = time.time() - t0
