@@ -138,7 +138,8 @@ class IndexMaintenanceSpec extends SparkSpec {
         spark.sessionState.catalog.getTableMetadata(
           spark.sessionState.sqlParser
             .parseTableIdentifier("fence_dc_postings")).location)
-      val fence = new org.apache.hadoop.fs.Path(loc, "_graft_fence")
+      val fence = new org.apache.hadoop.fs.Path(loc.getParent,
+        "_graft_fence_fence_dc_postings")
       val fs = fence.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(fence, s"epoch-${a.epoch}"),
         false)
@@ -160,6 +161,41 @@ class IndexMaintenanceSpec extends SparkSpec {
       assert(postingSet("fence_dc") == before,
         "the double-claimed writer must not have appended anything")
     } finally dropIvf("fence_dc")
+  }
+
+  test("fence state SURVIVES compaction: a committed batch replayed after compact appends nothing") {
+    import graft.queries.QueriesSim.{IvfMod, IvfRem, KmIters}
+    try {
+      SimilarityOps.writeIvfIndex(emb.where(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", IvfMod, IvfRem, KmIters, "fence_c",
+        buckets = 4)
+      val claim = IndexFence.claimWriterEpoch(spark, "fence_c_postings")
+      val batch = emb.where(col("vec_id") % 3 === 1)
+      val ran1 = IndexFence.fencedAppend(spark, Seq("fence_c_postings"),
+        claim, 0L) {
+        SimilarityOps.appendIvfIndex(batch, "vec_id", "embedding",
+          "fence_c", buckets = 4)
+      }
+      val want = postingSet("fence_c")
+      // operator maintenance between streaming sessions
+      SimilarityOps.compactIvfIndex(spark, "fence_c")
+      spark.catalog.refreshTable("fence_c_postings")
+      assert(postingSet("fence_c") == want)
+      // checkpoint-recovery replay of the committed batch AFTER the
+      // compaction: with the pre-r16 fence layout (state inside the
+      // table dir) the DROP had destroyed _COMMITTED, so this replay
+      // re-ran the append and duplicated every posting of the batch
+      val ran2 = IndexFence.fencedAppend(spark, Seq("fence_c_postings"),
+        claim, 0L) {
+        SimilarityOps.appendIvfIndex(batch, "vec_id", "embedding",
+          "fence_c", buckets = 4)
+      }
+      assert(ran1 && !ran2,
+        "a committed batch must stay committed across compaction")
+      spark.catalog.refreshTable("fence_c_postings")
+      assert(postingSet("fence_c") == want,
+        "replay after compaction must not duplicate postings")
+    } finally dropIvf("fence_c")
   }
 
   test("IndexMeta: LSH append/probe with mismatched build parameters throws; matching passes") {
