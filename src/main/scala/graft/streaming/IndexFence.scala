@@ -59,16 +59,17 @@ object IndexFence {
       .location)
 
   /** Fence state must OUTLIVE the table directory: compaction
-    * ([[graft.ops.SimilarityOps.compactBucketedTable]]) drops and
-    * recreates the postings table, and a managed-table DROP deletes its
-    * directory — a fence living inside (the pre-r16 layout) lost its
-    * epoch markers and `_COMMITTED` manifest at every compaction, so a
-    * checkpoint-resumed append afterwards would REPLAY its committed
+    * ([[graft.ops.SimilarityOps.compactBucketedTable]]) retires the
+    * postings directory and flips the table to a fresh generation (and
+    * the earlier DROP+RENAME design deleted the directory outright) — a
+    * fence living inside the table directory (the pre-r16 layout) lost
+    * its epoch markers and `_COMMITTED` manifest at every compaction, so
+    * a checkpoint-resumed append afterwards would REPLAY its committed
     * batches and double-append (pinned in IndexMaintenanceSpec r16).
     * The root therefore lives NEXT TO the table, keyed by table NAME
     * (`<parent>/_graft_fence_<table>`): stable across drops, renames and
-    * compaction generations; still underscore-prefixed and outside every
-    * table directory, so no scan ever sees it. */
+    * compaction generation flips; still underscore-prefixed and outside
+    * every table directory, so no scan ever sees it. */
   private def fenceRoot(spark: SparkSession, table: String): Path =
     new Path(tableDir(spark, table).getParent, s"_graft_fence_$table")
 

@@ -258,7 +258,55 @@ class IndexMaintenanceSpec extends SparkSpec {
     } finally dropIvf("meta_ivf")
   }
 
-  test("compaction swap window: crash between DROP and RENAME is recovered; a probe inside the window fails with table-not-found (the documented contract)") {
+  test("compaction is reader-atomic: a probe planned BEFORE the swap executes correctly after it; the retired generation is GC'd one compaction later") {
+    import graft.queries.QueriesSim.{IvfMod, IvfRem, K, KmIters, QueryMod}
+    import org.apache.hadoop.fs.Path
+    try {
+      SimilarityOps.writeIvfIndex(emb, "vec_id", "embedding",
+        IvfMod, IvfRem, KmIters, "ratom_ivf", buckets = 4)
+      SimilarityOps.appendIvfIndex(emb.select(col("vec_id") + 100000,
+          col("embedding")).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", "ratom_ivf", buckets = 4)
+      def loc() = new Path(spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser
+          .parseTableIdentifier("ratom_ivf_postings")).location)
+      val fs = loc().getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val qs = emb.where(col("vec_id") % QueryMod === 0)
+      def probeDf() = SimilarityOps.probeIvfIndex(
+        qs, "vec_id", "embedding", K, "ratom_ivf")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val gen0 = loc()
+      val wantProbe = rows(probeDf())
+      assert(wantProbe.nonEmpty)
+      // an in-flight reader: plan (and list files) BEFORE the swap …
+      val inFlight = probeDf()
+      inFlight.queryExecution.executedPlan // forces analysis + file listing
+      SimilarityOps.compactIvfIndex(spark, "ratom_ivf")
+      val gen1 = loc()
+      assert(gen1 != gen0, "compaction must flip to a fresh generation dir")
+      // … and execute it AFTER: the retired generation must still be on
+      // disk (one-generation grace), so the old file list reads fine
+      assert(fs.exists(gen0), "retired generation deleted too early — " +
+        "an in-flight probe would hit missing files")
+      assert(rows(inFlight) == wantProbe,
+        "a probe planned before the swap must still read its generation")
+      // a probe planned AFTER sees the new generation, identical rows
+      assert(rows(probeDf()) == wantProbe)
+      // the NEXT compaction GCs the retired generation (grace elapsed)
+      SimilarityOps.compactIvfIndex(spark, "ratom_ivf")
+      assert(!fs.exists(gen0), "retired generation must be GC'd at the " +
+        "next compaction, not leak forever")
+      assert(fs.exists(gen1), "the one-back generation keeps its grace")
+      assert(rows(probeDf()) == wantProbe)
+    } finally {
+      dropIvf("ratom_ivf")
+      spark.sql("DROP TABLE IF EXISTS ratom_ivf_postings_compacting")
+    }
+  }
+
+  test("compaction crash at either failpoint leaves the live table readable; the next call repairs and completes") {
     import graft.queries.QueriesSim.{IvfMod, IvfRem, K, KmIters, QueryMod}
     try {
       SimilarityOps.writeIvfIndex(emb, "vec_id", "embedding",
@@ -273,31 +321,44 @@ class IndexMaintenanceSpec extends SparkSpec {
         .toSet
       val want = postingSet("swap_ivf")
       val wantProbe = probe()
-      // crash INSIDE the swap window (after DROP, before RENAME)
-      SimilarityOps.compactFailpoint = true
+      // crash BEFORE the location flip (new generation written, orphan)
+      SimilarityOps.compactFailpoint = 1
       val boom = intercept[RuntimeException] {
         SimilarityOps.compactIvfIndex(spark, "swap_ivf")
       }
       assert(boom.getMessage.contains("failpoint"))
-      SimilarityOps.compactFailpoint = false
-      // this IS the window a concurrent probe can land in — pin what it
-      // sees: planning fails on the missing table name (loud, not wrong)
-      val seen = intercept[org.apache.spark.sql.AnalysisException] {
-        probe()
-      }
-      assert(seen.getMessage.contains("swap_ivf_postings"))
-      // the fully-written tmp is the only copy; the next compaction call
-      // completes the swap — rows, probe output, and layout all intact
+      SimilarityOps.compactFailpoint = 0
+      // the live table was never touched — a concurrent probe is FINE
+      // (this was TABLE_OR_VIEW_NOT_FOUND under the DROP+RENAME design)
+      assert(probe() == wantProbe)
+      assert(postingSet("swap_ivf") == want)
+      // next call discards the orphan generation and completes
       SimilarityOps.compactIvfIndex(spark, "swap_ivf")
       assert(postingSet("swap_ivf") == want)
       assert(probe() == wantProbe && wantProbe.nonEmpty)
+      // crash AFTER the flip, before the tmp entry drop: the swap is
+      // already effective — probes read the new generation
+      SimilarityOps.compactFailpoint = 2
+      val boom2 = intercept[RuntimeException] {
+        SimilarityOps.compactIvfIndex(spark, "swap_ivf")
+      }
+      assert(boom2.getMessage.contains("failpoint"))
+      SimilarityOps.compactFailpoint = 0
+      assert(probe() == wantProbe)
+      assert(spark.catalog.tableExists("swap_ivf_postings_compacting"),
+        "failpoint 2 must leave the stale tmp entry for recovery to drop")
+      // next call drops the stale tmp (metadata-only) and proceeds
+      SimilarityOps.compactIvfIndex(spark, "swap_ivf")
+      assert(!spark.catalog.tableExists("swap_ivf_postings_compacting"))
+      assert(postingSet("swap_ivf") == want)
+      assert(probe() == wantProbe)
       val spec = spark.sessionState.catalog.getTableMetadata(
         spark.sessionState.sqlParser
           .parseTableIdentifier("swap_ivf_postings")).bucketSpec
       assert(spec.map(_.numBuckets).contains(4),
-        s"bucket spec must survive the recovered swap, got $spec")
+        s"bucket spec must survive the recovered swaps, got $spec")
     } finally {
-      SimilarityOps.compactFailpoint = false
+      SimilarityOps.compactFailpoint = 0
       dropIvf("swap_ivf")
       spark.sql("DROP TABLE IF EXISTS swap_ivf_postings_compacting")
     }
