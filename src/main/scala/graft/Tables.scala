@@ -77,10 +77,22 @@ object GraftSession {
     dir
   }
 
+  /** Shuffle partition count: the caller's value (CPU count for the
+    * local harnesses), overridable with SPARK_GRAFT_SHUFFLE. Partition
+    * count is a DEPLOYMENT setting that scales with data, not a plan
+    * property — at sf0.1–sf10 the 32-way shuffle is right (and 256 was
+    * measured WORSE, see the rejected-tuning note below), but the sf100
+    * window-sort probes (q_cumsum: 3.1M rows × ~100 B per task, ×32
+    * concurrent sorts) exceed the execution-memory budget and
+    * spill+GC-thrash at 32 — the same query at 128 partitions fits.
+    * The env var is how a scale run states its deployment setting
+    * without changing the default any benched number depends on. */
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
-      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+          shufflePartitions.toString))
       .config("spark.sql.adaptive.enabled", "true")
       // Local-mode tuning: AQE's default 64 MB advisory size coalesces the
       // fixture-scale shuffles to 1–8 partitions, serializing CPU-heavy

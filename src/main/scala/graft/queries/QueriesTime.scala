@@ -212,7 +212,12 @@ object QueriesTime {
         Seq(count(lit(1)).as("n"),
           (sum(col("c")).cast("double") / 100.0).as("sum_value")))
       .select("user_id", "session_start", "n", "sum_value")
-      .orderBy("user_id", "session_start")
+      // no final global orderBy — the session table is keyed by
+      // (user_id, session_start) and grows with the input (~40M sessions
+      // at 100M events); the presentational sort measured 7.6× the query
+      // at that scale (range sampling re-executes sessionize+agg, then
+      // sorts the full output — SortTaxProbe, SCALE.md r16). The
+      // streaming gates above keep their sorts: fixture-scale outputs.
 
   val qSessionOracle: String = """
     WITH o AS (

@@ -23,11 +23,17 @@ object QueriesWindow {
     val ev = Tables.events(spark, dir)
       .withColumn("c", Money.cents(col("value")))
       .withColumn("c2", when(col("event_id") % 7 =!= 0, Money.cents(col("value"))))
+    // No final global orderBy: the output is per-row (|output| = |input|),
+    // every row is keyed by event_id, and the differential harness
+    // compares order-independently. At 100M rows the presentational sort
+    // measured 2.1× the query (range exchange re-executes the window
+    // subtree for partitioner sampling, then sorts the full output —
+    // SortTaxProbe, SCALE.md r16); a 100 TB engine never globally sorts
+    // a full output for presentation.
     ev.select(col("event_id"), col("user_id"),
         (WindowOps.cumsum(col("c"), userKey, byEvent).cast("double") / 100.0).as("cs_all"),
         (WindowOps.cumsum(col("c2"), userKey, byEvent, skipna = true).cast("double") / 100.0).as("cs_skipna"),
         (WindowOps.cumsum(col("c2"), userKey, byEvent, skipna = false).cast("double") / 100.0).as("cs_noskip"))
-      .orderBy("event_id")
   }
 
   val qCumsumOracle: String = """
@@ -253,7 +259,8 @@ object QueriesWindow {
           .otherwise(col("rk2").cast("double")).as("r_na_keep"),
         col("rk2").cast("double").as("r_na_bottom"),
         (col("n_all").cast("double") - (rk + tcnt - 1) + 1).as("r_desc"))
-      .orderBy("event_id")
+    // no final global orderBy — per-row output keyed by event_id; see
+    // qCumsum's note (the sort tax measured at sf100 in SortTaxProbe)
   }
 
   val qRankOracle: String = """
