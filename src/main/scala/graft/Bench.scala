@@ -12,6 +12,13 @@ import org.apache.spark.sql.functions._
   * the `noop` sink so Catalyst cannot prune away the measured work (a
   * `count()` would let column pruning drop window/projection columns).
   * Prints ONE JSON line.
+  *
+  * SELF-ADJUDICATION (VERDICT r16 item 1): the JSON carries a `control`
+  * object with same-moment, code-independent work — a pure-JVM xorshift
+  * spin (single-thread best-of-3, bracketing the run) and the frozen
+  * DuckDB yardstick (`tools/duck_yardstick.py`, subprocess, run the
+  * minute the batch set finishes). A regression that also inflates the
+  * controls is box weather; one that doesn't is code.
   */
 object Bench {
 
@@ -43,6 +50,56 @@ object Bench {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // ---- same-moment controls (VERDICT r16 item 1) ----
+    // BENCH_r16 inflated ~1.8x across every query INCLUDING the untouched
+    // micro control, and the exculpatory pinned-binary replay was timed at
+    // a DIFFERENT moment — the artifact could not adjudicate itself.
+    // Every bench now ships its own weather report: (a) a deterministic
+    // pure-JVM xorshift spin (single-thread and 32-thread), independent of
+    // graft code, Spark, and the data — a fixed constant of the box; (b)
+    // the frozen DuckDB yardstick (tools/duck_yardstick.py) run in a
+    // subprocess right after the batch set — same minute, same box,
+    // second engine. Engine numbers inflating TOGETHER with the controls
+    // = box weather; the engine inflating ALONE = a code regression.
+    def spin(iters: Long): Double = {
+      var x = 0x9E3779B97F4A7C15L
+      var acc = 0L
+      var i = 0L
+      val t0 = System.nanoTime()
+      while (i < iters) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; acc += x; i += 1
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (acc == 42L) System.err.println("") // defeat dead-code elimination
+      dt
+    }
+    def spinMt(threads: Int, iters: Long): Double = {
+      val t0 = System.nanoTime()
+      val ts = (1 to threads).map(_ => new Thread(() => { spin(iters); () }))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    def duckYardstick(): Option[String] = {
+      val script = Seq("tools/duck_yardstick.py",
+        "/root/repo/tools/duck_yardstick.py")
+        .find(p => new java.io.File(p).exists())
+      script.flatMap { s =>
+        try {
+          val p = new ProcessBuilder("python3", s, sfDir).start()
+          val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+          val ok = p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS) &&
+            p.exitValue() == 0
+          val line = out.linesIterator.toSeq.lastOption.getOrElse("")
+          if (ok && line.startsWith("{")) Some(line) else None
+        } catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft] duck yardstick unavailable: $e")
+          None
+        }
+      }
+    }
+    val spinStPre = (1 to 3).map(_ => spin(500000000L)).min
+    val spinMtPre = (1 to 3).map(_ => spinMt(32, 100000000L)).min
+
     val queries = SparkEntry.queries
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     // All raw samples per query, so a round-over-round delta can be
@@ -65,9 +122,8 @@ object Bench {
     // r10 measurement conditions for the batch aggregate while keeping
     // both families tracked in one artifact.
     val gateQueries = Set("q_stream_dedup", "q_image_resize")
-    val groups = Seq(selected.filterNot(gateQueries), selected.filter(gateQueries))
     val warmupDir = "/root/testdata/sf0.001"
-    groups.foreach { group =>
+    def runGroup(group: Seq[String]): Unit = {
       // Steady-state measurement: run each group's queries once at the
       // smallest SF so JIT/codegen compilation of each plan's generated
       // code isn't charged to the timed run (cold md5/explode paths alone
@@ -101,6 +157,12 @@ object Bench {
           } catch { case _: Throwable => -1.0 }
       }
     }
+    runGroup(selected.filterNot(gateQueries))
+    // the DuckDB yardstick runs the MINUTE the batch set finishes — the
+    // adjudication pairing that matters most (the gates have their own
+    // stateful noise sources and are judged against their SCALE.md rows)
+    val duckJson = duckYardstick()
+    runGroup(selected.filter(gateQueries))
 
     // Reference micro-bench: grouped sum, 10M rows × 200 groups
     // (`benches/groupby.rs` / README.md:115-140 shape). Same best-of-3 +
@@ -123,9 +185,16 @@ object Bench {
     }.mkString("{", ",", "}")
     val ph = phases.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("""{"q_neardup_lsh":{""", ",", "}}")
+    val spinStPost = (1 to 3).map(_ => spin(500000000L)).min
+    val control = {
+      val duck = duckJson.getOrElse("null")
+      val shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      val utc = java.time.Instant.now().toString
+      f"""{"jvm_spin_st_pre":$spinStPre%.3f,"jvm_spin_mt32_pre":$spinMtPre%.3f,"jvm_spin_st_post":$spinStPost%.3f,"duck_yardstick":$duck,"shuffle_partitions":$shuffle,"utc":"$utc"}"""
+    }
     val total = results.values.filter(_ >= 0).sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$ss,"phases":$ph,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"samples":$ss,"phases":$ph,"control":$control,"sf":"$sfDir"}"""
     println(line)
     // Belt-and-suspenders for the driver's `parsed` field: even if a log
     // wrapper prefixes stdout, the bare JSON line is always on disk.

@@ -5,15 +5,20 @@ import graft.streaming.StreamOps
 import org.apache.spark.sql.functions._
 
 /** Dev tool: A/B the FINAL global orderBy's cost on the three big-output
-  * events queries at a scale point (r16 sf100 probe). Each declared
-  * query ends with a presentational `orderBy` so its dumped parquet is
+  * events queries at a scale point (the r16 sf100 probe whose numbers —
+  * 2.1× cumsum / 7.6× sessionize / 1.3× asof — are recorded in SCALE.md
+  * "r16: the presentational-sort tax"). Before r16 each declared query
+  * ended with a presentational `orderBy` so its dumped parquet was
   * deterministic — but the differential harness sorts rows before
   * hashing, DuckDB's consume-in-DB baselines never materialize an
   * order, and at 100M rows the range exchange both re-executes the
   * window subtree (partitioner sampling runs the child once before the
-  * real pass) and adds a full extra sort. Reps ALTERNATE full/no-sort
-  * so slow box-weather drifts hit both arms equally (this box swings
-  * 10-50x within minutes). */
+  * real pass) and adds a full extra sort. The probe's verdict removed
+  * those sorts from the declared queries, so the `*_full` arms below
+  * now RECONSTRUCT the pre-r16 sorted shape explicitly (an arm that
+  * called the declared query would silently A/A). Reps ALTERNATE
+  * full/no-sort so slow box-weather drifts hit both arms equally (this
+  * box swings 10-50x within minutes). */
 object SortTaxProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/tmp/sf100e")
@@ -59,11 +64,12 @@ object SortTaxProbe {
       "micro" -> ((_: String) => spark.range(10000000L)
         .select((col("id") % 200).as("k"), (col("id") % 1000).cast("double").as("v"))
         .groupBy("k").agg(sum("v").as("s"))),
-      "cumsum_full"   -> ((d: String) => SparkEntry.queries("q_cumsum")(spark, d)),
+      "cumsum_full"   -> ((d: String) => cumsumNosort(d).orderBy("event_id")),
       "cumsum_nosort" -> (cumsumNosort(_)),
-      "asof_full"     -> ((d: String) => SparkEntry.queries("q_asof")(spark, d)),
+      "asof_full"     -> ((d: String) => asofNosort(d).orderBy("event_id")),
       "asof_nosort"   -> (asofNosort(_)),
-      "sess_full"     -> ((d: String) => SparkEntry.queries("q_session_window")(spark, d)),
+      "sess_full"     -> ((d: String) =>
+        sessNosort(d).orderBy("user_id", "session_start")),
       "sess_nosort"   -> (sessNosort(_)))
 
     // one warmup each at sf0.001 (JIT/codegen), then interleaved reps

@@ -16,9 +16,14 @@ import org.apache.spark.sql.SparkSession
   * attempt wrote, then re-appends — so the committed row set is exactly
   * once regardless of where the previous attempt died).
   *
-  * Fence state lives under `<table location>/_graft_fence/` —
-  * underscore-prefixed, so every table scan ignores it (Spark's hidden
-  * path filter). Layout:
+  * Fence state lives NEXT TO the table, keyed by table NAME
+  * (`<parent>/_graft_fence_<table>` — see [[fenceRoot]]): it must
+  * OUTLIVE the table directory, because compaction retires the postings
+  * directory and flips the table to a fresh generation (the pre-r16
+  * in-table layout lost its epoch markers and `_COMMITTED` manifest at
+  * every compaction, so a checkpoint-resumed append double-appended).
+  * Still underscore-prefixed and outside every table directory, so no
+  * scan ever sees it. Layout:
   *   - `epoch-<n>`            writer-epoch claim markers (create-if-absent
   *                            is the lease primitive; content = claimant's
   *                            nonce, read-back-verified — see the
@@ -29,18 +34,30 @@ import org.apache.spark.sql.SparkSession
   *                            append (atomic rename swap; a same-epoch
   *                            FOREIGN nonce here fences a double-claimed
   *                            writer loudly)
-  *   - `pending-<e>-<id>`     data-file listing of every covered table
-  *                            taken BEFORE batch id's first append attempt
+  *   - `pending-<e>-<id>`     pre-append snapshot of every covered table,
+  *                            taken BEFORE batch id's first append
+  *                            attempt: `#loc <table> <qualified dir>`
+  *                            headers (one per table — the generation the
+  *                            listing describes), then `<table>/<file>`
+  *                            data-file keys
   *
   * Commit protocol per batch:
   *   1. read `_COMMITTED`; a HIGHER epoch there ⇒ this writer is a zombie
   *      ⇒ fail loudly; same epoch with `committed ≥ batchId` ⇒ exactly-once
   *      replay no-op.
-  *   2. if `pending-<e>-<id>` exists, the previous attempt crashed
-  *      mid-append: delete every data file not in its listing (the orphan
-  *      half-append), else snapshot the listing and write it (tmp+rename).
-  *   3. run the append.
-  *   4. swap `_COMMITTED` (tmp+rename), delete the pending manifest.
+  *   2. if ANY `pending-*` manifest exists — not just this epoch's: a
+  *      checkpoint resume claims a FRESH epoch, so a crashed attempt's
+  *      manifest usually carries a LOWER epoch than the replaying
+  *      writer's — the previous attempt crashed mid-append. For each
+  *      table still at the location its manifests recorded, delete every
+  *      data file not in ALL of its listings (the orphan half-append);
+  *      a table whose location CHANGED was compacted since the crash —
+  *      skip its purge (the listing names only retired-generation files;
+  *      fence-aware compaction purged the orphans before rewriting, see
+  *      [[purgeCrashedAppendOrphans]]). Delete the stale manifests.
+  *   3. snapshot the now-clean listing to `pending-<e>-<id>` (tmp+rename).
+  *   4. run the append.
+  *   5. swap `_COMMITTED` (tmp+rename), delete the pending manifest.
   *
   * A crash anywhere re-enters at step 1 on redelivery and converges to the
   * same committed row set. The unfenced window matches upsertSnapshot's
@@ -121,6 +138,82 @@ object IndexFence {
         !st.getPath.getName.startsWith("."))
       .map(_.getPath.getName)
 
+  /** A crashed append attempt's pre-append snapshot: which generation
+    * directory each covered table lived in (`locs`) and the data files it
+    * held (`files`, as `table/file` keys) when the attempt started. */
+  private case class PendingManifest(path: Path, locs: Map[String, String],
+                                     files: Set[String])
+
+  private def listPendingManifests(fs: FileSystem,
+                                   root: Path): Seq[PendingManifest] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("pending-") &&
+        !st.getPath.getName.endsWith(".tmp"))
+      .map { st =>
+        val in = fs.open(st.getPath)
+        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().map(_.trim).filter(_.nonEmpty).toList
+        finally in.close()
+        val (locLines, fileLines) = lines.partition(_.startsWith("#loc "))
+        if (locLines.isEmpty)
+          throw new IllegalStateException(
+            s"fence: unrecognized pending-manifest format at ${st.getPath}" +
+              " — no '#loc' headers, so there is no way to tell which " +
+              "generation its listing describes; refusing to purge " +
+              "against it (a wrong guess deletes live index files)")
+        val locs = locLines.map { l =>
+          val Array(t, loc) = l.stripPrefix("#loc ").split(" ", 2)
+          t -> loc
+        }.toMap
+        PendingManifest(st.getPath, locs, fileLines.toSet)
+      }
+
+  /** Purge crashed-append orphan files from `table`'s CURRENT directory,
+    * using any pending fence manifest that recorded the table at that
+    * location. Called by compaction
+    * ([[graft.ops.SimilarityOps.compactBucketedTable]]) BEFORE it reads
+    * the live rows (ADVICE r16): a compaction running between an append
+    * crash and its checkpoint replay would otherwise bake the crashed
+    * attempt's half-appended rows into the new generation — and the
+    * replay, whose location check correctly refuses to purge a flipped
+    * generation against an old listing, would then re-append the whole
+    * batch and silently DOUBLE those rows. The manifests are deliberately
+    * left in place: the replay still needs them to know a repair was due;
+    * it sees the location changed, skips its own purge, and takes a
+    * fresh snapshot.
+    *
+    * The fence root is keyed by the fence group's HEAD table, which need
+    * not be `table` itself, so this scans every `_graft_fence_*` sibling
+    * of the table's parent directory. Single-maintainer contract as
+    * everywhere in this file: no append runs concurrently with the
+    * compaction that calls this. */
+  def purgeCrashedAppendOrphans(spark: SparkSession, table: String): Unit = {
+    val dir = tableDir(spark, table)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = fs.makeQualified(dir).toString
+    val parent = dir.getParent
+    if (parent == null || !fs.exists(parent)) return
+    val relevant = fs.listStatus(parent).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("_graft_fence_"))
+      .flatMap(st => listPendingManifests(fs, st.getPath))
+      .filter(_.locs.get(table).contains(live))
+    if (relevant.isEmpty) return
+    val keep = relevant
+      .map(_.files.filter(_.startsWith(s"$table/")))
+      .reduce(_ intersect _)
+    var purged = 0
+    dataFiles(fs, dir).filterNot(f => keep(s"$table/$f")).foreach { f =>
+      graftLog.warn(s"purgeCrashedAppendOrphans: purging $table/$f — a " +
+        "crashed append attempt's orphan (recorded by a pending fence " +
+        "manifest) must not be compacted into the next generation")
+      fs.delete(new Path(dir, f), false)
+      purged += 1
+    }
+    if (purged > 0) spark.catalog.refreshTable(table)
+  }
+
   /** Run `append` exactly once for (`myEpoch`, `batchId`) against the data
     * tables `tables` (all must live in the same metastore; the fence root
     * hangs off `tables.head`'s directory). Returns true if the append ran,
@@ -161,31 +254,65 @@ object IndexFence {
       return false
     }
     val dirs = tables.map(t => t -> tableDir(spark, t))
-    val pending = new Path(root, s"pending-$myEpoch-$batchId")
-    if (fs.exists(pending)) {
-      // previous attempt of THIS batch crashed mid-append: every data file
-      // not in its pre-append listing is the crashed attempt's orphan —
-      // delete them so the re-append lands exactly once
-      val in = fs.open(pending)
-      val keep = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().map(_.trim).filter(_.nonEmpty).toSet
-      finally in.close()
+    def qualifiedLoc(dir: Path): String =
+      dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(dir).toString
+    val stale = listPendingManifests(fs, root)
+    if (stale.nonEmpty) {
+      // SOME previous append attempt crashed mid-append — not necessarily
+      // under THIS epoch or batch id: a checkpoint resume claims a FRESH
+      // epoch, so matching on pending-<myEpoch>-<batchId> alone would
+      // miss a lower-epoch crash, snapshot its orphans as legitimate
+      // pre-batch files, and DOUBLE them on re-append (pinned in
+      // IndexMaintenanceSpec r17). A data file not present in EVERY
+      // manifest that recorded the table at its CURRENT location is an
+      // uncommitted orphan (appends only land through this fence, and a
+      // committed append deletes its manifest) — delete them so the
+      // re-append lands exactly once.
       dirs.foreach { case (t, dir) =>
-        dataFiles(fs, dir).filterNot(f => keep(s"$t/$f")).foreach { f =>
-          graftLog.warn(s"fencedAppend: purging orphan file $t/$f from a " +
-            s"crashed append attempt of batch $batchId")
-          fs.delete(new Path(dir, f), false)
+        val nowLoc = qualifiedLoc(dir)
+        val (current, flipped) = stale.filter(_.locs.contains(t))
+          .partition(_.locs(t) == nowLoc)
+        flipped.foreach { m =>
+          graftLog.warn(s"fencedAppend: $t moved from ${m.locs(t)} to " +
+            s"$nowLoc since ${m.path.getName}'s pre-append snapshot — a " +
+            "compaction flipped the generation. Skipping that manifest's " +
+            "purge (its listing names only retired-generation files; " +
+            "purging the new generation against it would delete every " +
+            "compacted file). The fence-aware compaction already purged " +
+            "the crashed attempt's orphans before rewriting " +
+            "(purgeCrashedAppendOrphans)")
         }
-        // the catalog caches the table's file listing; the purge must be
-        // visible to the re-append's reads of the index table itself
+        if (current.nonEmpty) {
+          val keep = current
+            .map(_.files.filter(_.startsWith(s"$t/")))
+            .reduce(_ intersect _)
+          dataFiles(fs, dir).filterNot(f => keep(s"$t/$f")).foreach { f =>
+            graftLog.warn(s"fencedAppend: purging orphan file $t/$f from " +
+              "a crashed append attempt")
+            fs.delete(new Path(dir, f), false)
+          }
+        }
+        // the catalog caches the table's file listing; the purge (or a
+        // generation flip) must be visible to the re-append's reads of
+        // the index table itself
         spark.catalog.refreshTable(t)
       }
-    } else {
-      val listing = dirs.flatMap { case (t, dir) =>
-        dataFiles(fs, dir).map(f => s"$t/$f") }.mkString("\n")
-      writeAtomic(fs, pending,
-        new Path(root, s"pending-$myEpoch-$batchId.tmp"), listing)
+      stale.foreach(m => fs.delete(m.path, false))
     }
+    // snapshot the NOW-clean pre-append state — fresh even on a replay:
+    // after the purge the directories hold exactly the pre-batch row set,
+    // and reusing a stale listing would poison the next repair if this
+    // attempt also crashes
+    val pending = new Path(root, s"pending-$myEpoch-$batchId")
+    val snapshot = {
+      val locs = dirs.map { case (t, dir) => s"#loc $t ${qualifiedLoc(dir)}" }
+      val files = dirs.flatMap { case (t, dir) =>
+        dataFiles(fs, dir).map(f => s"$t/$f") }
+      (locs ++ files).mkString("\n")
+    }
+    writeAtomic(fs, pending,
+      new Path(root, s"pending-$myEpoch-$batchId.tmp"), snapshot)
     append
     writeAtomic(fs, new Path(root, "_COMMITTED"),
       new Path(root, s"_COMMITTED.$myEpoch.$batchId.tmp"),

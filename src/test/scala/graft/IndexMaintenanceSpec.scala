@@ -407,4 +407,173 @@ class IndexMaintenanceSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got4 == want)
   }
+
+  test("tiled rerank: mismatched candidate/embedding id types THROW instead of silently emptying the result") {
+    // VERDICT r16 what's-wrong #2: the cell tag pmod(hash(id), tiles) is
+    // computed independently on both relations, and Murmur3 hashes
+    // IntegerType and LongType differently — an int candidate against a
+    // long corpus would tag pairs into cells where no vector lives and
+    // the joins would silently drop everything. The broadcast path joins
+    // on the VALUE (type-coerced) and is immune, so the failure would
+    // only appear past broadcast range, where no oracle runs. Must fail
+    // loudly at construction instead.
+    val e = emb // vec_id is LongType
+    val cand = Seq((1, 2)).toDF("id_a", "id_b") // IntegerType ids
+    val ex = intercept[IllegalArgumentException] {
+      SimilarityOps.rerankPairsTiled(cand, e, "vec_id", "embedding",
+        0.0, tiles = 4)
+    }
+    assert(ex.getMessage.contains("Cast the candidate ids"),
+      s"guard must name the remedy: ${ex.getMessage}")
+    // matching types still construct fine past the guard
+    val ok = SimilarityOps.rerankPairsTiled(
+      cand.select(col("id_a").cast("long"), col("id_b").cast("long")),
+      e, "vec_id", "embedding", 0.0, tiles = 4)
+    assert(ok.columns.toSeq == Seq("id_a", "id_b", "cos_sim"))
+  }
+
+  test("fencedAppend: a crash under epoch e is repaired by the replay under a FRESH epoch (checkpoint resume)") {
+    import graft.queries.QueriesSim.{IvfMod, IvfRem, KmIters}
+    // The r16 layout keyed the pending manifest by the REPLAYING writer's
+    // epoch (pending-<myEpoch>-<batchId>) — but a checkpoint resume claims
+    // a fresh epoch, so the crashed attempt's manifest (written under the
+    // OLD epoch) was never found: its orphans got snapshotted as
+    // legitimate pre-batch files and the re-append DOUBLED them. The r17
+    // repair considers every pending manifest regardless of epoch.
+    try {
+      SimilarityOps.writeIvfIndex(emb.where(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", IvfMod, IvfRem, KmIters, "fence_xe",
+        buckets = 4)
+      val batch = emb.where(col("vec_id") % 3 === 1)
+      // expected end state: one clean fenced append of the batch
+      val want = {
+        val e0 = IndexFence.claimWriterEpoch(spark, "fence_xe_postings")
+        IndexFence.fencedAppend(spark, Seq("fence_xe_postings"), e0, 0L) {
+          SimilarityOps.appendIvfIndex(batch, "vec_id", "embedding",
+            "fence_xe", buckets = 4)
+        }
+        postingSet("fence_xe")
+      }
+      // rebuild to the pre-append state; crash mid-append under e1
+      dropIvf("fence_xe")
+      SimilarityOps.writeIvfIndex(emb.where(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", IvfMod, IvfRem, KmIters, "fence_xe",
+        buckets = 4)
+      val e1 = IndexFence.claimWriterEpoch(spark, "fence_xe_postings")
+      val boom = intercept[RuntimeException] {
+        IndexFence.fencedAppend(spark, Seq("fence_xe_postings"), e1, 0L) {
+          SimilarityOps.appendIvfIndex(batch, "vec_id", "embedding",
+            "fence_xe", buckets = 4)
+          throw new RuntimeException("simulated crash before commit")
+        }
+      }
+      assert(boom.getMessage.contains("simulated crash"))
+      // CHECKPOINT RESUME: the restarted writer claims a NEW epoch and
+      // replays the batch — e1's orphans must still be purged first
+      val e2 = IndexFence.claimWriterEpoch(spark, "fence_xe_postings")
+      IndexFence.fencedAppend(spark, Seq("fence_xe_postings"), e2, 0L) {
+        SimilarityOps.appendIvfIndex(batch, "vec_id", "embedding",
+          "fence_xe", buckets = 4)
+      }
+      spark.catalog.refreshTable("fence_xe_postings")
+      val got = postingSet("fence_xe")
+      assert(got == want,
+        s"cross-epoch replay must converge to the one-clean-append row " +
+          s"set (got ${got.size} rows, want ${want.size} — a surplus " +
+          "means the crashed attempt's orphans were double-appended)")
+    } finally dropIvf("fence_xe")
+  }
+
+  test("fencedAppend + compaction: a compaction BETWEEN an append crash and its replay neither destroys the index nor doubles the batch") {
+    import graft.queries.QueriesSim.{IvfMod, IvfRem, KmIters}
+    // ADVICE r16 (medium): the replay's orphan purge used to resolve the
+    // table dir at REPLAY time — after a compaction flipped the location,
+    // the old listing matched nothing and the purge deleted EVERY
+    // compacted file. And without compaction-side awareness, the crashed
+    // attempt's orphans would be baked into the new generation and then
+    // doubled by the re-append. Pin both halves: compaction purges
+    // orphans before rewriting; the replay skips the stale purge and
+    // re-appends exactly once.
+    try {
+      SimilarityOps.writeIvfIndex(emb.where(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", IvfMod, IvfRem, KmIters, "fence_cmp",
+        buckets = 4)
+      val batch = emb.where(col("vec_id") % 3 === 1)
+      val want = {
+        val e0 = IndexFence.claimWriterEpoch(spark, "fence_cmp_postings")
+        IndexFence.fencedAppend(spark, Seq("fence_cmp_postings"), e0, 0L) {
+          SimilarityOps.appendIvfIndex(batch, "vec_id", "embedding",
+            "fence_cmp", buckets = 4)
+        }
+        postingSet("fence_cmp")
+      }
+      dropIvf("fence_cmp")
+      SimilarityOps.writeIvfIndex(emb.where(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", IvfMod, IvfRem, KmIters, "fence_cmp",
+        buckets = 4)
+      val pre = postingSet("fence_cmp")
+      val e1 = IndexFence.claimWriterEpoch(spark, "fence_cmp_postings")
+      intercept[RuntimeException] {
+        IndexFence.fencedAppend(spark, Seq("fence_cmp_postings"), e1, 0L) {
+          SimilarityOps.appendIvfIndex(batch, "vec_id", "embedding",
+            "fence_cmp", buckets = 4)
+          throw new RuntimeException("simulated crash before commit")
+        }
+      }
+      // the maintenance window fires while the writer is down: compaction
+      // must purge the crashed attempt's orphans BEFORE rewriting
+      SimilarityOps.compactIvfIndex(spark, "fence_cmp")
+      spark.catalog.refreshTable("fence_cmp_postings")
+      assert(postingSet("fence_cmp") == pre,
+        "the compacted generation must hold exactly the committed " +
+          "(pre-batch) rows — crashed-append orphans must not be baked in")
+      // REPLAY after the generation flip: must NOT purge the compacted
+      // files against the stale listing, and must re-append exactly once
+      IndexFence.fencedAppend(spark, Seq("fence_cmp_postings"), e1, 0L) {
+        SimilarityOps.appendIvfIndex(batch, "vec_id", "embedding",
+          "fence_cmp", buckets = 4)
+      }
+      spark.catalog.refreshTable("fence_cmp_postings")
+      val got = postingSet("fence_cmp")
+      assert(got == want,
+        s"replay across a compaction must converge to the " +
+          s"one-clean-append row set (got ${got.size}, want ${want.size}" +
+          " — fewer means the purge destroyed compacted files, more " +
+          "means the batch was doubled)")
+    } finally dropIvf("fence_cmp")
+  }
+
+  test("compaction sweeps an orphan generation directory left by a mid-CTAS crash") {
+    import graft.queries.QueriesSim.{IvfMod, IvfRem, KmIters}
+    import org.apache.hadoop.fs.Path
+    // ADVICE r16 (low): a crash during the new-generation CTAS write
+    // leaves a partial _gen<k> directory with NO tmp catalog entry (CTAS
+    // writes data before creating the table) and no retired record — the
+    // old recovery steps skipped it forever, leaking one full index copy
+    // per crash. The r17 sweep deletes any <stem>_gen* sibling that is
+    // not the live location (retired dirs and tmp entries have already
+    // been processed by the earlier recovery steps).
+    try {
+      SimilarityOps.writeIvfIndex(emb.where(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", IvfMod, IvfRem, KmIters, "swp_gc",
+        buckets = 4)
+      val pre = postingSet("swp_gc")
+      val loc = new Path(spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser
+          .parseTableIdentifier("swp_gc_postings")).location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // fabricate the mid-CTAS crash residue: a partial generation dir
+      val orphan = new Path(loc.getParent, loc.getName + "_gen7")
+      fs.mkdirs(orphan)
+      val out = fs.create(new Path(orphan, "part-00000.parquet"), true)
+      try out.write("partial".getBytes("UTF-8")) finally out.close()
+      SimilarityOps.compactIvfIndex(spark, "swp_gc")
+      assert(!fs.exists(orphan),
+        "a mid-CTAS orphan generation must be swept by the next " +
+          "compaction, not leaked forever")
+      spark.catalog.refreshTable("swp_gc_postings")
+      assert(postingSet("swp_gc") == pre,
+        "the sweep must not disturb the compacted row set")
+    } finally dropIvf("swp_gc")
+  }
 }

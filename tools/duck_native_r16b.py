@@ -40,7 +40,10 @@ oracles = json.load(open(oracle_json))
 CUMSUM_NATIVE = ("SELECT count(*) c, sum(hash(event_id, user_id, cs_all, "
                  "cs_skipna, cs_noskip)) h "
                  f"FROM ({oracles['q_cumsum']}) t")
-SESSION_NATIVE = ("SELECT count(*) c, sum(hash(COLUMNS(*))) "
+# same consume-in-DB shape as the other natives: one combined
+# multi-arg row hash with the h alias (ADVICE r16 — COLUMNS(*)
+# expanded to one sum per column, a different work shape)
+SESSION_NATIVE = ("SELECT count(*) c, sum(hash(user_id, session_start, n, sum_value)) h "
                   f"FROM ({oracles['q_session_window']}) t")
 RANK_NATIVE = ("SELECT count(*) c, sum(hash(event_id, r_avg, r_min, r_max, "
                "r_dense, r_first, r_pct, r_na_keep, r_na_bottom, r_desc)) h "
