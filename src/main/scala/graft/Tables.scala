@@ -84,9 +84,12 @@ object GraftSession {
     * measured WORSE, see the rejected-tuning note below), but the sf100
     * window-sort probes (q_cumsum: 3.1M rows × ~100 B per task, ×32
     * concurrent sorts) exceed the execution-memory budget and
-    * spill+GC-thrash at 32 — the same query at 128 partitions fits.
-    * The env var is how a scale run states its deployment setting
-    * without changing the default any benched number depends on. */
+    * spill+GC-thrash at 32 — the same query at 128 partitions fits
+    * (measured r17: first-execution samples 56–100 s at 32 vs a tight
+    * 9–15 s band at 128, same ~9.3–10.3 s steady-state best either way
+    * — SCALE.md "r17: q_cumsum at sf100"). The env var is how a scale
+    * run states its deployment setting without changing the default any
+    * benched number depends on. */
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder = {
     // The override must be LOUD (ADVICE r16): a leaked env var silently
     // changing the shuffle width invalidates every benched number, so an

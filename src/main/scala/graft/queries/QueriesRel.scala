@@ -252,9 +252,9 @@ object QueriesRel {
     val clicks = ev.where(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("value").as("click_value"))
     // no final global orderBy — per-row output keyed by event_id; the
-    // presentational sort of the full output measured 1.3× the query at
-    // 100M events (SortTaxProbe, SCALE.md r16) and the harness compares
-    // order-independently
+    // presentational sort of the full output measured 2.2× the query at
+    // 100M events (SortTaxProbe, SCALE.md "r17: the presentational-sort
+    // tax") and the harness compares order-independently
     RelOps.asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts",
         "click_value", "last_click_value")
       .select("event_id", "user_id", "value", "last_click_value")

@@ -214,9 +214,10 @@ object QueriesTime {
       .select("user_id", "session_start", "n", "sum_value")
       // no final global orderBy — the session table is keyed by
       // (user_id, session_start) and grows with the input (~40M sessions
-      // at 100M events); the presentational sort measured 7.6× the query
-      // at that scale (range sampling re-executes sessionize+agg, then
-      // sorts the full output — SortTaxProbe, SCALE.md r16). The
+      // at 100M events); the presentational sort measured 2.2× the query
+      // at that scale, 7.6× in the noisier r16 reading (range sampling
+      // re-executes sessionize+agg, then sorts the full output —
+      // SortTaxProbe, SCALE.md "r17: the presentational-sort tax"). The
       // streaming gates above keep their sorts: fixture-scale outputs.
 
   val qSessionOracle: String = """

@@ -26,10 +26,10 @@ object QueriesWindow {
     // No final global orderBy: the output is per-row (|output| = |input|),
     // every row is keyed by event_id, and the differential harness
     // compares order-independently. At 100M rows the presentational sort
-    // measured 2.1× the query (range exchange re-executes the window
+    // measured 2.3× the query (range exchange re-executes the window
     // subtree for partitioner sampling, then sorts the full output —
-    // SortTaxProbe, SCALE.md r16); a 100 TB engine never globally sorts
-    // a full output for presentation.
+    // SortTaxProbe, SCALE.md "r17: the presentational-sort tax"); a
+    // 100 TB engine never globally sorts a full output for presentation.
     ev.select(col("event_id"), col("user_id"),
         (WindowOps.cumsum(col("c"), userKey, byEvent).cast("double") / 100.0).as("cs_all"),
         (WindowOps.cumsum(col("c2"), userKey, byEvent, skipna = true).cast("double") / 100.0).as("cs_skipna"),
