@@ -103,7 +103,7 @@ object GraftSession {
         v
       case None => shufflePartitions.toString
     }
-    SparkSession.builder()
+    val b = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", effectiveShuffle)
       .config("spark.sql.adaptive.enabled", "true")
@@ -167,5 +167,32 @@ object GraftSession {
       // shape instead of silent extra (or missing) shuffles.
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")
+    // State-store provider: a DEPLOYMENT setting, like the shuffle width
+    // above. Measured head-to-head at sf100 (q_stream_dedup, 100M rows →
+    // 40M state rows / 9.2 GB, SCALE.md "r17: q_stream_dedup at sf100"):
+    // the HDFS-backed in-heap default ran 465 s vs RocksDB+changelog
+    // 666 s on calm-box best-of-3 — while state FITS executor memory the
+    // in-heap map wins (~1.4×; RocksDB pays JNI + SST churn on every
+    // update, and its watermark eviction scans just like the default's).
+    // RocksDB is the CAPACITY knob, not a speed knob: state beyond the
+    // heap (the crawl-scale regime) only runs at all off-heap, which is
+    // why production deployments still choose it. Gates that REQUIRE
+    // RocksDB (transformWithState) scope it themselves regardless.
+    val b2 = sys.env.get("SPARK_GRAFT_STATE_STORE") match {
+      case Some("rocksdb") =>
+        System.err.println("[graft] SPARK_GRAFT_STATE_STORE=rocksdb " +
+          "overrides the HDFS-backed state-store default — streaming gate " +
+          "numbers depend on this setting")
+        b.config("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state" +
+              ".RocksDBStateStoreProvider")
+          .config("spark.sql.streaming.stateStore.rocksdb" +
+            ".changelogCheckpointing.enabled", "true")
+      case Some(other) =>
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_STATE_STORE=$other: only 'rocksdb' is supported")
+      case None => b
+    }
+    b2
   }
 }
