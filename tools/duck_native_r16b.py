@@ -13,7 +13,8 @@ materialization).
   idiomatic window/gaps-and-islands spelling - reuse it verbatim from a
   Verify dump's oracle_sql.json, consumed in-DB.
 
-Usage: duck_native_r16b.py SF_DIR ORACLE_JSON [reps]
+Usage: duck_native_r16b.py SF_DIR ORACLE_JSON [reps] [only ...]
+  `only`: run just the named natives (suffix-matched, e.g. asof session)
 """
 import json, sys, time
 import duckdb
@@ -21,6 +22,7 @@ import duckdb
 sf = sys.argv[1]
 oracle_json = sys.argv[2]
 reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+only = set(sys.argv[4:])
 con = duckdb.connect()
 con.execute("SET threads TO 32")
 con.execute("SET TimeZone='UTC'")
@@ -53,6 +55,8 @@ for name, sql in [("q_asof_native", ASOF_NATIVE),
                   ("q_cumsum_native", CUMSUM_NATIVE),
                   ("q_session_native", SESSION_NATIVE),
                   ("q_rank_native", RANK_NATIVE)]:
+    if only and not any(o in name for o in only):
+        continue
     best = None
     for _ in range(reps):
         t0 = time.time()
