@@ -65,5 +65,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               TextFunctions.P32))).toAggregateExpression()
       }))
     e.injectOptimizerRule(_ => new graft.plans.RangeJoinBinRule)
+    // Whole-operator seam: plans graft.plans.AsofMergeJoin (the
+    // partitioned merge as-of join RelOps.asofJoin emits by default) —
+    // RelOps also self-registers this per session via
+    // experimental.extraStrategies, so extensions-less sessions work; the
+    // injection here is the cluster-wide `spark.sql.extensions` path.
+    e.injectPlannerStrategy(_ => new graft.plans.AsofMergeJoinStrategy)
   }
 }

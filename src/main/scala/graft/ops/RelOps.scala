@@ -1,10 +1,12 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, IntegralDivide, Literal}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
+
+import graft.plans.{AsofMergeJoin, AsofMergeJoinStrategy}
 
 /** Relational building blocks beyond plain joins: as-of join and top-k per
   * group. These are capabilities a user of the reference gets from pandas
@@ -22,21 +24,143 @@ object RelOps {
     * is null yields null (pandas parity) — the match struct carries
     * (ord, payload) so null payloads never fall through to earlier rows.
     *
-    * Union-and-scan formulation: tag both sides, sort by (keys, ord,
-    * rightFirst) once, and stream `last(match ignore nulls)` over the
-    * running frame (forward is the same scan over the reversed order;
-    * nearest combines both and compares the two ord distances — interval
-    * arithmetic, so timestamp and numeric ord columns both work). ONE
-    * shuffle + one sort per scan direction, no point-in-time self-join
-    * explosion — the plan a sort-merge as-of needs at 100 TB, and AQE
-    * handles skewed keys. Right rows at the exact same ord sort before
-    * left rows so matches are inclusive in both directions.
+    * Default plan (keys non-empty): the partitioned-merge operator
+    * [[graft.plans.AsofMergeJoin]] — co-partition and sort each side
+    * SEPARATELY on (keys, ord), then one streaming two-cursor pass per
+    * partition (r17: 2.45× vs the union plan was DuckDB's merge-operator
+    * edge at 100M events; this is the same shape, distributed). No
+    * point-in-time self-join explosion, AQE sizes each side's exchange
+    * independently, skewed keys salt like any clustered exchange.
+    *
+    * Fallback (keyless, or `spark.graft.asof.merge=false`) and the
+    * REFERENCE SEMANTICS the merge exec is A/B-pinned against
+    * (AsofMergeSpec): union-and-scan — tag both sides, sort by (keys,
+    * ord, rightFirst) once, and stream `last(match ignore nulls)` over
+    * the running frame (forward is the same scan over the reversed
+    * order; nearest combines both and compares the two ord distances —
+    * interval arithmetic, so timestamp and numeric ord columns both
+    * work). Right rows at the exact same ord sort before left rows so
+    * matches are inclusive in both directions.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftOrd: String, rightOrd: String,
                payload: String, as: String,
                direction: String = "backward",
                tolerance: Option[Column] = None): DataFrame = {
+    // Two physical shapes, same semantics (A/B-pinned in RelOpsSpec):
+    // the partitioned-merge operator (graft.plans.AsofMergeJoin — two
+    // side-local shuffles+sorts, one streaming pass) is the scale path
+    // and the default; the union-and-scan window formulation below stays
+    // as the keyless fallback and the opt-out
+    // (spark.graft.asof.merge=false), and remains the reference
+    // semantics the merge operator is held to.
+    val merge = keys.nonEmpty && left.sparkSession.conf
+      .get("spark.graft.asof.merge", "true").toBoolean
+    direction match {
+      case "backward" | "forward" if merge =>
+        val j = mergeJoined(left, right, keys, leftOrd, rightOrd, payload,
+          fwd = direction == "forward", tag = "")
+        val bounded = tolerance match {
+          case None => col("__graft_mp")
+          case Some(tol) =>
+            val dist =
+              if (direction == "forward") col("__graft_mo") - col(leftOrd)
+              else col(leftOrd) - col("__graft_mo")
+            when(dist <= tol, col("__graft_mp"))
+        }
+        placeAs(j, left.columns, as, bounded)
+      case "nearest" if merge =>
+        // two merges; the second reuses the first's left-side exchange
+        // and sort (AsofMergeJoinExec preserves left partitioning and
+        // ordering). Combination formula mirrors the window path's
+        // struct comparison EXACTLY, including its null arithmetic.
+        val b = mergeJoined(left, right, keys, leftOrd, rightOrd, payload,
+          fwd = false, tag = "b")
+        val bf = mergeJoined(b, right, keys, leftOrd, rightOrd, payload,
+          fwd = true, tag = "f")
+        val (bo, bp) = (col("__graft_mob"), col("__graft_mpb"))
+        val (fo, fp) = (col("__graft_mof"), col("__graft_mpf"))
+        val nearO = when(!col("__graft_mff"), bo)
+          .when(!col("__graft_mfb"), fo)
+          .when(col(leftOrd) - bo <= fo - col(leftOrd), bo).otherwise(fo)
+        val nearP = when(!col("__graft_mff"), bp)
+          .when(!col("__graft_mfb"), fp)
+          .when(col(leftOrd) - bo <= fo - col(leftOrd), bp).otherwise(fp)
+        val bounded = tolerance match {
+          case None => nearP
+          case Some(tol) =>
+            val dist = greatest(col(leftOrd) - nearO, nearO - col(leftOrd))
+            when(dist <= tol, nearP)
+        }
+        placeAs(bf, left.columns, as, bounded)
+      case _ => asofViaWindow(left, right, keys, leftOrd, rightOrd,
+        payload, as, direction, tolerance)
+    }
+  }
+
+  /** `withColumn` placement semantics for the merge path's result: the
+    * `as` column replaces an existing column in place or appends. */
+  private def placeAs(df: DataFrame, leftCols: Array[String], as: String,
+                      value: Column): DataFrame = {
+    val out =
+      if (leftCols.contains(as)) leftCols.map(c =>
+        if (c == as) value.as(as) else col(c)).toSeq
+      else leftCols.map(col(_)).toSeq :+ value.as(as)
+    df.select(out: _*)
+  }
+
+  /** Build the [[graft.plans.AsofMergeJoin]] node: right side projected
+    * to (keys, ord, payload) under fresh aliases (fresh exprIds, so a
+    * self-as-of — both sides carved from one scan — never presents
+    * conflicting attributes), left side untouched. Returns the left
+    * columns plus `__graft_mf/mo/mp<tag>` (matched?, matched ord,
+    * matched payload). */
+  private def mergeJoined(left: DataFrame, right: DataFrame,
+                          keys: Seq[String], leftOrd: String,
+                          rightOrd: String, payload: String,
+                          fwd: Boolean, tag: String): DataFrame = {
+    val spark = left.sparkSession
+    ensureStrategy(spark)
+    val rProj = right.select(
+      keys.zipWithIndex.map { case (k, i) => col(k).as(s"__graft_rk$i") } ++
+        Seq(col(rightOrd).as("__graft_ro"),
+          col(payload).as("__graft_rp")): _*)
+    val lPlan = PlanBridge.analyzed(left)
+    val rPlan = PlanBridge.analyzed(rProj)
+    def lAttr(n: String): Attribute = lPlan.output.find(_.name == n)
+      .getOrElse(throw new IllegalArgumentException(
+        s"asofJoin: column $n not found in left side"))
+    val rOut = rPlan.output
+    val node = AsofMergeJoin(
+      leftKeys = keys.map(lAttr), rightKeys = rOut.take(keys.size),
+      leftOrd = lAttr(leftOrd), rightOrd = rOut(keys.size),
+      payload = rOut(keys.size + 1),
+      forward = fwd,
+      matchedFlag = AttributeReference(s"__graft_mf$tag",
+        org.apache.spark.sql.types.BooleanType, nullable = false)(),
+      matchedOrd = AttributeReference(s"__graft_mo$tag",
+        rOut(keys.size).dataType)(),
+      matchedPay = AttributeReference(s"__graft_mp$tag",
+        rOut(keys.size + 1).dataType)(),
+      left = lPlan, right = rPlan)
+    PlanBridge.ofRows(spark, node)
+  }
+
+  /** Idempotently register the merge-asof planner strategy on the
+    * session (the per-session seam; GraftExtensions carries the same
+    * strategy for `spark.sql.extensions` deployments). */
+  private def ensureStrategy(spark: SparkSession): Unit = synchronized {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.exists(_.isInstanceOf[AsofMergeJoinStrategy]))
+      spark.experimental.extraStrategies = cur :+ new AsofMergeJoinStrategy
+  }
+
+  private def asofViaWindow(left: DataFrame, right: DataFrame,
+                            keys: Seq[String],
+                            leftOrd: String, rightOrd: String,
+                            payload: String, as: String,
+                            direction: String,
+                            tolerance: Option[Column]): DataFrame = {
     val leftCols = left.columns
     val l = left.withColumn("__ord", col(leftOrd)).withColumn("__isR", lit(0))
       .withColumn("__pay", lit(null).cast(right.schema(payload).dataType))

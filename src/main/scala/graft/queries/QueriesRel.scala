@@ -243,8 +243,10 @@ object QueriesRel {
       FROM part) WHERE rk <= 3 ORDER BY p_brand, rk"""
 
   /** As-of join (pandas merge_asof): each purchase event picks up the value
-    * of the user's latest click at-or-before it. Union-and-scan plan: one
-    * shuffle + one sort (see RelOps.asofJoin). */
+    * of the user's latest click at-or-before it. Partitioned-merge plan
+    * (graft.plans.AsofMergeJoin): one exchange + one sort PER SIDE, then
+    * a streaming two-cursor pass — see RelOps.asofJoin for the
+    * formulation choice and the window fallback. */
   def qAsof(spark: SparkSession, dir: String): DataFrame = {
     val ev        = Tables.events(spark, dir)
     val purchases = ev.where(col("event_type") === "purchase")
