@@ -85,12 +85,32 @@ object Bench {
         .find(p => new java.io.File(p).exists())
       script.flatMap { s =>
         try {
-          val p = new ProcessBuilder("python3", s, sfDir).start()
-          val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
-          val ok = p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS) &&
-            p.exitValue() == 0
-          val line = out.linesIterator.toSeq.lastOption.getOrElse("")
-          if (ok && line.startsWith("{")) Some(line) else None
+          // stderr merged into stdout (an undrained stderr pipe fills and
+          // deadlocks the child) and the read runs on its OWN thread so
+          // the 300 s deadline is enforceable — a blocking readAllBytes
+          // before waitFor would make the timeout unreachable and hang
+          // the whole bench on a stuck child (r17 review finding)
+          val p = new ProcessBuilder("python3", s, sfDir)
+            .redirectErrorStream(true).start()
+          val buf = new java.util.concurrent.atomic.AtomicReference[String]("")
+          val reader = new Thread(() => {
+            try buf.set(new String(p.getInputStream.readAllBytes(), "UTF-8"))
+            catch { case _: Throwable => }
+          })
+          reader.setDaemon(true)
+          reader.start()
+          val done = p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
+          if (!done) {
+            System.err.println("[graft] duck yardstick timed out (300 s); " +
+              "killing it — control omitted from this bench line")
+            p.destroyForcibly()
+            None
+          } else {
+            reader.join(10000)
+            val line = buf.get.trim.linesIterator.toSeq
+              .filter(_.startsWith("{")).lastOption.getOrElse("")
+            if (p.exitValue() == 0 && line.nonEmpty) Some(line) else None
+          }
         } catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[graft] duck yardstick unavailable: $e")
           None

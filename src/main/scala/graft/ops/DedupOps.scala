@@ -585,6 +585,11 @@ object DedupOps {
     graft.ops.IndexMeta.set(corpus.sparkSession, s"${table}_postings",
       Map("bands" -> bands.toString, "rows" -> rows.toString,
         "maxBucket" -> maxBucket.toString))
+    // fresh incarnation: clear any _COMMITTED/pending fence state from a
+    // previous build of this name (see IndexFence.resetBatchState — a
+    // stale commit marker would no-op the new stream's early batches)
+    graft.streaming.IndexFence.resetBatchState(corpus.sparkSession,
+      s"${table}_postings")
   }
 
   /** APPEND a new crawl batch to a persisted LSH index (r13 verdict item

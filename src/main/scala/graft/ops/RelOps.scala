@@ -127,9 +127,20 @@ object RelOps {
           col(payload).as("__graft_rp")): _*)
     val lPlan = PlanBridge.analyzed(left)
     val rPlan = PlanBridge.analyzed(rProj)
-    def lAttr(n: String): Attribute = lPlan.output.find(_.name == n)
-      .getOrElse(throw new IllegalArgumentException(
-        s"asofJoin: column $n not found in left side"))
+    // resolve with the session's case-sensitivity rule, and refuse
+    // ambiguity — exact string equality here would be a silent behavior
+    // change vs the window path's col() resolution (r17 review finding)
+    val caseSensitive = spark.conf
+      .get("spark.sql.caseSensitive", "false").toBoolean
+    def resolves(a: String, b: String): Boolean =
+      if (caseSensitive) a == b else a.equalsIgnoreCase(b)
+    def lAttr(n: String): Attribute = {
+      val hits = lPlan.output.filter(a => resolves(a.name, n))
+      require(hits.size == 1, s"asofJoin: column $n " +
+        (if (hits.isEmpty) "not found in left side"
+         else s"is ambiguous in left side (${hits.map(_.name).mkString(", ")})"))
+      hits.head
+    }
     val rOut = rPlan.output
     val node = AsofMergeJoin(
       leftKeys = keys.map(lAttr), rightKeys = rOut.take(keys.size),

@@ -656,17 +656,33 @@ object SimilarityOps {
       "_gen\\d+$").r
     val parentDir = liveLoc.getParent
     if (parentDir != null && fs.exists(parentDir)) {
+      // belt-and-suspenders before the recursive delete (r17 review
+      // finding): a directory matching the <stem>_gen<k> NAME pattern
+      // could still be some OTHER catalog table's live location (nothing
+      // forbids a user table literally named like a generation dir) —
+      // never delete a directory any catalog entry resolves to
+      val cat = spark.sessionState.catalog
+      val catalogLocs: Set[Path] = cat.listTables(cat.getCurrentDatabase)
+        .flatMap(ti => scala.util.Try(
+          fs.makeQualified(new Path(cat.getTableMetadata(ti).location)))
+          .toOption).toSet
       fs.listStatus(parentDir).toSeq
         .filter(st => st.isDirectory &&
           GenSibling.findFirstIn(st.getPath.getName).isDefined)
         .map(st => fs.makeQualified(st.getPath))
         .filter(_ != liveLoc)
         .foreach { d =>
-          graftSimLog.warn(s"compactBucketedTable: deleting orphan " +
-            s"generation $d — a partial write from a compaction that " +
-            "crashed mid-CTAS (untracked by the catalog, the retired " +
-            "record, or any tmp entry)")
-          fs.delete(d, true)
+          if (catalogLocs.contains(d)) {
+            graftSimLog.warn(s"compactBucketedTable: NOT deleting $d — " +
+              "its name matches the orphan-generation pattern but a " +
+              "catalog table resolves to it; leaving it untouched")
+          } else {
+            graftSimLog.warn(s"compactBucketedTable: deleting orphan " +
+              s"generation $d — a partial write from a compaction that " +
+              "crashed mid-CTAS (untracked by the catalog, the retired " +
+              "record, or any tmp entry)")
+            fs.delete(d, true)
+          }
         }
     }
 
@@ -792,9 +808,16 @@ object SimilarityOps {
       .write.mode(if (appendMode) "append" else "overwrite")
       .bucketBy(buckets, "cluster_id")
       .sortBy("cluster_id").saveAsTable(s"${table}_postings")
-    if (!appendMode) dim.foreach { d =>
-      graft.ops.IndexMeta.set(spark, s"${table}_postings",
-        Map("dim" -> d.toString))
+    if (!appendMode) {
+      dim.foreach { d =>
+        graft.ops.IndexMeta.set(spark, s"${table}_postings",
+          Map("dim" -> d.toString))
+      }
+      // fresh incarnation of the index: stale per-incarnation fence
+      // state (a _COMMITTED from the previous build) would no-op the
+      // new stream's early batches — see IndexFence.resetBatchState
+      graft.streaming.IndexFence.resetBatchState(spark,
+        s"${table}_postings")
     }
   }
 

@@ -43,8 +43,11 @@ import org.apache.spark.sql.SparkSession
   *
   * Commit protocol per batch:
   *   1. read `_COMMITTED`; a HIGHER epoch there ⇒ this writer is a zombie
-  *      ⇒ fail loudly; same epoch with `committed ≥ batchId` ⇒ exactly-once
-  *      replay no-op.
+  *      ⇒ fail loudly; `committed ≥ batchId` at ANY epoch ⇒ exactly-once
+  *      replay no-op (batch ids are monotonic across restarts under a
+  *      shared checkpoint, and a batch fence-committed just before a
+  *      driver crash is redelivered by the resumed writer under a FRESH
+  *      epoch — an epoch-equality condition here would re-append it).
   *   2. if ANY `pending-*` manifest exists — not just this epoch's: a
   *      checkpoint resume claims a FRESH epoch, so a crashed attempt's
   *      manifest usually carries a LOWER epoch than the replaying
@@ -102,6 +105,32 @@ object IndexFence {
     StreamOps.claimEpoch(fs, root)
   }
 
+  /** Reset the PER-INCARNATION fence state (`_COMMITTED` + `pending-*`)
+    * for `table` — called by every fresh index BUILD over a possibly
+    * pre-existing name (writeIvfIndex / writeLshIndex overwrite paths).
+    * Batch-id-based replay no-ops are only sound WITHIN one table
+    * incarnation: a rebuilt index restarts its stream from a fresh
+    * checkpoint (batch ids from 0 again), and a stale `_COMMITTED` from
+    * the previous incarnation would silently no-op every early batch of
+    * the new one. Epoch markers are KEPT: the writer lease outlives
+    * incarnations, so a zombie writer from before the rebuild stays
+    * fenced. */
+  def resetBatchState(spark: SparkSession, table: String): Unit = {
+    val root = fenceRoot(spark, table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        n == "_COMMITTED" || n.startsWith("pending-")
+      }
+      .foreach { st =>
+        graftLog.info(s"resetBatchState($table): clearing " +
+          s"${st.getPath.getName} from the previous table incarnation")
+        fs.delete(st.getPath, false)
+      }
+  }
+
   private case class Committed(batchId: Long, epoch: Long, writer: String)
 
   private def readCommitted(fs: FileSystem, root: Path): Option[Committed] = {
@@ -156,12 +185,22 @@ object IndexFence {
           .getLines().map(_.trim).filter(_.nonEmpty).toList
         finally in.close()
         val (locLines, fileLines) = lines.partition(_.startsWith("#loc "))
+        // DELIBERATE hard stop, not a migration shim (r17 review weighed
+        // and kept it): a header-less manifest (pre-r17 format) cannot
+        // say which generation its listing describes. Guessing "current
+        // location" reproduces the exact bug the headers fix (a purge
+        // against a compaction-flipped generation deletes every
+        // compacted file), and silently skipping would leave the crashed
+        // attempt's orphans to be doubled by the replay. The operator
+        // remedy is explicit: reconcile the table against the listing,
+        // then delete the manifest.
         if (locLines.isEmpty)
           throw new IllegalStateException(
             s"fence: unrecognized pending-manifest format at ${st.getPath}" +
               " — no '#loc' headers, so there is no way to tell which " +
               "generation its listing describes; refusing to purge " +
-              "against it (a wrong guess deletes live index files)")
+              "against it (a wrong guess deletes live index files). " +
+              "Reconcile the table manually, then delete this manifest")
         val locs = locLines.map { l =>
           val Array(t, loc) = l.stripPrefix("#loc ").split(" ", 2)
           t -> loc
@@ -247,10 +286,22 @@ object IndexFence {
           s"${myClaim.nonce}; the store's create-if-absent is not atomic. " +
           "Shut down and restart to claim a fresh epoch")
     }
-    if (committed.exists(c => c.epoch == myEpoch && c.batchId >= batchId)) {
+    // Replay no-op on batch id ALONE, not (epoch, batch): with a shared
+    // checkpoint, batch ids are monotonic across restarts, and the
+    // crash window BETWEEN the fence commit (step 5) and Spark's own
+    // commit-log write means a fully fence-committed batch can be
+    // redelivered by a resumed writer under a FRESH epoch — requiring
+    // epoch equality here made that replay re-append and double the
+    // batch (r17 review finding, pinned in IndexMaintenanceSpec). Higher
+    // epochs were already fenced above; a lower-epoch committed marker
+    // with batchId >= ours is precisely "my predecessor finished this
+    // batch before dying".
+    if (committed.exists(c => c.batchId >= batchId)) {
       graftLog.info(s"fencedAppend: skipping batch $batchId at " +
         s"${tables.head} — already committed through " +
-        s"${committed.get.batchId} (epoch $myEpoch in-epoch replay)")
+        s"${committed.get.batchId} by epoch ${committed.get.epoch} " +
+        s"(this writer: epoch $myEpoch; cross-epoch replay after a " +
+        "checkpoint resume is a no-op)")
       return false
     }
     val dirs = tables.map(t => t -> tableDir(spark, t))

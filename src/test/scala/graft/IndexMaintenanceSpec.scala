@@ -52,6 +52,43 @@ class IndexMaintenanceSpec extends SparkSpec {
     } finally dropIvf("fence_ivf")
   }
 
+  test("fencedAppend: a batch fence-committed just before a driver crash " +
+       "replays as a no-op under the resumed writer's FRESH epoch") {
+    import graft.queries.QueriesSim.{IvfMod, IvfRem, KmIters}
+    try {
+      SimilarityOps.writeIvfIndex(emb.where(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", IvfMod, IvfRem, KmIters, "fence_fc",
+        buckets = 4)
+      // epoch e commits batch 0 fully (fence _COMMITTED written, pending
+      // manifest deleted), then the driver dies BEFORE Spark's own
+      // commit log records batch 0 — the window between fence step 5 and
+      // the checkpoint commit
+      val e0 = IndexFence.claimWriterEpoch(spark, "fence_fc_postings")
+      val batch = emb.where(col("vec_id") % 3 === 1)
+      val ran1 = IndexFence.fencedAppend(spark, Seq("fence_fc_postings"),
+        e0, 0L) {
+        SimilarityOps.appendIvfIndex(batch, "vec_id", "embedding",
+          "fence_fc", buckets = 4)
+      }
+      val want = postingSet("fence_fc")
+      // the restart claims a FRESH epoch and Spark redelivers batch 0:
+      // before r17's fix the no-op check required EPOCH EQUALITY, so
+      // this replay re-ran the append and doubled every posting
+      val e1 = IndexFence.claimWriterEpoch(spark, "fence_fc_postings")
+      assert(e1.epoch > e0.epoch)
+      val ran2 = IndexFence.fencedAppend(spark, Seq("fence_fc_postings"),
+        e1, 0L) {
+        SimilarityOps.appendIvfIndex(batch, "vec_id", "embedding",
+          "fence_fc", buckets = 4)
+      }
+      assert(ran1 && !ran2,
+        "a fence-committed batch redelivered under a fresh epoch must no-op")
+      spark.catalog.refreshTable("fence_fc_postings")
+      assert(postingSet("fence_fc") == want,
+        "cross-epoch replay of a committed batch must not duplicate postings")
+    } finally dropIvf("fence_fc")
+  }
+
   test("fencedAppend: crash mid-append is repaired — orphan files purged, re-append lands exactly once") {
     import graft.queries.QueriesSim.{IvfMod, IvfRem, KmIters}
     try {
