@@ -66,31 +66,33 @@ object MultimodalOps {
   def synthB(id: Long, x: Int, y: Int): Int = ((id * 3 + x * 5 + y * 17) % 256).toInt
 
   /** REAL ENCODE: render the deterministic raster for each id and encode
-    * it as PNG bytes with `javax.imageio` — a batch-shaped pass (one
-    * iterator per partition), producing genuine image payloads for the
-    * decode path to consume. */
+    * it as PNG bytes — a batch-shaped pass (one iterator per partition),
+    * producing genuine image payloads for the decode path to consume.
+    *
+    * r17 per-task-work optimization (guide §1.2 step 2): the encoder is
+    * [[FastPng]] instead of `javax.imageio` — same spec-conformant PNG
+    * byte stream (MultimodalSpec pins FastPng-encoded bytes to decode
+    * pixel-identically through `ImageIO.read`), without ImageIO's
+    * per-call writer/SPI/metadata constant, which dominated the pass at
+    * thumbnail raster sizes (q_image_resize 0.83 → 0.37 s at sf0.1). */
   def encodePngImages(spark: SparkSession, df: DataFrame,
                       idCol: String): Dataset[MediaRow] = {
     import spark.implicits._
     df.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
-      disableImageIOCache()
       ids.map { id =>
         val (w, h) = (synthW(id), synthH(id))
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = new Array[Int](w * h)
         var y = 0
         while (y < h) {
           var x = 0
           while (x < w) {
-            img.setRGB(x, y,
-              (synthR(id, x, y) << 16) | (synthG(id, x, y) << 8) | synthB(id, x, y))
+            rgb(y * w + x) =
+              (synthR(id, x, y) << 16) | (synthG(id, x, y) << 8) | synthB(id, x, y)
             x += 1
           }
           y += 1
         }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        MediaRow(id, "image", bos.toByteArray, w, h, 0L)
+        MediaRow(id, "image", FastPng.encodeRgb(w, h, rgb), w, h, 0L)
       }
     }
   }
@@ -103,25 +105,20 @@ object MultimodalOps {
   def decodeImageMeta(ds: Dataset[MediaRow]): Dataset[ImageMeta] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
-      disableImageIOCache()
       rows.map { r =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(r.payload))
-        require(img != null,
-          s"media ${r.media_id}: payload (${r.payload.length} bytes) is not a decodable image")
+        val (w, h, px) =
+          try FastPng.decode(r.payload)
+          catch { case e: Exception => throw new IllegalArgumentException(
+            s"media ${r.media_id}: payload (${r.payload.length} bytes) is " +
+              s"not a decodable image: ${e.getMessage}", e) }
         var (sr, sg, sb) = (0L, 0L, 0L)
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) {
-            val rgb = img.getRGB(x, y)
-            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
-            x += 1
-          }
-          y += 1
+        var i = 0
+        while (i < px.length) {
+          val rgb = px(i)
+          sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+          i += 1
         }
-        ImageMeta(r.media_id, img.getWidth.toLong, img.getHeight.toLong,
-          img.getWidth.toLong * img.getHeight, sr, sg, sb)
+        ImageMeta(r.media_id, w.toLong, h.toLong, w.toLong * h, sr, sg, sb)
       }
     }
   }
@@ -141,13 +138,12 @@ object MultimodalOps {
       : Dataset[ImageResize] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
-      disableImageIOCache()
       rows.map { r =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(r.payload))
-        require(img != null,
-          s"media ${r.media_id}: payload (${r.payload.length} bytes) is not a decodable image")
-        val (w, h) = (img.getWidth, img.getHeight)
+        val (w, h, px) =
+          try FastPng.decode(r.payload)
+          catch { case e: Exception => throw new IllegalArgumentException(
+            s"media ${r.media_id}: payload (${r.payload.length} bytes) is " +
+              s"not a decodable image: ${e.getMessage}", e) }
         var (sr, sg, sb) = (0L, 0L, 0L)
         var yy = 0
         while (yy < outH) {
@@ -155,7 +151,7 @@ object MultimodalOps {
           var xx = 0
           while (xx < outW) {
             val sx = xx * w / outW
-            val rgb = img.getRGB(sx, sy)
+            val rgb = px(sy * w + sx)
             sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
             xx += 1
           }
@@ -420,6 +416,26 @@ object MultimodalOps {
 
   /** Pixel-space features from a decoded image: [w, h, mean_r, mean_g,
     * mean_b, folded luma histogram…] — dim floats. */
+  /** [[imageFeatures]] over a FastPng-decoded packed-RGB raster — same
+    * arithmetic, no BufferedImage per-pixel getRGB dispatch. */
+  private def imageFeaturesRgb(w: Int, h: Int, px: Array[Int],
+                               dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var i = 0
+    while (i < px.length) {
+      val rgb = px(i)
+      val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+      sr += r; sg += g; sb += b
+      if (dim > 5) out(5 + (r * 2 + g * 5 + b) % (dim - 5)) += 1.0f
+      i += 1
+    }
+    val n = (w.toLong * h).toFloat
+    out(0) = w.toFloat; out(1) = h.toFloat
+    if (n > 0) { out(2) = sr / n / 255f; out(3) = sg / n / 255f; out(4) = sb / n / 255f }
+    out
+  }
+
   private def imageFeatures(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     val (w, h) = (img.getWidth, img.getHeight)
@@ -458,9 +474,18 @@ object MultimodalOps {
       rows.map { r =>
         val feat =
           if (r.kind == "image") {
-            val img = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(r.payload))
-            if (img != null) imageFeatures(img, dim) else byteFold(r.payload, dim)
+            // PNG payloads (the pipeline's own encode format) go through
+            // FastPng; any other image container falls back to ImageIO so
+            // the parse-vs-byteFold contract is unchanged for every input.
+            val viaFast =
+              try { val (w, h, px) = FastPng.decode(r.payload)
+                    Some(imageFeaturesRgb(w, h, px, dim)) }
+              catch { case _: Exception => None }
+            viaFast.getOrElse {
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(r.payload))
+              if (img != null) imageFeatures(img, dim) else byteFold(r.payload, dim)
+            }
           } else byteFold(r.payload, dim)
         MediaFeatures(r.media_id, r.kind, r.payload.length, feat)
       }

@@ -207,4 +207,75 @@ class MultimodalSpec extends SparkSpec {
     assert(one == (dur + 999) / 1000) // ceil(duration / step)
     assert(frames.where(col("frame_idx") < 0).count() == 0)
   }
+
+  // ---- FastPng ↔ ImageIO cross-validation (r17 codec optimization) ----
+  // The honesty contract for replacing ImageIO on the PNG hot path: the
+  // two independent codec implementations must agree BOTH directions, so
+  // a compensating encode/decode bug pair in FastPng cannot hide behind
+  // its own round-trip.
+
+  private def synthRaster(id: Long): (Int, Int, Array[Int]) = {
+    val (w, h) = (MultimodalOps.synthW(id), MultimodalOps.synthH(id))
+    val px = Array.tabulate(w * h) { i =>
+      val (x, y) = (i % w, i / w)
+      (MultimodalOps.synthR(id, x, y) << 16) |
+        (MultimodalOps.synthG(id, x, y) << 8) | MultimodalOps.synthB(id, x, y)
+    }
+    (w, h, px)
+  }
+
+  test("FastPng.encode bytes decode pixel-identically through ImageIO") {
+    // 117 ids covers every (w, h) combination of the synthetic raster
+    // (w has period 13, h period 9)
+    (0L until 117L).foreach { id =>
+      val (w, h, px) = synthRaster(id)
+      val bytes = graft.multimodal.FastPng.encodeRgb(w, h, px)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO could not parse FastPng bytes for id=$id")
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((img.getRGB(x, y) & 0xffffff) == px(y * w + x),
+          s"pixel ($x,$y) of id=$id diverged FastPng->ImageIO")
+    }
+  }
+
+  test("ImageIO.write bytes decode pixel-identically through FastPng") {
+    // includes a larger noise image so ImageIO's adaptive filter heuristic
+    // exercises the Sub/Up/Average/Paeth decode arms, not just filter 0
+    val rnd = new scala.util.Random(42)
+    val shapes = (0L until 117L).map(id =>
+      (MultimodalOps.synthW(id), MultimodalOps.synthH(id), id)) ++
+      Seq((64, 48, -1L), (31, 77, -2L))
+    shapes.foreach { case (w, h, id) =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = if (id >= 0) {
+          (MultimodalOps.synthR(id, x, y) << 16) |
+            (MultimodalOps.synthG(id, x, y) << 8) | MultimodalOps.synthB(id, x, y)
+        } else rnd.nextInt(1 << 24)
+        img.setRGB(x, y, v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      val (dw, dh, px) = graft.multimodal.FastPng.decode(bos.toByteArray)
+      assert(dw == w && dh == h, s"dims diverged for id=$id")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(px(y * w + x) == (img.getRGB(x, y) & 0xffffff),
+          s"pixel ($x,$y) of id=$id diverged ImageIO->FastPng")
+    }
+  }
+
+  test("FastPng fails loudly on corrupt input") {
+    intercept[Exception] {
+      graft.multimodal.FastPng.decode("not a png at all, but long enough to pass the length gate".getBytes("UTF-8"))
+    }
+    // flip one payload byte -> CRC mismatch must raise, not mis-decode
+    val (w, h, px) = synthRaster(5L)
+    val good = graft.multimodal.FastPng.encodeRgb(w, h, px)
+    val bad = good.clone()
+    bad(good.length - 20) = (bad(good.length - 20) ^ 0x5a).toByte
+    intercept[Exception] { graft.multimodal.FastPng.decode(bad) }
+  }
 }
