@@ -533,4 +533,19 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly the 2 caller repartitions — subset " +
         s"co-partitioning must not re-exchange:\n$p")
   }
+
+  test("q_bootstrap_ci: the 16 replicate hashes are projected once, not re-embedded per CASE arm") {
+    // r17 expression-dedup: inlining the Poisson-weight expression in the
+    // aggregate re-embedded conv(substring(md5(...))) in every CASE arm
+    // and both of each replicate's sums — the plan dump carried up to 160
+    // md5 calls per row and the measured query sat at 16 s (sf0.1).
+    // Projected once below the aggregate (plus an input fanout, the
+    // r16 one-task-minhash fix), it is exactly 16: one per replicate.
+    // CollapseProject must keep non-cheap multiply-referenced aliases out
+    // of consumers for this to hold — if this count ever grows, that
+    // optimizer contract (or the query's projection) broke.
+    val p = plan("q_bootstrap_ci")
+    val md5s = "md5\\(".r.findAllIn(p).size
+    assert(md5s == 16, s"expected exactly 16 md5 projections, got $md5s:\n$p")
+  }
 }
