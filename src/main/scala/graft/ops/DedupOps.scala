@@ -826,9 +826,13 @@ object DedupOps {
     while (changed > 0 && iter < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
+      // carry the incoming label as `old` so the convergence test is a
+      // filter-count over the round's OWN cut, not a join back against
+      // the previous label table (r17, guide §2.4: that join re-shuffled
+      // the full label relation once per iteration for a boolean)
       val prop = labels
         .join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(col("id"),
+        .select(col("id"), col("cluster_id").as("old"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
       // pointer jumping (label := label(label)): contracts label chains so
@@ -837,13 +841,12 @@ object DedupOps {
       val jump = prop.select(col("id").as("jid"), col("cluster_id").as("jcl"))
       val updated = prop
         .join(jump, prop("cluster_id") === jump("jid"), "left")
-        .select(prop("id"),
+        .select(prop("id"), prop("old"),
           least(prop("cluster_id"), coalesce(col("jcl"), prop("cluster_id")))
             .as("cluster_id"))
         .phaseCut
-      changed = updated.join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
-        .where(col("cluster_id") =!= col("old")).count()
-      labels = updated
+      changed = updated.where(col("cluster_id") =!= col("old")).count()
+      labels = updated.select(col("id"), col("cluster_id"))
       iter += 1
     }
     // fail loudly rather than return a partially-propagated clustering:
