@@ -174,27 +174,22 @@ object MultimodalOps {
     ((id * 31 + i * 17) % 65536 - 32768).toInt
 
   /** REAL AUDIO ENCODE: render the deterministic PCM signal per id and
-    * encode it as a WAV container with `javax.sound.sampled` (in the JDK —
-    * WAV/PCM needs no FFmpeg). Batch-shaped like [[encodePngImages]]. */
+    * encode it as a WAV container — batch-shaped like [[encodePngImages]].
+    * r17: the container writer is [[FastWav]] instead of
+    * `javax.sound.sampled` (same RIFF/WAVE PCM bytes — MultimodalSpec
+    * pins FastWav output to parse sample-identically through
+    * `AudioSystem` — without the per-call provider/stream overhead that
+    * dominated at short-clip sizes). */
   def encodeWavAudio(spark: SparkSession, df: DataFrame,
                      idCol: String): Dataset[MediaRow] = {
     import spark.implicits._
     df.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
-      disableImageIOCache()
-      val fmt = new javax.sound.sampled.AudioFormat(
-        AudioRateHz.toFloat, 16, 1, true, false) // 16-bit signed LE mono
       ids.map { id =>
         val n = synthNSamples(id)
-        val pcm = java.nio.ByteBuffer.allocate(n * 2)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val pcm = new Array[Short](n)
         var i = 0
-        while (i < n) { pcm.putShort(synthAmp(id, i).toShort); i += 1 }
-        val ais = new javax.sound.sampled.AudioInputStream(
-          new java.io.ByteArrayInputStream(pcm.array), fmt, n.toLong)
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(ais,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-        MediaRow(id, "audio", bos.toByteArray, 0, 0,
+        while (i < n) { pcm(i) = synthAmp(id, i).toShort; i += 1 }
+        MediaRow(id, "audio", FastWav.encodeMono16(AudioRateHz, pcm), 0, 0,
           n.toLong * 1000 / AudioRateHz)
       }
     }
@@ -208,27 +203,20 @@ object MultimodalOps {
   def decodeAudioMeta(ds: Dataset[MediaRow]): Dataset[AudioMeta] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
-      disableImageIOCache()
       rows.map { r =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(r.payload))
-        val fmt = ais.getFormat
-        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
-          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-          s"media ${r.media_id}: unexpected WAV format $fmt")
-        val bytes = ais.readAllBytes()
-        val buf = java.nio.ByteBuffer.wrap(bytes).order(
-          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
-          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        val pcm =
+          try FastWav.decode(r.payload)
+          catch { case e: Exception => throw new IllegalArgumentException(
+            s"media ${r.media_id}: unexpected WAV payload: ${e.getMessage}", e) }
         var (sum, sumAbs) = (0L, 0L)
         var i = 0
-        val n = bytes.length / 2
-        while (i < n) {
-          val s = buf.getShort(i * 2).toLong
+        while (i < pcm.samples.length) {
+          val s = pcm.samples(i).toLong
           sum += s; sumAbs += math.abs(s)
           i += 1
         }
-        AudioMeta(r.media_id, fmt.getSampleRate.toLong, n.toLong, sum, sumAbs)
+        AudioMeta(r.media_id, pcm.sampleRateHz.toLong,
+          pcm.samples.length.toLong, sum, sumAbs)
       }
     }
   }
@@ -247,27 +235,19 @@ object MultimodalOps {
     import ds.sparkSession.implicits._
     require(factor >= 1, s"decimation factor must be >= 1, got $factor")
     ds.mapPartitions { rows =>
-      disableImageIOCache()
       rows.map { r =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(r.payload))
-        val fmt = ais.getFormat
-        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
-          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-          s"media ${r.media_id}: unexpected WAV format $fmt")
-        val bytes = ais.readAllBytes()
-        val buf = java.nio.ByteBuffer.wrap(bytes).order(
-          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
-          else java.nio.ByteOrder.LITTLE_ENDIAN)
-        val n = bytes.length / 2
+        val pcm =
+          try FastWav.decode(r.payload)
+          catch { case e: Exception => throw new IllegalArgumentException(
+            s"media ${r.media_id}: unexpected WAV payload: ${e.getMessage}", e) }
         var (sum, sumAbs, kept) = (0L, 0L, 0L)
         var i = 0
-        while (i < n) {
-          val s = buf.getShort(i * 2).toLong
+        while (i < pcm.samples.length) {
+          val s = pcm.samples(i).toLong
           sum += s; sumAbs += math.abs(s); kept += 1
           i += factor
         }
-        AudioMeta(r.media_id, fmt.getSampleRate.toLong / factor, kept,
+        AudioMeta(r.media_id, pcm.sampleRateHz.toLong / factor, kept,
           sum, sumAbs)
       }
     }

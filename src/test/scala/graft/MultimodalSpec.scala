@@ -267,6 +267,63 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("FastWav.encode bytes parse sample-identically through AudioSystem") {
+    (0L until 301L by 7L).foreach { id =>
+      val n = MultimodalOps.synthNSamples(id)
+      val pcm = Array.tabulate(n)(i => MultimodalOps.synthAmp(id, i).toShort)
+      val bytes = graft.multimodal.FastWav.encodeMono16(
+        MultimodalOps.AudioRateHz, pcm)
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      assert(fmt.getSampleRate.toInt == MultimodalOps.AudioRateHz &&
+        fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16 &&
+        !fmt.isBigEndian &&
+        fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+      val raw = ais.readAllBytes()
+      assert(raw.length == n * 2, s"id=$id: AudioSystem read ${raw.length} bytes")
+      val buf = java.nio.ByteBuffer.wrap(raw)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until n).foreach { i =>
+        assert(buf.getShort(i * 2) == pcm(i), s"id=$id sample $i diverged")
+      }
+    }
+  }
+
+  test("AudioSystem.write bytes parse sample-identically through FastWav") {
+    (0L until 301L by 7L).foreach { id =>
+      val n = MultimodalOps.synthNSamples(id)
+      val pcm = Array.tabulate(n)(i => MultimodalOps.synthAmp(id, i).toShort)
+      val fmt = new javax.sound.sampled.AudioFormat(
+        MultimodalOps.AudioRateHz.toFloat, 16, 1, true, false)
+      val bb = java.nio.ByteBuffer.allocate(n * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      pcm.foreach(bb.putShort)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bb.array), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      val got = graft.multimodal.FastWav.decode(bos.toByteArray)
+      assert(got.sampleRateHz == MultimodalOps.AudioRateHz)
+      assert(got.samples.length == n)
+      (0 until n).foreach { i =>
+        assert(got.samples(i) == pcm(i), s"id=$id sample $i diverged")
+      }
+    }
+  }
+
+  test("FastWav fails loudly on corrupt or non-PCM input") {
+    intercept[Exception] {
+      graft.multimodal.FastWav.decode("definitely not a wav container".getBytes("UTF-8"))
+    }
+    // stereo header must be rejected, not mis-summed
+    val good = graft.multimodal.FastWav.encodeMono16(16000, Array[Short](1, 2, 3))
+    val stereo = good.clone()
+    stereo(22) = 2 // channels field
+    intercept[Exception] { graft.multimodal.FastWav.decode(stereo) }
+  }
+
   test("FastPng fails loudly on corrupt input") {
     intercept[Exception] {
       graft.multimodal.FastPng.decode("not a png at all, but long enough to pass the length gate".getBytes("UTF-8"))
