@@ -48,12 +48,18 @@ object TextFunctions {
     * grams are the web-dedup standard). Trailing positions pad with empty
     * strings so strings match any SQL engine's `||`+COALESCE form. */
   def wordShingles3(text: Column): Column = {
-    val ws = split(text, " ")
-    transform(
-      sequence(lit(1), greatest(size(ws) - 2, lit(1))),
-      i => concat(try_element_at(ws, i), lit(" "),
-        coalesce(try_element_at(ws, i + 1), lit("")), lit(" "),
-        coalesce(try_element_at(ws, i + 2), lit(""))))
+    // The token array is BOUND ONCE as a lambda variable (transform over a
+    // 1-element array is Catalyst's `let`): embedding split(text) directly
+    // in the per-element lambda body re-evaluated it 3× per shingle —
+    // O(words²) splits per document, which dominated the shingle phase of
+    // every LSH pipeline (r17; q_neardup_lsh shingle cut measured in
+    // OPTIMIZATION_r17.md). Same output values, element for element.
+    flatten(transform(array(split(text, " ")), ws =>
+      transform(
+        sequence(lit(1), greatest(size(ws) - 2, lit(1))),
+        i => concat(try_element_at(ws, i), lit(" "),
+          coalesce(try_element_at(ws, i + 1), lit("")), lit(" "),
+          coalesce(try_element_at(ws, i + 2), lit(""))))))
   }
 
   /** i-th minhash value over a (distinct) shingle-hash column, as an

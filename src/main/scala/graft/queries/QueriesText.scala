@@ -1352,11 +1352,15 @@ object QueriesText {
     * — per-partition heaps, never a full sort of the vocabulary. The
     * (count desc, bigram asc) total order makes the cut deterministic. */
   def qVocab(spark: SparkSession, dir: String): DataFrame = {
+    // r17: bind the token array once (lambda-variable `let`) — the old
+    // spelling re-split the text twice per bigram, O(words²) splits per
+    // document — and fan the single-split fixture scan out before the
+    // explode (same one-task serialization as the r16 streaming minhash)
     val bigrams = expr(
-      """transform(sequence(1, size(split(text, ' ')) - 1),
-           i -> concat(element_at(split(text, ' '), i), ' ',
-                       element_at(split(text, ' '), i + 1)))""")
-    Tables.documents(spark, dir)
+      """flatten(transform(array(split(text, ' ')), ws ->
+           transform(sequence(1, size(ws) - 1),
+             i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))))""")
+    Phase.fanout(Tables.documents(spark, dir))
       .select(explode(bigrams).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n"))
@@ -1383,7 +1387,8 @@ object QueriesText {
     * if it outgrows the broadcast threshold. */
   def qDocLm(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val tf = docs
+    // fanout before the token explode (r17 — single-split fixture input)
+    val tf = Phase.fanout(docs)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val vocab = tf.groupBy("term").agg(sum("tf").as("cw"))
@@ -1804,7 +1809,9 @@ object QueriesText {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy(col("dfreq").desc, col("gram"))
     val docs = Tables.documents(spark, dir)
-    val grams = docs.select(col("source"), col("doc_id"),
+    // fanout before the gram explode: the fixture arrives in one split
+    // (r17 — the shingle stage otherwise runs on 1 of 32 cores)
+    val grams = Phase.fanout(docs).select(col("source"), col("doc_id"),
         explode(graft.functions.TextFunctions.wordShingles3(col("text")))
           .as("gram"))
       .distinct()
