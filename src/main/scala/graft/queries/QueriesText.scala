@@ -855,11 +855,13 @@ object QueriesText {
       .groupBy("doc_id")
       .agg(sum(col("c")).as("wc"), count(lit(1)).as("n_distinct"),
         max(col("c")).as("top_word"))
-    val ws = split(col("text"), " ")
-    val bigrams = transform(
-      sequence(lit(1), greatest(size(ws) - 1, lit(1))),
-      i => concat(element_at(ws, i), lit(" "),
-        coalesce(try_element_at(ws, i + 1), lit(""))))
+    // token array bound once per row (r17 — the inline form re-split the
+    // text twice per bigram; see TextFunctions.wordShingles3)
+    val bigrams = flatten(transform(array(split(col("text"), " ")), ws =>
+      transform(
+        sequence(lit(1), greatest(size(ws) - 1, lit(1))),
+        i => concat(element_at(ws, i), lit(" "),
+          coalesce(try_element_at(ws, i + 1), lit(""))))))
     val bstats = Phase.fanout(docs)
       .select(col("doc_id"), explode(bigrams).as("b"))
       .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
@@ -933,16 +935,20 @@ object QueriesText {
   def qDupSpans(spark: SparkSession, dir: String): DataFrame = {
     val w    = org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
-    val ws   = split(col("text"), " ")
+    // token array bound once per row (r17 — the inline form re-split the
+    // text once per emitted gram; see TextFunctions.wordShingles3).
     // Spark's sequence(1, n) DESCENDS when n < 1 (DuckDB's range is empty
     // there) — docs shorter than k tokens need the explicit guard
-    val starts = when(size(ws) >= DupSpanK,
-      sequence(lit(1), size(ws) - (DupSpanK - 1)))
-      .otherwise(array().cast("array<int>"))
-    val grams = Phase.fanout(docs)
-      .select(col("doc_id"), explode(transform(starts,
+    val gramStructs = flatten(transform(array(split(col("text"), " ")), ws => {
+      val starts = when(size(ws) >= DupSpanK,
+        sequence(lit(1), size(ws) - (DupSpanK - 1)))
+        .otherwise(array().cast("array<int>"))
+      transform(starts,
         i => struct(i.as("i"),
-          concat_ws(" ", slice(ws, i, lit(DupSpanK))).as("g")))).as("t"))
+          concat_ws(" ", slice(ws, i, lit(DupSpanK))).as("g")))
+    }))
+    val grams = Phase.fanout(docs)
+      .select(col("doc_id"), explode(gramStructs).as("t"))
       .select(col("doc_id"), col("t.i").as("i"), col("t.g").as("g"))
     val dupg = grams.groupBy("g")
       .agg(min(col("doc_id")).as("__lo"), max(col("doc_id")).as("__hi"))
