@@ -631,6 +631,13 @@ object QueriesAgg {
   /** count / count distinct (the `counts` output every kernel fills,
     * `src/groupby.rs:875`). */
   def qCountDistinct(spark: SparkSession, dir: String): DataFrame =
+    // fanout tested and REJECTED here (r17): widening the single-split
+    // scan before the 3x count-distinct Expand measured 1.7 -> 3.3 s at
+    // sf0.1 — the round-robin exchange of the raw rows costs more than
+    // the one-core expansion saves because the Expand's partial aggregate
+    // contracts 1.8M expanded rows to ~distinct-keys BEFORE the shuffle
+    // either way, and the extra exchange defeats that contraction's
+    // locality. Left single-pass as planned.
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
@@ -646,7 +653,10 @@ object QueriesAgg {
 
   /** JSON payload extraction + aggregation over `events.props`. */
   def qJson(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    // fanout (r17): get_json_object is a full JSON parse per row and the
+    // fixture events file is one input split — the parse stage ran on one
+    // core (no-op on multi-split cluster inputs)
+    graft.ops.Phase.fanout(Tables.events(spark, dir))
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .groupBy("event_type")
       .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"),
