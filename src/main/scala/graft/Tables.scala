@@ -103,6 +103,20 @@ object GraftSession {
         v
       case None => shufflePartitions.toString
     }
+    // Scan-split sizing is a DEPLOYMENT setting like the shuffle width
+    // (r17, guide §6): 16m keeps the MB-scale fixture scans from
+    // collapsing to one task wherever the files carry several row groups,
+    // but on cluster-scale inputs small splits multiply the map-task
+    // count feeding every shuffle (guide §2.2) — a 100 TB deployment
+    // wants 128m-1g. Same loud-override contract as SPARK_GRAFT_SHUFFLE.
+    val effectiveSplit = sys.env.get("SPARK_GRAFT_MAX_PARTITION_BYTES") match {
+      case Some(v) =>
+        System.err.println(s"[graft] SPARK_GRAFT_MAX_PARTITION_BYTES=$v " +
+          "overrides the 16m local scan-split default — benched numbers " +
+          "depend on this setting")
+        v
+      case None => "16m"
+    }
     val b = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", effectiveShuffle)
@@ -121,7 +135,7 @@ object GraftSession {
       // was spilling at 32). On a real cluster shuffle.partitions is a
       // deployment-level setting; the plans themselves are
       // partition-count-agnostic.
-      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.files.maxPartitionBytes", effectiveSplit)
       .config("spark.sql.session.timeZone", "UTC")
       // keep managed-table data (bucketed-join tests) out of the repo cwd,
       // unique per JVM so concurrent test runs don't collide on table paths
