@@ -1393,8 +1393,10 @@ object QueriesText {
     * if it outgrows the broadcast threshold. */
   def qDocLm(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // fanout before the token explode (r17 — single-split fixture input)
-    val tf = Phase.fanout(docs)
+    // fanout tested and REJECTED here (r17): the token explode is one
+    // split per row — cheap enough that the round-robin exchange cost
+    // more than the one-core stage (calm-box paired runs 0.94 -> 1.15 s)
+    val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val vocab = tf.groupBy("term").agg(sum("tf").as("cw"))
