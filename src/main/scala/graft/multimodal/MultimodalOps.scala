@@ -268,8 +268,9 @@ object MultimodalOps {
     ((id * 7 + f * 13 + x * 3 + y * 5) % 256).toInt
 
   /** Identity grayscale palette: index i ↔ color (i, i, i) — every 8-bit
-    * gray frame survives GIF's palette quantization bit-exactly. */
-  private def grayPalette: java.awt.image.IndexColorModel = {
+    * gray frame survives GIF's palette quantization bit-exactly. (Used by
+    * MultimodalSpec's ImageIO↔FastGif cross-validation.) */
+  private[graft] def grayPalette: java.awt.image.IndexColorModel = {
     val ramp = Array.tabulate[Byte](256)(i => i.toByte)
     new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
   }
@@ -282,48 +283,27 @@ object MultimodalOps {
                      idCol: String): Dataset[MediaRow] = {
     import spark.implicits._
     df.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
-      disableImageIOCache()
-      // per-partition init: palette + ONE writer instance, reset per clip
-      // (the IIORegistry provider scan in getImageWritersByFormatName is
-      // the per-row cost worth hoisting; BufferedImages are per-frame by
-      // nature)
-      val cm = grayPalette
-      val writer =
-        javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
-      // release codec natives when the task ends (reset() per clip only
-      // returns the instance to a reusable state — ADVICE r9); the
-      // listener covers both exhaustion and task failure
-      Option(org.apache.spark.TaskContext.get()).foreach(
-        _.addTaskCompletionListener[Unit](_ => writer.dispose()))
+      // r17: the container writer is FastGif instead of javax.imageio —
+      // same spec-conformant GIF89a bytes (MultimodalSpec pins FastGif
+      // output to decode frame/pixel-identically through ImageIO's GIF
+      // reader), without the per-clip writer/metadata/raster overhead.
       ids.map { id =>
         val (nf, w, h) = (synthNFrames(id), synthVW(id), synthVH(id))
-        val bos = new java.io.ByteArrayOutputStream()
-        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-        try {
-          writer.reset()
-          writer.setOutput(ios)
-          writer.prepareWriteSequence(null)
-          var f = 0
-          while (f < nf) {
-            val img = new java.awt.image.BufferedImage(
-              w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
-            val raster = img.getRaster
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                raster.setSample(x, y, 0, synthGray(id, f, x, y))
-                x += 1
-              }
-              y += 1
+        val frames = (0 until nf).map { f =>
+          val px = new Array[Byte](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              px(y * w + x) = synthGray(id, f, x, y).toByte
+              x += 1
             }
-            writer.writeToSequence(
-              new javax.imageio.IIOImage(img, null, null), null)
-            f += 1
+            y += 1
           }
-          writer.endWriteSequence()
-        } finally ios.close()
-        MediaRow(id, "video", bos.toByteArray, w, h, nf * 100L)
+          px
+        }
+        MediaRow(id, "video", FastGif.encodeGray(w, h, frames), w, h,
+          nf * 100L)
       }
     }
   }
@@ -338,42 +318,23 @@ object MultimodalOps {
   def decodeVideoFrames(ds: Dataset[MediaRow]): Dataset[VideoFrameMeta] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { rows =>
-      disableImageIOCache()
-      // per-partition init: ONE reader instance, reset per clip (hoists
-      // the registry lookup out of the row loop)
-      val reader =
-        javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
-      // dispose on task completion, mirroring the writer side
-      Option(org.apache.spark.TaskContext.get()).foreach(
-        _.addTaskCompletionListener[Unit](_ => reader.dispose()))
       rows.flatMap { r =>
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(r.payload))
-        // fail-loudly path must still release the stream, or task retries
-        // over a corrupt partition leak an imageio resource per attempt
-        try {
-          reader.setInput(iis)
-          val nf = reader.getNumImages(true)
-          require(nf > 0,
-            s"media ${r.media_id}: payload (${r.payload.length} bytes) has no GIF frames")
-          (0 until nf).map { f =>
-            val img = reader.read(f)
-            var sum = 0L
-            var y = 0
-            while (y < img.getHeight) {
-              var x = 0
-              while (x < img.getWidth) {
-                sum += img.getRGB(x, y) & 0xff // identity gray palette
-                x += 1
-              }
-              y += 1
-            }
-            VideoFrameMeta(r.media_id, f.toLong, img.getWidth.toLong,
-              img.getHeight.toLong, sum)
-          }
-        } finally {
-          reader.reset()
-          iis.close()
+        // r17: FastGif replaces the ImageIO GIF reader (cross-pinned both
+        // directions in MultimodalSpec); gray = palette channel value, so
+        // a palette or LZW bug hash-mismatches the closed-form oracle
+        val frames =
+          try FastGif.decodeGray(r.payload)
+          catch { case e: Exception => throw new IllegalArgumentException(
+            s"media ${r.media_id}: payload (${r.payload.length} bytes) is " +
+              s"not a decodable GIF: ${e.getMessage}", e) }
+        require(frames.nonEmpty,
+          s"media ${r.media_id}: payload (${r.payload.length} bytes) has no GIF frames")
+        frames.zipWithIndex.map { case (fr, f) =>
+          var sum = 0L
+          var i = 0
+          while (i < fr.gray.length) { sum += fr.gray(i); i += 1 }
+          VideoFrameMeta(r.media_id, f.toLong, fr.width.toLong,
+            fr.height.toLong, sum)
         }
       }
     }

@@ -267,6 +267,98 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  // ---- FastGif ↔ ImageIO cross-validation (r17 codec optimization) ----
+
+  private def gifFrames(id: Long): (Int, Int, Seq[Array[Byte]]) = {
+    val (nf, w, h) = (MultimodalOps.synthNFrames(id),
+      MultimodalOps.synthVW(id), MultimodalOps.synthVH(id))
+    val frames = (0 until nf).map { f =>
+      Array.tabulate(w * h) { i =>
+        MultimodalOps.synthGray(id, f, i % w, i / w).toByte
+      }
+    }
+    (w, h, frames)
+  }
+
+  test("FastGif.encode bytes decode frame-identically through ImageIO") {
+    // 140 ids covers every (w, h, nf) combination (periods 5, 4, 7); plus
+    // a large random frame that forces the LZW dictionary to 4096 and the
+    // code width to 12 bits — the growth schedule is where GIF codecs
+    // classically disagree by one bit
+    val rnd = new scala.util.Random(7)
+    val big = Array.fill[Byte](200 * 200)(rnd.nextInt(256).toByte)
+    val cases = (0L until 140L).map(gifFrames) :+ ((200, 200, Seq(big)))
+    cases.foreach { case (w, h, frames) =>
+      val bytes = graft.multimodal.FastGif.encodeGray(w, h, frames)
+      val reader =
+        javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        reader.setInput(iis)
+        assert(reader.getNumImages(true) == frames.length)
+        frames.zipWithIndex.foreach { case (px, f) =>
+          val img = reader.read(f)
+          assert(img.getWidth == w && img.getHeight == h)
+          for (y <- 0 until h; x <- 0 until w)
+            assert((img.getRGB(x, y) & 0xff) == (px(y * w + x) & 0xff),
+              s"pixel ($x,$y) frame $f (${w}x$h) diverged FastGif->ImageIO")
+        }
+      } finally { reader.dispose(); iis.close() }
+    }
+  }
+
+  test("ImageIO.write bytes decode frame-identically through FastGif") {
+    val rnd = new scala.util.Random(11)
+    val big = Array.fill[Byte](200 * 200)(rnd.nextInt(256).toByte)
+    val cases = (0L until 140L).map(gifFrames) :+ ((200, 200, Seq(big)))
+    val cm = MultimodalOps.grayPalette
+    cases.foreach { case (w, h, frames) =>
+      val writer =
+        javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        frames.foreach { px =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+          val raster = img.getRaster
+          for (y <- 0 until h; x <- 0 until w)
+            raster.setSample(x, y, 0, px(y * w + x) & 0xff)
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null), null)
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      val got = graft.multimodal.FastGif.decodeGray(bos.toByteArray)
+      assert(got.length == frames.length)
+      frames.zipWithIndex.foreach { case (px, f) =>
+        assert(got(f).width == w && got(f).height == h)
+        (0 until w * h).foreach { i =>
+          assert(got(f).gray(i) == (px(i) & 0xff),
+            s"pixel $i frame $f (${w}x$h) diverged ImageIO->FastGif")
+        }
+      }
+    }
+  }
+
+  test("FastGif fails loudly on corrupt input") {
+    intercept[Exception] {
+      graft.multimodal.FastGif.decodeGray("definitely not a gif container".getBytes("UTF-8"))
+    }
+    val (w, h, frames) = gifFrames(3L)
+    val good = graft.multimodal.FastGif.encodeGray(w, h, frames)
+    val bad = good.clone()
+    bad(10) = 0x7f // clobber the screen-descriptor/palette region
+    // either parses to different-but-valid gray values or raises — what it
+    // must NOT do is crash the JVM; and a truncated stream must raise
+    intercept[Exception] {
+      graft.multimodal.FastGif.decodeGray(good.take(good.length / 2))
+    }
+  }
+
   test("FastWav.encode bytes parse sample-identically through AudioSystem") {
     (0L until 301L by 7L).foreach { id =>
       val n = MultimodalOps.synthNSamples(id)
