@@ -252,21 +252,39 @@ object DedupOps {
           .as("dropped_ppm"))
 
   /** Exact Jaccard over shingle sets, computed only for `pairs`.
-    * |A∩B| via a co-grouped join on shingle hash; |A|,|B| from per-doc
-    * counts; all integer arithmetic → deterministic double at the end. */
+    * |A∩B| via per-doc SORTED shingle arrays attached to each pair and a
+    * zero-allocation two-cursor merge count ([[graft.functions.SortedIntersectSize]])
+    * — one narrow aggregate plus two equi-joins on the pair ids (r18,
+    * guide §2.3/§2.4 + §1.2 step 2). The former formulation expanded
+    * every pair by its full shingle set through a three-way join and
+    * re-aggregated the ~|pairs|·|set| intermediate (plus two more joins
+    * against a separately recomputed size table): five joins and a wide
+    * shuffle, all replaced by per-pair CPU on rows already in hand.
+    * Shuffled bytes are the same sets either way (an expanded row per
+    * shingle vs. one array per pair); the quadratic-in-candidates
+    * aggregate disappears. The merge count — not `array_intersect` —
+    * matters twice: the hash-set/materialize-the-array path costs ~5 µs
+    * per pair, and a caller's threshold filter gets PUSHED through the
+    * projection with the defining expression substituted in, so the
+    * per-pair expression runs up to twice; the merge makes both copies
+    * ~|A|+|B| primitive comparisons. Output is row-identical: `shingles`
+    * is distinct (id, h) by contract, so the sorted-merge count is
+    * exactly the set intersection size, sizes are the array lengths, and
+    * a zero-overlap candidate still yields its (inter = 0, jaccard = 0)
+    * row — the inner joins drop exactly the pairs whose id had no
+    * shingle row, as the old size joins did. All integer arithmetic →
+    * one deterministic double at the end, unchanged. */
   def jaccardOnPairs(pairs: DataFrame, shingles: DataFrame): DataFrame = {
-    val sizes = shingles.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val inter = pairs
-      .join(shingles.as("sa"), col("id_a") === col("sa.id"))
-      .join(shingles.as("sb"), col("id_b") === col("sb.id") && col("sa.h") === col("sb.h"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    val sets = shingles.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"))
     pairs
-      .join(inter, Seq("id_a", "id_b"), "left")
-      .na.fill(0L, Seq("inter"))
-      .join(sizes.withColumnRenamed("sz", "sz_a"), col("id_a") === sizes("id"))
-      .drop("id")
-      .join(sizes.withColumnRenamed("sz", "sz_b"), col("id_b") === sizes("id"))
-      .drop("id")
+      .join(sets.select(col("id").as("id_a"), col("hs").as("ha")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("hs").as("hb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.SortedIntersectSize
+          .sortedIntersectSize(col("ha"), col("hb")).as("inter"),
+        size(col("ha")).cast("long").as("sz_a"),
+        size(col("hb")).cast("long").as("sz_b"))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
