@@ -350,7 +350,7 @@ object DedupOps {
     * with the contraction — the identical-text argument in the doc above
     * never mentions MinHash, only shingle-set identity. Used by both the
     * banded MinHash pipeline and the exact PPJoin n-gram join. */
-  private def contractExpandWith(df: DataFrame, idCol: String,
+  private[graft] def contractExpandWith(df: DataFrame, idCol: String,
                                  textCol: String, threshold: Double,
                                  shingler: DataFrame => DataFrame,
                                  pairsOnShingles: DataFrame => DataFrame)

@@ -692,13 +692,34 @@ object QueriesRel {
     * order, never corpus-quadratic); item marginals broadcast back onto
     * the (already small) pair aggregate, and the top-20 is a heap cut. */
   def qBasket(spark: SparkSession, dir: String): DataFrame = {
-    val items = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val nOrders = items.select(countDistinct("ok").as("n_orders"))
-    val itemN = items.groupBy("pk").agg(count(lit(1)).as("n_item"))
-    val pairs = items.select(col("ok"), col("pk").as("pa"))
-      .join(items.select(col("ok"), col("pk").as("pb")), Seq("ok"))
-      .where(col("pa") < col("pb"))
+    // ONE exchange of lineitem (r18, guide §2.3/§2.4): the former
+    // items.distinct() + self-join-on-ok + two separate marginal
+    // aggregates re-shuffled the (ok, pk) projection four times (7
+    // Exchange nodes; plans/r18/q_basket_before.txt). collect_set is the
+    // distinct (partial map-side), the sorted basket array generates each
+    // order's pa < pb pairs without any join, and the marginals/order
+    // count are cheap consumers of the one materialized basket relation
+    // (cut: three downstream branches — see Phase). Output identical:
+    // count(baskets) = count(DISTINCT ok) (every order has ≥1 item),
+    // per-pk basket count = count over DISTINCT (ok, pk), and sorted
+    // i<j combinations = the DISTINCT pa < pb pairs per order.
+    val baskets = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("pks"))
+      // cut, not lazy reuse: column pruning specializes each consumer's
+      // copy of the aggregate (pairs keep pks, marginals prune), so the
+      // three subtrees are NOT identical and ReuseExchange cannot dedup
+      // them (verified in the executed plan) — without the cut the full
+      // lineitem exchange runs three times, which is the old shape again
+      .phaseCut
+    val nOrders = baskets.select(count(lit(1)).as("n_orders"))
+    val itemN = baskets.select(explode(col("pks")).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("n_item"))
+    val pairs = baskets
+      .select(explode(flatten(transform(col("pks"), (x, i) =>
+        transform(slice(col("pks"), i + lit(2), size(col("pks"))),
+          y => struct(x.as("pa"), y.as("pb")))))).as("p"))
+      .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
       .groupBy("pa", "pb").agg(count(lit(1)).as("n_co"))
       .orderBy(col("n_co").desc, col("pa"), col("pb")).limit(20)
     pairs

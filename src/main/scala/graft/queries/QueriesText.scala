@@ -1725,23 +1725,33 @@ object QueriesText {
     * doc_id tiebreak) — the real pipeline keeps the best duplicate, not
     * the smallest id. One window argmax over cluster grain. */
   def qCanonicalDedup(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("cluster_id").orderBy(col("quality").desc, col("doc_id"))
     val clusters = DedupOps.dedupClusters(
         DedupOps.minhashNearDupsWords(Tables.documents(spark, dir), "doc_id",
           "text", Bands, Rows, JaccardThreshold))
       .select(col("id").as("doc_id"), col("cluster_id"))
-    qQuality(spark, dir).select("doc_id", "quality")
+    val scored = qQuality(spark, dir).select("doc_id", "quality")
       .join(broadcast(clusters), Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("canonical_id", first("doc_id").over(
-        org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
-          .orderBy(col("quality").desc, col("doc_id"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+    // Single-pass struct argmax instead of the two windows over (quality
+    // desc, doc_id) (r18, guide §2.4: the window pair exchanged AND fully
+    // sorted the corpus by (cluster, quality, doc_id); the argmax is one
+    // hash aggregate on the same exchange — its join-back probe reuses
+    // that partitioning — and no sort at any scale). Equivalence to the
+    // former rn/first_value formulation, proven field by field:
+    // max(struct(quality, -doc_id, doc_id)) picks the lexicographic max —
+    // highest quality first (NaN, if it could occur, sorts greatest,
+    // exactly like the window's DESC NaN-first), ties broken by the
+    // SMALLEST doc_id via the negation ((quality, -doc_id) is unique, so
+    // the payload field never reaches comparison) — which is precisely
+    // first_value over (quality DESC, doc_id ASC); and rn = 1 held for
+    // exactly that row, so is_kept = (doc_id = canonical_id).
+    val canon = scored.groupBy("cluster_id")
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("nd"),
+        col("doc_id").as("d"))).as("arg"))
+      .select(col("cluster_id"), col("arg.d").as("canonical_id"))
+    scored.join(canon, Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
-        (col("rn") === 1).cast("int").as("is_kept"))
+        (col("doc_id") === col("canonical_id")).cast("int").as("is_kept"))
       .orderBy("doc_id")
   }
 
@@ -1775,14 +1785,32 @@ object QueriesText {
     * directions' containments are exact integer ppm and pairs with
     * max-containment ≥ 0.5 survive, ≥ 0.8 flagged as sub-documents. */
   def qContainment(spark: SparkSession, dir: String): DataFrame = {
-    val sh = DedupOps.wordShingleHashes(
-      Tables.documents(spark, dir), "doc_id", "text").phaseCut
-    val cand = DedupOps.lshCandidates(
-      DedupOps.minhashSignatures(sh), Bands, Rows)
-    DedupOps.jaccardOnPairs(cand, sh)
+    // r18 (VERDICT r17 item 5): the pipeline runs behind the same
+    // exact-duplicate contraction as q_neardup_lsh. Output-identical by
+    // the contractExpandWith argument — every emitted column (inter,
+    // sz_a, sz_b and the ppm containments derived from them) is a pure
+    // function of the two shingle SETS, identical texts have identical
+    // sets, and the symmetric max-containment filter is orientation-
+    // stable under the expansion's (min, max) reorientation. Intra-group
+    // member pairs (inter = sz, cont = 1 000 000 ppm ≥ 500 000) are
+    // exactly what the uncontracted band join emits for identical docs
+    // at jaccard 1; the contraction threshold only gates the intra arm
+    // (1.0 ≥ 0.5, always true — matching the always-passing intra
+    // containment). The rep-level filter below IS the declared filter,
+    // evaluated on the same (inter, sz) integers.
+    val pairs = DedupOps.contractExpandWith(
+      Tables.documents(spark, dir), "doc_id", "text", 0.5,
+      d => DedupOps.wordShingleHashes(d, "doc_id", "text"),
+      sh => {
+        val cand = DedupOps.lshCandidates(
+          DedupOps.minhashSignatures(sh).phaseCut, Bands, Rows)
+        DedupOps.jaccardOnPairs(cand, sh)
+          .where(greatest(expr("inter * 1000000L div sz_a"),
+            expr("inter * 1000000L div sz_b")) >= 500000)
+      })
+    pairs
       .withColumn("cont_a_ppm", expr("inter * 1000000L div sz_a"))
       .withColumn("cont_b_ppm", expr("inter * 1000000L div sz_b"))
-      .where(greatest(col("cont_a_ppm"), col("cont_b_ppm")) >= 500000)
       .select(col("id_a"), col("id_b"), col("inter"), col("sz_a"), col("sz_b"),
         col("cont_a_ppm"), col("cont_b_ppm"),
         (greatest(col("cont_a_ppm"), col("cont_b_ppm")) >= 800000)

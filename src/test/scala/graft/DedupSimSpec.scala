@@ -564,6 +564,53 @@ class DedupSimSpec extends SparkSpec {
     assert(engine(Seq.empty[(Long, String)].toDF("doc_id", "text")).isEmpty)
   }
 
+  test("containment contraction is output-identical on BOTH adaptive branches") {
+    import graft.queries.QueriesText.{Bands, Rows}
+    // uncontracted reference: the pre-r18 q_containment body — band
+    // candidates over the FULL corpus → exact jaccardOnPairs → the
+    // declared max-containment filter
+    def reference(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long, Long)] = {
+      val sh = DedupOps.wordShingleHashes(df, "doc_id", "text").localCheckpoint(true)
+      val cand = DedupOps.lshCandidates(DedupOps.minhashSignatures(sh), Bands, Rows)
+      DedupOps.jaccardOnPairs(cand, sh)
+        .where(greatest(expr("inter * 1000000L div sz_a"),
+          expr("inter * 1000000L div sz_b")) >= 500000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    }
+    // the contracted pipeline exactly as qContainment composes it
+    def engine(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long, Long)] =
+      DedupOps.contractExpandWith(df, "doc_id", "text", 0.5,
+        d => DedupOps.wordShingleHashes(d, "doc_id", "text"),
+        sh => {
+          val cand = DedupOps.lshCandidates(
+            DedupOps.minhashSignatures(sh).localCheckpoint(true), Bands, Rows)
+          DedupOps.jaccardOnPairs(cand, sh)
+            .where(greatest(expr("inter * 1000000L div sz_a"),
+              expr("inter * 1000000L div sz_b")) >= 500000)
+        })
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+
+    val words = (1 to 60).map(i => s"w$i").mkString(" ")
+    val short = (1 to 12).map(i => s"w$i").mkString(" ") // contained prefix
+    val base = Seq((0L, words), (1L, short),
+      (2L, "totally different words in this particular document body"),
+      (3L, "short")) // empty shingle set
+    // dup-heavy corpus (contraction branch): 3 exact copies of every doc
+    val heavy = (0 until 3).flatMap(r => base.map { case (id, t) => (id + 100L * r, t) })
+      .toDF("doc_id", "text")
+    // mostly-unique corpus (skip branch)
+    val unique = (base ++ (10L to 16L).map(i =>
+      (i, s"unique filler document number $i with several extra words appended")))
+      .toDF("doc_id", "text")
+
+    assert(engine(heavy) == reference(heavy))
+    assert(engine(unique) == reference(unique))
+    // sanity: the heavy corpus produced intra-group full-containment pairs
+    assert(engine(heavy).exists(p => p._3 == p._4 && p._3 == p._5))
+  }
+
   test("triangleCounts: degree-oriented close == naive id-ordered close") {
     def naive(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
       val es = pairs.toSet
