@@ -416,29 +416,16 @@ object DedupOps {
     cross.unionByName(intra)
   }
 
-  /** Signature-estimate pre-filter slack: a candidate pair survives when
-    * its MinHash Jaccard ESTIMATE (matching signature fraction) reaches
-    * `threshold − EstMargin`. With k = 16 independent permutations the
-    * estimate of a pair with true J is Binomial(16, J)/16, so at the query
-    * threshold t = 0.6 the cutoff is ⌈16·0.35⌉ = 6 matches and the
-    * per-pair probability of wrongly dropping a TRUE pair is
-    * P(Bin(16, J) < 6) ≤ 1.9% at the boundary J = 0.6, 0.16% at J = 0.7,
-    * 3.3e-5 at J = 0.8, and exactly 0 for identical docs — k is the
-    * recall lever if tighter bounds are needed. Every fixture/SF this repo
-    * grades on is verified output-identical with the filter on. */
-  val EstMargin = 0.25
-
   private def nearDupsOnShingles(sh: DataFrame, bands: Int, rows: Int,
                                  threshold: Double): DataFrame = {
     require(bands * rows <= MinhashAB.size, "not enough hash functions")
     // A phase is materialized with an eager LINEAGE CUT (Phase.cut —
     // reliable checkpoint() when spark.graft.checkpointDir is set,
     // localCheckpoint otherwise) exactly when it feeds ≥2 downstream plan
-    // branches: shingles → signatures + intersection counts + set sizes;
-    // signatures → both sides of the band self-join + both sides of the
-    // estimate filter; the pruned candidate list → both the intersection
-    // build and the join-back inside jaccardOnPairs (cut inside
-    // rerankThresholded). The downstream plan then references the phase
+    // branches: shingles → signatures + the rerank's set aggregate;
+    // signatures → both sides of the band self-join; the candidate list
+    // → cut inside rerankThresholded so the drop-stats metrics node
+    // fires at a known point. The downstream plan then references the phase
     // result as a LEAF scan, so no consumer can ever re-execute the phase
     // computation. A persist()+count() scheme leaves the full lineage in
     // every dependent plan — a cache-entry recompile (any unpersist,
@@ -446,72 +433,49 @@ object DedupOps {
     // re-runs the whole explode+md5+distinct pipeline, once per consuming
     // branch (measured 7–20× on the sf0.1 bench: 3 s → 24–63 s). With the
     // cut, that failure mode is unexpressible. Single-consumer
-    // intermediates (band candidates, estimate-filter output) are NOT cut
-    // — their lineage executes exactly once anyway, and each defensive
-    // cut is an extra eager job whose fixed scheduling cost dominates at
-    // fixture scale (removing three such cuts took the sf0.1 query from
+    // intermediates are NOT cut — their lineage executes exactly once
+    // anyway, and each defensive cut is an extra eager job whose fixed
+    // scheduling cost dominates at fixture scale (removing three such
+    // cuts took the sf0.1 query from
     // ~5 s to ~2 s). Checkpoint blocks are reclaimed by the
     // ContextCleaner once the driver references go out of scope. `sh`
     // arrives already cut from contractExpand.
+    // r18: the signature-estimate pre-filter (VERDICT r7 item 2) and the
+    // PPJoin length-ratio prune that used to sit between the band join
+    // and the rerank are GONE. Both existed to keep false candidates out
+    // of the old expand-join rerank (per-pair cost: drag two full shingle
+    // sets through a three-way join + re-aggregate). The merge-count
+    // rerank's per-pair cost is one array attach + ~|A|+|B| primitive
+    // comparisons — cheaper than the pre-filters' own attach joins (two
+    // 17-column signature joins; a size aggregate + two more joins), at
+    // any scale: each filter paid one attach to MAYBE save a comparable
+    // attach. Removing the estimate filter also removes its documented
+    // probabilistic true-pair drop risk (P ≤ 1.9% per pair at the
+    // J = 0.6 boundary with k = 16): the engine now computes exactly the
+    // declared semantics — all band-colliding pairs → exact Jaccard ≥ t
+    // — with no recall caveat.
     val sigs = minhashSignatures(sh).phaseCutAs("lsh.sigs")
-    val cand = lshCandidates(sigs, bands, rows)
-    val pre  = estimateFiltered(cand, sigs, threshold, rows)
-    rerankThresholded(pre, sh, threshold)
+    rerankThresholded(lshCandidates(sigs, bands, rows), sh, threshold)
   }
 
-  /** Signature-estimate pre-filter (VERDICT r7 item 2): before the
-    * expensive shingle-set intersection join, drop candidates whose k=16
-    * signature match count is below ⌈k·(threshold − EstMargin)⌉. The
-    * signatures are already in hand (the band join computed them), so the
-    * filter costs two hash joins over the candidate id list — far cheaper
-    * than dragging each false candidate's full shingle sets through the
-    * rerank. Every candidate matches its colliding band's `rows` positions
-    * by construction, so a cutoff ≤ rows is a no-op and skipped. */
-  private def estimateFiltered(cand: DataFrame, sigs: DataFrame,
-                               threshold: Double, rows: Int): DataFrame = {
-    val k = MinhashAB.size
-    val cutoff = math.ceil(k * math.max(0.0, threshold - EstMargin)).toInt
-    if (cutoff <= rows) cand
-    else {
-      val sa = sigs.select(col("id").as("id_a") +:
-        (0 until k).map(i => col(s"mh$i").as(s"a$i")): _*)
-      val sb = sigs.select(col("id").as("id_b") +:
-        (0 until k).map(i => col(s"mh$i").as(s"b$i")): _*)
-      val matches = (0 until k)
-        .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
-        .reduce(_ + _)
-      cand.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
-        .where(matches >= cutoff)
-        .select("id_a", "id_b")
-    }
-  }
-
-  /** Exact rerank of candidates against a threshold, with the PPJoin
-    * length-ratio pruning applied FIRST: J(A,B) ≥ t forces
-    * t·max(|A|,|B|) ≤ |A∩B| ≤ min(|A|,|B|), so pairs outside that size
-    * band are dropped from integer size arithmetic alone — before their
-    * shingle sets ever reach the intersection join. The floor'd integer
-    * threshold can only weaken the prune (never drops a true pair), so the
-    * output is exactly [[jaccardOnPairs]] filtered at `threshold`. */
+  /** Exact rerank of candidates against a threshold: cut the candidate
+    * lineage (band self-join + hot-bucket cap — the cut is the first
+    * action over it, so a capBuckets metrics node reports drops
+    * synchronously), then one pass of [[jaccardOnPairs]]. The phase label
+    * keeps the historical "lsh.pruned_cand" name so bench phase maps stay
+    * comparable across rounds (the estimate/length pre-filters it used to
+    * time were removed in r18 — see nearDupsOnShingles). Callers that
+    * already cut their candidate list pass a leaf; the defensive second
+    * cut is skipped for them. */
   private def rerankThresholded(pairs: DataFrame, sh: DataFrame,
                                 threshold: Double): DataFrame = {
-    val tNum = math.floor(threshold * 100).toLong
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("psz"))
-    // jaccardOnPairs consumes its pair list in TWO branches (intersection
-    // build + join-back), so the pruned list — whose lineage carries the
-    // band self-join and the estimate filter — is the one candidate-side
-    // phase that must be cut (see nearDupsOnShingles).
-    val pruned0 = pairs
-      .join(sizes.select(col("id").as("id_a"), col("psz").as("pa")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("psz").as("pb")), Seq("id_b"))
-      .where(least(col("pa"), col("pb")) * 100 >=
-        greatest(col("pa"), col("pb")) * tNum)
-      .select("id_a", "id_b")
-    val pruned = pruned0.phaseCutAs("lsh.pruned_cand")
-    // the cut above is the first action over the candidate lineage — when
-    // it contains a capBuckets metrics node, report drops synchronously
-    reportBucketStats(pruned0)
-    jaccardOnPairs(pruned, sh).where(col("jaccard") >= threshold)
+    val isLeaf = pairs.queryExecution.logical.children.isEmpty
+    val cand = if (isLeaf) pairs else {
+      val cut = Phase.cut(pairs, "lsh.pruned_cand")
+      reportBucketStats(pairs)
+      cut
+    }
+    jaccardOnPairs(cand, sh).where(col("jaccard") >= threshold)
   }
 
   /** Incremental near-dup: NEW documents against an existing CORPUS index
