@@ -146,6 +146,7 @@ object DedupOps {
   }
 
   private val bucketStatsSeq = new java.util.concurrent.atomic.AtomicLong
+  private val ccRoundSeq = new java.util.concurrent.atomic.AtomicLong
 
   // one listener per session, WEAKLY keyed (ADVICE r11: a strong set
   // accretes sessions in a JVM that churns them — notebook servers,
@@ -785,8 +786,9 @@ object DedupOps {
     * chain a-b-c). Iterative min-label propagation: each node takes the
     * min label of itself and its neighbors until fixpoint — O(component
     * diameter) rounds, and near-dup components are shallow by
-    * construction. The per-round `count()` is the driver-side convergence
-    * check (a justified phase barrier, same as the LSH checkpoints); each
+    * construction. The convergence check is an `observe` metric read off
+    * the round's own cut materialization (a justified phase barrier, same
+    * as the LSH checkpoints — and since r18 no separate count job); each
     * round's labels are LINEAGE-CUT via eager localCheckpoint (cluster
     * analog: checkpoint() to reliable storage) — iterative plans must not
     * grow one join deeper per round, and a persist-per-round scheme
@@ -821,13 +823,25 @@ object DedupOps {
       // convergence is O(log diameter), not O(diameter) — a 10k-long
       // chain of pairwise near-dups resolves in ~14 rounds, not 10k
       val jump = prop.select(col("id").as("jid"), col("cluster_id").as("jcl"))
-      val updated = prop
+      // the changed-row count rides the cut's own materialization job as
+      // an observe metric (r18): the per-round count() action over the
+      // cut leaf — cheap but a full driver round-trip plus a job per
+      // iteration — is gone; the cut is the round's ONLY action, and its
+      // metrics row is read synchronously after it completes (the same
+      // pattern the LSH bucket stats use)
+      val updated0 = prop
         .join(jump, prop("cluster_id") === jump("jid"), "left")
         .select(prop("id"), prop("old"),
           least(prop("cluster_id"), coalesce(col("jcl"), prop("cluster_id")))
             .as("cluster_id"))
-        .phaseCut
-      changed = updated.where(col("cluster_id") =!= col("old")).count()
+        .observe(s"cc_round_${ccRoundSeq.incrementAndGet()}",
+          sum(when(col("cluster_id") =!= col("old"), 1L).otherwise(0L))
+            .as("changed"))
+      val updated = updated0.phaseCut
+      changed = updated0.queryExecution.observedMetrics.values.headOption
+        .map(r => if (r.isNullAt(0)) 0L else r.getLong(0))
+        .getOrElse(throw new IllegalStateException(
+          "cc_round observe metric missing after cut"))
       labels = updated.select(col("id"), col("cluster_id"))
       iter += 1
     }
