@@ -42,14 +42,16 @@ object NgramProbe {
     val sh = DedupOps.wordShingleHashes(repDocs, "doc_id", "text").phaseCut
     println(s"shingleRows=${sh.count()}")
 
+    // mirrors DedupOps.ngramPrefixCandidates' prefix stage (r18: the
+    // collect/sort/slice aggregate — keep in sync with the engine)
     val freq = sh.groupBy(col("h")).agg(count(lit(1)).as("dfreq"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("dfreq").asc, col("h").asc)
     def prefixes = sh.join(freq, Seq("h"))
-      .withColumn("sz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= col("sz") - floor(col("sz") * tNum / 100) + 1)
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("dfreq"), col("h")))).as("arr"))
+      .select(col("id"), size(col("arr")).cast("long").as("sz"),
+        explode(expr(("slice(arr.h, 1, cast(size(arr) - " +
+          s"((cast(size(arr) as bigint) * $tNum) div 100) + 1 as int))")))
+          .as("h"))
       .select("id", "h", "sz")
     val pfx = prefixes.phaseCut
     println(s"prefixRows=${pfx.count()}")

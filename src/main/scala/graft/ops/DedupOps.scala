@@ -757,13 +757,22 @@ object DedupOps {
   private[graft] def ngramPrefixCandidates(sh: DataFrame, tNum: Long,
                                            lengthFilter: Boolean): DataFrame = {
     val freq = sh.groupBy(col("h")).agg(count(lit(1)).as("dfreq"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("dfreq").asc, col("h").asc)
+    // Per-doc prefix selection as a collect/sort/slice aggregate instead
+    // of two window passes (r18, guide §2.4): the window form exchanged
+    // AND fully sorted the joined shingle relation by (id, dfreq, h); the
+    // aggregate form runs the same exchange but sorts each doc's ~|d|
+    // entries in place (sort_array over (dfreq, h) structs — lexicographic
+    // = the window's order, total because h is distinct per doc) and
+    // slices the first |d| − ⌊|d|·t⌋ + 1 (≥ 1 since tNum ≤ 100; the same
+    // floor'd integer arithmetic — (sz·tNum) div 100 = ⌊sz·tNum/100⌋ for
+    // non-negative longs). Same rows out, no corpus-wide sort.
     val prefixes = sh.join(freq, Seq("h"))
-      .withColumn("sz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= col("sz") - floor(col("sz") * tNum / 100) + 1)
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("dfreq"), col("h")))).as("arr"))
+      .select(col("id"), size(col("arr")).cast("long").as("sz"),
+        explode(expr(("slice(arr.h, 1, cast(size(arr) - " +
+          s"((cast(size(arr) as bigint) * $tNum) div 100) + 1 as int))")))
+          .as("h"))
       .select("id", "h", "sz")
       .phaseCut
     val joined = prefixes
