@@ -57,7 +57,10 @@ object FastPng {
     val deflater = new Deflater(Deflater.BEST_SPEED)
     deflater.setInput(raw)
     deflater.finish()
-    val comp = new Array[Byte](raw.length + 64)
+    // zlib worst case on incompressible input is ~len + 5 bytes per 16 KiB
+    // stored block + header/trailer (ADVICE r17: the former raw.length+64
+    // bound threw on incompressible rasters past ~190 KB raw)
+    val comp = new Array[Byte](raw.length + (raw.length / 16384 + 1) * 5 + 64)
     var clen = 0
     while (!deflater.finished()) {
       if (clen == comp.length)

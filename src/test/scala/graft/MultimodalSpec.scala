@@ -353,7 +353,11 @@ class MultimodalSpec extends SparkSpec {
     val bad = good.clone()
     bad(10) = 0x7f // clobber the screen-descriptor/palette region
     // either parses to different-but-valid gray values or raises — what it
-    // must NOT do is crash the JVM; and a truncated stream must raise
+    // must NOT do is crash the JVM (ADVICE r17: actually exercise the
+    // clobbered-header path instead of leaving the fixture dead)
+    try graft.multimodal.FastGif.decodeGray(bad)
+    catch { case _: Exception => () } // raising is an accepted outcome
+    // and a truncated stream must raise
     intercept[Exception] {
       graft.multimodal.FastGif.decodeGray(good.take(good.length / 2))
     }
